@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries live in ``etl_dashboard_project_1_spark.plans`` — each module
+defines (PySpark callable, DuckDB SQL) pairs side by side; this file just
+assembles the registry.
 """
 
 from __future__ import annotations
@@ -13,26 +16,46 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_dashboard_project_1_spark.plans import analytics, etl_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    return analytics.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+# name -> (callable(spark, sf_dir) -> DataFrame, oracle SQL | None)
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # analytics / aggregation / join / window layer (SURVEY §2.8-§2.11)
+    "q1_pricing_summary": (analytics.q1_pricing_summary, analytics.Q1_SQL),
+    "q3_shipping_priority": (analytics.q3_shipping_priority, analytics.Q3_SQL),
+    "q5_local_supplier_volume": (analytics.q5_local_supplier_volume, analytics.Q5_SQL),
+    "q6_forecast_revenue": (analytics.q6_forecast_revenue, analytics.Q6_SQL),
+    "a5_argmax_topk": (analytics.a5_argmax_topk, analytics.A5_SQL),
+    "a1_minmax_filename": (analytics.a1_minmax_filename, analytics.A1_SQL),
+    "p5_distinct_values": (analytics.p5_distinct_values, analytics.P5_SQL),
+    "o3_union_sheets": (analytics.o3_union_sheets, analytics.O3_SQL),
+    # cleaning operators (SURVEY §2.4)
+    "n1_sentinel_to_null": (etl_queries.n1_sentinel_to_null, etl_queries.N1_SQL),
+    "n2_ffill_partitioned": (etl_queries.n2_ffill_partitioned, etl_queries.N2_SQL),
+    "n4_mean_imputation": (etl_queries.n4_mean_imputation, etl_queries.N4_SQL),
+    "n5_n6_conditional_fixups": (etl_queries.n5_n6_conditional_fixups, etl_queries.N5_N6_SQL),
+    # derive operators (SURVEY §2.5)
+    "d1_d2_datetime_and_cast": (etl_queries.d1_d2_datetime_and_cast, etl_queries.D1_D2_SQL),
+    "d5_case_categorization": (etl_queries.d5_case_categorization, etl_queries.D5_SQL),
+    "d6_factor_arithmetic": (etl_queries.d6_factor_arithmetic, etl_queries.D6_SQL),
+    "d7_keyed_source_select": (etl_queries.d7_keyed_source_select, etl_queries.D7_SQL),
+    "d8_bucketing": (etl_queries.d8_bucketing, etl_queries.D8_SQL),
+    "d9_horizontal_mean": (etl_queries.d9_horizontal_mean, etl_queries.D9_SQL),
+    "d10_hash12": (etl_queries.d10_hash12, etl_queries.D10_SQL),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for every SQL-expressible query."""
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}

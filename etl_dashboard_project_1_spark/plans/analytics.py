@@ -1,0 +1,239 @@
+"""Dashboard/analytics query layer (SURVEY.md §2.9-§2.11, §7 module 9).
+
+The reference's dashboard consumes a clean table; its aggregate needs are
+min/max/mean/count style (SURVEY §2.9). Here that layer is a set of
+TPC-H-shaped declarative queries over the driver testdata — each one a
+(PySpark plan, ANSI-SQL oracle) pair.
+
+Scale notes per query are inline; the common themes:
+- dimension tables (region/nation/supplier) are broadcast — no shuffle for
+  the small side of a join;
+- aggregations are partial/final (map-side combine) automatically;
+- every double output is rounded so the value-hash is float-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg. Filter + the 2 grouping cols + 5
+    measure cols reach the parquet scan (pushdown/pruning); the agg is a
+    two-phase hash aggregate — the canonical 100TB-friendly plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                    AS sum_qty,
+       round(sum(l_extendedprice), 2)                               AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2)                                    AS avg_qty,
+       round(avg(l_extendedprice), 2)                               AS avg_price,
+       round(avg(l_discount), 4)                                    AS avg_disc,
+       count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 equi-joins + agg + deterministic top-k. customer is small → Spark
+    broadcasts it (AQE picks this up from stats); orders⋈lineitem shuffles
+    on the join key once, and the groupBy reuses that partitioning."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: every dimension (supplier/nation/region,
+    customer) is broadcast-size relative to the fact; only orders⋈lineitem
+    is a shuffle join. Group-by key is tiny (nation)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON o_custkey  = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-filter-agg; every predicate is parquet-pushable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def a5_argmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: argmax per group via row_number window (reference: numpy argmax
+    over fuzzy scores). Partitioned window — shuffles on the group key only,
+    never a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("best_totalprice"))
+    )
+
+
+A5_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) = 1
+"""
+
+
+def p5_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: distinct non-null values of a column (reference: dropna().unique())."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_mktsegment").na.drop().distinct()
+
+
+P5_SQL = "SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL"
+
+
+def o3_union_sheets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3: union-all of homogeneous slices (reference: multi-sheet concat)
+    via unionByName — column-name aligned, no positional surprises."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_o = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.lit("open").alias("bucket")
+    )
+    done_o = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit("finished").alias("bucket")
+    )
+    return open_o.unionByName(done_o)
+
+
+O3_SQL = """
+SELECT o_orderkey, 'open' AS bucket FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey, 'finished' AS bucket FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def a1_minmax_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/K3: min/max aggregate driving a data-derived artifact name
+    (reference: datos3cv_{min}-{max}.csv, src/load_to_gcp.py:47-55)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min(F.year("o_orderdate")).alias("year_min"),
+        F.max(F.year("o_orderdate")).alias("year_max"),
+    ).select(
+        "year_min",
+        "year_max",
+        F.concat(
+            F.lit("datos_"), F.col("year_min").cast("string"), F.lit("-"),
+            F.col("year_max").cast("string"), F.lit(".csv"),
+        ).alias("filename"),
+    )
+
+
+A1_SQL = """
+SELECT min(year(o_orderdate)) AS year_min,
+       max(year(o_orderdate)) AS year_max,
+       'datos_' || min(year(o_orderdate)) || '-' || max(year(o_orderdate)) || '.csv' AS filename
+FROM orders
+"""

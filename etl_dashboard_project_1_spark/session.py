@@ -1,0 +1,104 @@
+"""SparkSession factory + testdata table registry.
+
+Reference parity: the reference has no session concept (eager pandas in one
+process, /root/reference/src/transform_pipeline.py). Here the session is the
+engine entry point; config is tuned so the same code runs on local[N] for
+tests and on a real cluster unchanged (only master/memory differ).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Tables the driver generates (TESTDATA.md). One parquet file each.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "etl_dashboard_project_1_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-sane defaults.
+
+    - AQE on: runtime partition coalescing + skew-join handling mean the
+      same plan survives sf0.001 and a 1000-executor cluster.
+    - shuffle.partitions ~= cores locally (the 200 default over-splits
+      small data and under-splits huge data; on a real cluster AQE
+      re-coalesces anyway).
+    - UTC session timezone so results are comparable with the DuckDB
+      oracle (naive timestamps).
+    - Arrow on for every pandas interchange (Pandas UDFs, toPandas).
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark cannot
+        # read natively; read as long (ns since epoch) and convert in the
+        # loader (micros precision — ties broken by event_id downstream).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan — columnar, filter/column pushdown handled by Catalyst.
+
+    Nanosecond timestamp columns (read as ns-longs under
+    ``nanosAsLong``) are normalized to microsecond timestamps so the rest
+    of the engine sees ordinary ``TimestampType``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
+        if isinstance(field, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES, register: bool = True
+) -> dict[str, DataFrame]:
+    """Load every testdata table; optionally register temp views for SQL."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
