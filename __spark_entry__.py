@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_dashboard_project_1_spark.plans import analytics, etl_queries
+from etl_dashboard_project_1_spark.plans import analytics, etl_queries, fuzzy_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -48,6 +48,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "d8_bucketing": (etl_queries.d8_bucketing, etl_queries.D8_SQL),
     "d9_horizontal_mean": (etl_queries.d9_horizontal_mean, etl_queries.D9_SQL),
     "d10_hash12": (etl_queries.d10_hash12, etl_queries.D10_SQL),
+    # fuzzy entity-resolution join + text normalization (SURVEY §2.8, D3)
+    "j1_fuzzy_similarity_join": (fuzzy_queries.j1_fuzzy_similarity_join, fuzzy_queries.J1_SQL),
+    "j1_fuzzy_difflib": (fuzzy_queries.j1_fuzzy_difflib, None),  # UDF scorer: rows-only
+    "j2_mapping_application": (fuzzy_queries.j2_mapping_application, fuzzy_queries.J2_SQL),
+    "d3_text_normalization": (fuzzy_queries.d3_text_normalization, fuzzy_queries.D3_SQL),
 }
 
 

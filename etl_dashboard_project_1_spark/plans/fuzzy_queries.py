@@ -1,0 +1,144 @@
+"""Correctness-gate pairs for the fuzzy entity-resolution join (J1/J2) and
+category text normalization (D3) — SURVEY.md §2.8 / §2.5.
+
+The raw side is synthesized deterministically from the nation dimension
+(suffix ' SA' → must resolve; a garbage literal → must land in not-found),
+mirroring the reference's importer-name resolution shape:
+~U distinct dirty names × small catalog, threshold 0.6.
+
+The oracle-checked scorer is levenshtein-ratio (SQL-expressible in both
+engines). The reference's exact difflib scorer is exposed as
+``j1_fuzzy_difflib`` (pandas UDF — no SQL oracle; pinned instead by unit
+tests against stdlib difflib and the reference's importer fixtures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similarity import difflib_ratio_udf
+from ..functions.text import normalize_category_col
+from ..operators.fuzzy import apply_fuzzy_mapping, fuzzy_match_names
+from ..session import load_table
+
+
+def _dirty_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    dirty = nation.select(F.concat(F.col("n_name"), F.lit(" SA")).alias("raw_name"))
+    junk = spark.createDataFrame([("ZZZ MOTORS INC",)], ["raw_name"])
+    return dirty.unionByName(junk)
+
+
+_J1_CTE = r"""
+WITH raw AS (
+  SELECT DISTINCT n_name || ' SA' AS raw_name FROM nation
+  UNION ALL SELECT 'ZZZ MOTORS INC'
+),
+cat AS (
+  SELECT n_name, n_nationkey,
+         upper(regexp_replace(n_name, '[\t.\-\s]', '', 'g')) AS nc
+  FROM nation
+),
+scored AS (
+  SELECT r.raw_name, c.n_name, c.n_nationkey,
+         CASE WHEN greatest(length(nr), length(nc)) = 0 THEN 1.0
+              ELSE 1.0 - levenshtein(nr, nc)
+                         / CAST(greatest(length(nr), length(nc)) AS DOUBLE)
+         END AS score
+  FROM (SELECT raw_name, upper(regexp_replace(raw_name, '[\t.\-\s]', '', 'g')) AS nr
+        FROM raw) r
+  CROSS JOIN cat c
+),
+best AS (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (PARTITION BY raw_name ORDER BY score DESC, n_name ASC) = 1
+)
+"""
+
+
+def j1_fuzzy_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: distinct → broadcast cross join → levenshtein-ratio → window
+    argmax → threshold. The junk name must come back unmatched (nulls)."""
+    nation = load_table(spark, sf_dir, "nation")
+    matched = fuzzy_match_names(
+        _dirty_names(spark, sf_dir), "raw_name", nation.select("n_name", "n_nationkey"),
+        "n_name", threshold=0.6,
+    )
+    return matched.select(
+        "raw_name",
+        "matched_n_name",
+        F.round("match_score", 3).alias("match_score"),
+        "n_nationkey",
+    )
+
+
+J1_SQL = (
+    _J1_CTE
+    + """
+SELECT raw_name,
+       CASE WHEN score >= 0.6 THEN n_name END       AS matched_n_name,
+       round(score, 3)                              AS match_score,
+       CASE WHEN score >= 0.6 THEN n_nationkey END  AS n_nationkey
+FROM best
+"""
+)
+
+
+def j2_mapping_application(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: resolved mapping carried back onto the fact rows via broadcast
+    equi left join; unresolved names fall back to the raw value."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", F.concat(F.col("n_name"), F.lit(" SA")).alias("raw_name")
+    )
+    mapping = fuzzy_match_names(
+        _dirty_names(spark, sf_dir), "raw_name", nation.select("n_name", "n_nationkey"),
+        "n_name", threshold=0.6,
+    ).select("raw_name", F.col("matched_n_name").alias("nation_std"))
+    resolved = apply_fuzzy_mapping(dirty, "raw_name", mapping, "nation_std")
+    return resolved.select("c_custkey", "raw_name", "nation_std")
+
+
+J2_SQL = (
+    _J1_CTE
+    + """
+, mapping AS (
+  SELECT raw_name, CASE WHEN score >= 0.6 THEN n_name END AS nation_std FROM best
+)
+SELECT c_custkey, d.raw_name, coalesce(m.nation_std, d.raw_name) AS nation_std
+FROM (SELECT c_custkey, n_name || ' SA' AS raw_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey) d
+LEFT JOIN mapping m ON d.raw_name = m.raw_name
+"""
+)
+
+
+def j1_fuzzy_difflib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact scorer (difflib.SequenceMatcher.ratio as a pandas
+    UDF). No SQL oracle — rows-only check here; unit tests pin the scores
+    against stdlib difflib directly."""
+    nation = load_table(spark, sf_dir, "nation")
+    matched = fuzzy_match_names(
+        _dirty_names(spark, sf_dir), "raw_name", nation.select("n_name", "n_nationkey"),
+        "n_name", threshold=0.6, score_fn=difflib_ratio_udf,
+    )
+    return matched.select(
+        "raw_name", "matched_n_name", F.round("match_score", 3).alias("match_score")
+    )
+
+
+def d3_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: null-safe lowercase + accent-strip + trim as one JVM expression
+    (accented input synthesized so the op has something to do)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit("  Ártículo ÑOÑO É "), F.col("lang"), F.lit("  "))
+    return docs.select("doc_id", normalize_category_col(dirty).alias("norm_text"))
+
+
+D3_SQL = """
+SELECT doc_id,
+       trim(strip_accents(lower('  Ártículo ÑOÑO É ' || lang || '  '))) AS norm_text
+FROM documents
+"""
