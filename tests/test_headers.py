@@ -1,0 +1,84 @@
+"""Golden-catalog conformance for the header canonicalizer (H1-H8).
+
+Replays every original header from the reference's committed catalog
+(/root/reference/data/processed/campos_hom_data.json — 100 entries incl.
+the EV_MOTOR_POT_MAX_KW_1.._3 collision family) through a fresh
+canonicalizer in catalog order and requires exact name + hash equality.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_dashboard_project_1_spark.functions.headers import HeaderCanonicalizer
+
+GOLDEN = "/root/reference/data/processed/campos_hom_data.json"
+
+
+def test_demo_headers():
+    c = HeaderCanonicalizer()
+    cases = {
+        "CO2 combinado (g/km)": "CO2_COMB_GKM",
+        "Fecha de Homologación": "FECHA_HOML",
+        "Marca": "MARCA",
+    }
+    for raw, expected in cases.items():
+        assert c.canonical_name(raw) == expected, raw
+
+
+def test_hash_is_12_hex():
+    h = HeaderCanonicalizer.header_hash("Marca")
+    assert len(h) == 12
+    int(h, 16)  # parses as hex
+
+
+def test_cache_stability_and_collisions():
+    c = HeaderCanonicalizer()
+    a = c.standardize("Motor Eléctrico (1) Potencia Máxima del Motor kw")
+    b = c.standardize("Motor Eléctrico (2) Potencia Máxima del Motor kw")
+    assert a == "EV_MOTOR_POT_MAX_KW"
+    assert b == "EV_MOTOR_POT_MAX_KW_1"  # same generated name, suffixed
+    # identical header resolves from cache, not a new suffix
+    assert c.standardize("Motor Eléctrico (1) Potencia Máxima del Motor kw") == a
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="reference fixtures absent")
+def test_golden_catalog_conformance():
+    with open(GOLDEN, encoding="utf-8") as f:
+        golden = json.load(f)
+    c = HeaderCanonicalizer()
+    failures = []
+    for expected_std, info in golden.items():  # insertion order = creation order
+        original = info["original_names"][0]
+        got = c.standardize(original)
+        if got != expected_std:
+            failures.append((original, expected_std, got))
+        expected_hash = info["hashes"][0]
+        if c.header_hash(original) != expected_hash:
+            failures.append((original, "hash:" + expected_hash, c.header_hash(original)))
+    assert not failures, f"{len(failures)}/{len(golden)} mismatches: {failures[:10]}"
+
+
+def test_catalog_roundtrip(tmp_path):
+    path = tmp_path / "catalog.json"
+    c = HeaderCanonicalizer(catalog_file=path)
+    c.standardize("Marca")
+    c.standardize("CO2 combinado (g/km)")
+    c2 = HeaderCanonicalizer(catalog_file=path)
+    # cache hit: no regeneration, same names
+    assert c2.standardize("Marca") == "MARCA"
+    assert sorted(n for n, _, _ in c2.catalog_rows()) == ["CO2_COMB_GKM", "MARCA"]
+
+
+def test_old_catalog_format_readable(tmp_path):
+    path = tmp_path / "old.json"
+    path.write_text(
+        json.dumps({"MARCA": {"default": ["Marca"], "hash": ["c80dc2c24cbe"]}}),
+        encoding="utf-8",
+    )
+    c = HeaderCanonicalizer(catalog_file=path)
+    assert c.catalog["MARCA"]["original_names"] == ["Marca"]
