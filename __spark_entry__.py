@@ -16,7 +16,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_dashboard_project_1_spark.plans import analytics, etl_queries, fuzzy_queries
+from etl_dashboard_project_1_spark.plans import (
+    analytics,
+    etl_queries,
+    extension_queries,
+    fuzzy_queries,
+    streaming_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -53,6 +59,49 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "j1_fuzzy_difflib": (fuzzy_queries.j1_fuzzy_difflib, None),  # UDF scorer: rows-only
     "j2_mapping_application": (fuzzy_queries.j2_mapping_application, fuzzy_queries.J2_SQL),
     "d3_text_normalization": (fuzzy_queries.d3_text_normalization, fuzzy_queries.D3_SQL),
+    # deduplication (training-data extensions)
+    "dedup_exact": (extension_queries.dedup_exact, extension_queries.DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (extension_queries.dedup_ngram_jaccard, extension_queries.DEDUP_NGRAM_SQL),
+    "dedup_minhash_lsh": (extension_queries.dedup_minhash_lsh, extension_queries.DEDUP_MINHASH_SQL),
+    "dedup_simhash": (extension_queries.dedup_simhash, extension_queries.DEDUP_SIMHASH_SQL),
+    "dedup_embedding_cosine": (
+        extension_queries.dedup_embedding_cosine,
+        extension_queries.DEDUP_EMB_COSINE_SQL,
+    ),
+    # text analysis
+    "text_langid": (extension_queries.text_langid, extension_queries.TEXT_LANGID_SQL),
+    "text_quality": (extension_queries.text_quality, extension_queries.TEXT_QUALITY_SQL),
+    "text_token_count": (
+        extension_queries.text_token_count,
+        extension_queries.TEXT_TOKEN_COUNT_SQL,
+    ),
+    "text_fingerprint": (
+        extension_queries.text_fingerprint,
+        extension_queries.TEXT_FINGERPRINT_SQL,
+    ),
+    # similarity search
+    "sim_cosine_topk": (extension_queries.sim_cosine_topk, extension_queries.SIM_COSINE_TOPK_SQL),
+    "sim_ann_lsh": (extension_queries.sim_ann_lsh, None),  # ANN: recall pinned in tests
+    # multimodal plumbing (decode stubbed, Spark machinery real)
+    "mm_image_meta": (extension_queries.mm_image_meta, extension_queries.MM_IMAGE_META_SQL),
+    "mm_frame_sample": (extension_queries.mm_frame_sample, extension_queries.MM_FRAME_SAMPLE_SQL),
+    # streaming operator set (batch-checked; streamed in tests)
+    "stream_tumbling_agg": (
+        streaming_queries.stream_tumbling_agg,
+        streaming_queries.STREAM_TUMBLING_SQL,
+    ),
+    "stream_sliding_avg": (
+        streaming_queries.stream_sliding_avg,
+        streaming_queries.STREAM_SLIDING_SQL,
+    ),
+    "stream_session_window": (
+        streaming_queries.stream_session_window,
+        streaming_queries.STREAM_SESSION_SQL,
+    ),
+    "stream_dedup_events": (
+        streaming_queries.stream_dedup_events,
+        streaming_queries.STREAM_DEDUP_SQL,
+    ),
 }
 
 

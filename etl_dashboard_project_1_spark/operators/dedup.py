@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its pandas pipeline dedups nothing beyond
+header names); these are the north-star extensions (SURVEY.md §7 module 10)
+designed Spark-first for 100 TB corpora:
+
+- exact dedup        — hash-groupBy on a normalized fingerprint; fully
+                       distributed, one shuffle on the hash.
+- n-gram Jaccard     — shingle explode → self-equi-join on shingle →
+                       pair aggregation. Exact but O(sum df²) — the
+                       quadratic baseline the sketches below replace.
+- MinHash + LSH      — shingle→minhash signature→banded bucket join;
+                       candidates are verified with true Jaccard. The
+                       pair-generation join is on (band, bucket-hash), so
+                       cost tracks true near-dup density, not n².
+- SimHash            — per-token hash bits weighted ±1 → fingerprint;
+                       near-dups = hamming ≤ k. Banding by fingerprint
+                       prefix keeps the self-join from being n².
+
+All hashing is md5-derived (``conv(substr(md5(x),1,8),16,10)``) so results
+are engine-independent and reproducible in the DuckDB oracle. No UDFs —
+every step is built-in expressions (codegen'd, Arrow-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic 32-bit universal-hash parameters: h_i(x) = (a_i*x + b_i) % P
+MINHASH_PRIME = 4294967311  # first prime > 2^32
+
+
+def md5_int(col: Column) -> Column:
+    """First 8 hex chars of md5 as a bigint — stable across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams ('a b c'); empty array when fewer than k words."""
+    w = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+    return F.array_distinct(
+        F.when(F.size(w) >= k, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """Sorted-distinct-token md5 — catches reordered/whitespace-variant
+    duplicates that byte-equality misses."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = True
+) -> DataFrame:
+    """Exact dedup: one row per distinct content fingerprint with the
+    keeper id (min) and the duplicate count. One shuffle, fully scalable."""
+    fp = normalized_fingerprint(text_col) if normalized else F.md5(F.col(text_col))
+    return (
+        df.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, k)).alias("_s")
+    )
+
+
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """(_id, _s) exploded shingles → (id_a, id_b, jaccard) for ids sharing
+    ≥1 shingle. Equi-join on the shingle value; group on the pair."""
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_shared") / (F.col("_na") + F.col("_nb") - F.col("_shared"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Exact near-dup pairs by word-k-gram Jaccard ≥ threshold.
+
+    Scale note: cost is Σ_shingle df² — fine when shingles are selective
+    (k ≥ 3); for short/repetitive text use :func:`minhash_lsh_pairs`.
+    """
+    sh = _shingle_table(df, id_col, text_col, k)
+    return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """(id, hash_index, minhash) — min over shingle hashes per universal
+    hash function. Deterministic parameters a=2i+1, b=7919i+13."""
+    sh = _shingle_table(df, id_col, text_col, k).withColumn("_h", md5_int(F.col("_s")))
+    params = df.sparkSession.range(num_hashes).select(
+        F.col("id").alias("_i"),
+        (2 * F.col("id") + 1).alias("_a"),
+        (7919 * F.col("id") + 13).alias("_b"),
+    )
+    return (
+        sh.crossJoin(F.broadcast(params))
+        .groupBy("_id", "_i")
+        .agg(F.min((F.col("_a") * F.col("_h") + F.col("_b")) % MINHASH_PRIME).alias("_m"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signature → bands → bucket join
+    → candidate pairs → verify with true Jaccard ≥ threshold.
+
+    The candidate join keys on (band, md5-of-band-signature): its size is
+    the number of truly-colliding pairs — this is the 100 TB path (the
+    quadratic shingle join only runs on candidates).
+    """
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    bands = (
+        sig.withColumn("_band", (F.col("_i") / band_size).cast("int"))
+        .groupBy("_id", "_band")
+        .agg(
+            # band signature = md5 of the in-band minhashes in hash-index
+            # order (collect_list is unordered; sort by the carried index)
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_i", "_m"))),
+                        lambda s: s["_m"].cast("string"),
+                    ),
+                )
+            ).alias("_bh")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bh") == F.col("b._bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sh = _shingle_table(df, id_col, text_col, k)
+    verified = _pair_jaccard(sh).join(candidates, ["id_a", "id_b"])  # verify only candidates
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash): per-token md5 bits vote ±1 per position; the sign
+    vector packs into a ``bits``-wide fingerprint. Distinct tokens only
+    (set semantics, stable under token repetition)."""
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("_t"),
+    ).withColumn("_h", md5_int(F.col("_t")))
+    pos = df.sparkSession.range(bits).select(F.col("id").alias("_p"))
+    bit_set = F.expr("shiftright(_h, cast(_p AS int)) % 2 = 1")
+    votes = (
+        tok.crossJoin(F.broadcast(pos))
+        .groupBy("_id", "_p")
+        .agg(F.sum(F.when(bit_set, 1).otherwise(-1)).alias("_v"))
+    )
+    return votes.groupBy("_id").agg(
+        F.sum(
+            F.when(F.col("_v") > 0, F.expr("shiftleft(1L, cast(_p AS int))")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Blocking: candidates must share the top ``prefix_bits`` of the
+    fingerprint (one rotation — multi-table rotations are the standard
+    extension), so the self-join is per-block, not n². With prefix_bits=0
+    this degrades to the exact quadratic comparison.
+    """
+    sig = simhash(df, id_col, text_col, bits)
+    sig = sig.withColumn(
+        "_blk", F.shiftright(F.col("simhash"), bits - prefix_bits) if prefix_bits else F.lit(0)
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -134,6 +134,22 @@ def horizontal_mean(cols: Sequence[Column | str], decimals: int | None = 2) -> C
     return F.round(mean, decimals) if decimals is not None else mean
 
 
+def portable_round(col: Column | str, decimals: int) -> Column:
+    """Engine-portable rounding: ``floor(x * 10^n + 0.5) / 10^n``.
+
+    ``round()`` diverges between engines exactly on representable half
+    boundaries (Spark rounds the double's shortest decimal representation
+    HALF_UP; DuckDB rounds the binary value) — a real failure mode for
+    per-row rationals like ``5/32 = 0.15625``. This formulation is plain
+    IEEE double arithmetic, so any engine computes the identical result.
+    Use for per-row ratio outputs compared against an oracle; plain
+    ``F.round`` is fine for end-of-query aggregates.
+    """
+    c = _c(col)
+    scale = float(10**decimals)
+    return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
 def hash12(col: Column | str) -> Column:
     """D10: stable 12-hex id = first 12 chars of sha256 (lowercase hex)."""
     return F.lower(F.sha2(_c(col).cast("string"), 256)).substr(1, 12)

@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery here is REAL and tested: binary column schema,
+partition-preserving batch iteration, deterministic metadata extraction,
+output schema contracts. The actual media decoding is STUBBED — this
+container has no image/audio libraries — behind ``decode_image_stub``:
+a deterministic fake decoder (md5-derived dimensions) with the same
+signature a Pillow/libav-backed implementation would have. Swapping in a
+real decoder changes ONE function, not the pipeline.
+
+Scale notes: mapInPandas streams Arrow batches per partition — memory is
+bounded by batch size regardless of corpus size; binary payloads never
+pass through the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_META_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, channels int, format string"
+)
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
+    """Materialize an opaque binary payload column (here: utf-8 encode of a
+    text column, standing in for image bytes read from an object store)."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """STUB decoder — deterministic fake in place of a real image decode.
+
+    A real implementation would be::
+
+        from PIL import Image              # not available in this container
+        img = Image.open(io.BytesIO(payload))
+        return {"width": img.width, "height": img.height, ...}
+
+    The fake derives width/height/channels from the payload's md5 so the
+    whole pipeline (schema, batching, joins, oracle comparison) is
+    exercised with stable values.
+    """
+    h = hashlib.md5(payload).hexdigest()
+    return {
+        "n_bytes": len(payload),
+        "width": int(h[:2], 16) % 64 + 16,
+        "height": int(h[2:4], 16) % 64 + 16,
+        "channels": int(h[4:6], 16) % 3 + 1,
+        "format": "fake/raw",
+    }
+
+
+def extract_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """mapInPandas feature extraction over the binary column: one Arrow
+    batch in, one metadata frame out. The id column rides along so results
+    join back without a shuffle of the payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_image_stub(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=DECODED_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+) -> DataFrame:
+    """'Frame sampling' over an opaque byte stream: emits one row per
+    sampled offset with an md5 fingerprint per frame — the exact plumbing
+    (explode fan-out, per-frame rows, bounded fan-out) a video
+    frame-sampler needs, with the decode stubbed to byte-slicing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = max(1, min(max_frames, len(payload) // every_n_bytes))
+                for f in range(n):
+                    chunk = bytes(payload[f * every_n_bytes : (f + 1) * every_n_bytes])
+                    rows.append(
+                        {
+                            "doc_id": _id,
+                            "frame_no": f,
+                            "frame_hash": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_hash"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema="doc_id bigint, frame_no int, frame_hash string"
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (``array<float>``) — ANN
+building blocks for training-data pipelines (SURVEY.md §7 module 10).
+
+- ``cosine``: pure-expression dot/norm arithmetic in DOUBLE (zip_with +
+  aggregate — codegen'd, no UDF, engine-portable).
+- ``cosine_topk``: brute-force top-k against one query vector. One scan +
+  one small top-k — the exact baseline.
+- ``cosine_pairs``: all pairs ≥ threshold. Quadratic; the correctness
+  baseline for the bucketed variant.
+- ``hyperplane_lsh_topk``: sign-random-projection LSH. Deterministic
+  integer-arithmetic hyperplanes, bucket equi-join, exact re-rank within
+  the query's bucket — the 100 TB path (cost ∝ bucket size, not n).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k vs a literal query vector.
+
+    Plan shape: scan → per-row expression → global top-k (takeOrdered-style
+    sort-limit, partial per partition). No shuffle of the vectors.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    out = df.select(
+        F.col(id_col),
+        cosine(as_double_vec(vec_col), q).alias("cosine"),
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.4
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup detection).
+
+    Quadratic self-join — exact baseline. For scale, band first (see
+    ``hyperplane_lsh_topk``'s bucketing) so only same-bucket pairs join.
+    """
+    v = df.select(F.col(id_col).alias("_id"), as_double_vec(vec_col).alias("_v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_signs(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """LSH bucket id from ``num_planes`` deterministic pseudo-random
+    hyperplanes. Plane j's weight for dimension i is
+    ``((61 * j + 17 * i) % 97) - 48`` — integer arithmetic, identical in
+    any engine, no RNG state."""
+    bucket = F.lit(0)
+    for j in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x * (((F.lit(61 * j) + 17 * i) % 97) - 48),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**j)).otherwise(0)
+    return bucket
+
+
+def hyperplane_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    num_planes: int = 4,
+    probe_hamming: int = 1,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k: hash every vector (and the query) to a sign bucket, then
+    exact cosine re-rank over multi-probed buckets (all buckets within
+    ``probe_hamming`` sign flips of the query's — the standard multi-probe
+    LSH recall/cost dial).
+
+    Approximate: recall < 1 by design (pytest pins a recall floor against
+    the brute-force baseline). At scale the bucket filter prunes the
+    candidate set ~2^num_planes / Σ C(num_planes, ≤probe_hamming)."""
+    dim = len(query)
+    q = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    qdf = df.sparkSession.range(1).select(q.alias("_q"))
+    q_bucket = qdf.select(hyperplane_signs(F.col("_q"), dim, num_planes).alias("b")).first()["b"]
+    v = df.select(F.col(id_col), as_double_vec(vec_col).alias("_v"))
+    candidates = v.withColumn(
+        "_bucket", hyperplane_signs(F.col("_v"), dim, num_planes)
+    ).filter(
+        F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(int(q_bucket)))) <= probe_hamming
+    )
+    out = candidates.select(
+        F.col(id_col), cosine(F.col("_v"), q).alias("cosine")
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

@@ -259,14 +259,16 @@ def d9_horizontal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
-        derive.horizontal_mean(["p_size", "p_retailprice"], decimals=2).alias("family_mean"),
+        derive.portable_round(
+            derive.horizontal_mean(["p_size", "p_retailprice"], decimals=None), 2
+        ).alias("family_mean"),
     )
 
 
 D9_SQL = """
 SELECT p_partkey,
-       round((coalesce(CAST(p_size AS DOUBLE), 0) + coalesce(p_retailprice, 0)) / 2.0, 2)
-         AS family_mean
+       floor(((coalesce(CAST(p_size AS DOUBLE), 0) + coalesce(p_retailprice, 0)) / 2.0)
+             * 100 + 0.5) / 100 AS family_mean
 FROM part
 """
 

@@ -1,0 +1,353 @@
+"""Correctness-gate pairs for the training-data-pipeline extensions:
+dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash / embedding-cosine),
+text analysis (lang-id / quality / token counts / fingerprint), similarity
+search (brute-force cosine top-k, hyperplane-LSH ANN) and multimodal
+binary plumbing — SURVEY.md §7 module 10.
+
+Every hash step is md5-derived integer arithmetic so the DuckDB oracle can
+reproduce Spark bit-for-bit; float outputs are rounded at the end; pair
+outputs carry ids (ints), keeping the value-hash float-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, derive, multimodal, textops, vector
+from ..session import load_table
+
+# shared oracle CTE: distinct word-3-gram shingles per doc
+_SHINGLES_CTE = r"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                ELSE [] END)) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents)
+)
+"""
+
+_JACCARD_CTE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, shared / (sa.n + sb.n - shared)::DOUBLE AS jaccard
+  FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+)
+"""
+)
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "doc_id", "text", normalized=True)
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard near-dup pairs -----------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    return pairs.select("id_a", "id_b", derive.portable_round(F.col("jaccard"), 4).alias("jaccard"))
+
+
+DEDUP_NGRAM_SQL = (
+    _JACCARD_CTE
+    + "SELECT id_a, id_b, floor(jaccard * 10000 + 0.5) / 10000 AS jaccard FROM jac WHERE jaccard >= 0.2"
+)
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=0.2
+    )
+    return pairs.select("id_a", "id_b", derive.portable_round(F.col("jaccard"), 4).alias("jaccard"))
+
+
+DEDUP_MINHASH_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+params AS (
+  SELECT i, (2 * i + 1)::BIGINT AS a, (7919 * i + 13)::BIGINT AS b FROM range(8) t(i)
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hs FROM sh
+),
+sig AS (
+  SELECT doc_id, i, min((a * hs + b) % 4294967311) AS m
+  FROM hashed, params GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band,
+         md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bh
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, shared / (sa.n + sb.n - shared)::DOUBLE AS jaccard
+  FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+)
+SELECT j.id_a, j.id_b, floor(j.jaccard * 10000 + 0.5) / 10000 AS jaccard
+FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.2
+"""
+)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=3, prefix_bits=8
+    )
+
+
+DEDUP_SIMHASH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS t
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok
+),
+votes AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN (h >> p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, range(32) t(p) GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << p) ELSE 0 END) AS simhash
+  FROM votes GROUP BY 1
+),
+blk AS (SELECT doc_id, simhash, simhash >> 24 AS b FROM sig)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# --- text analysis ----------------------------------------------------------
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.detect_language("text").alias("lang_detected"),
+        derive.portable_round(textops.stopword_ratio("text"), 4).alias("en_ratio"),
+    )
+
+
+def _ratio_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        r"len(list_filter(regexp_split_to_array(lower(text), '\s+'), "
+        rf"t -> t IN ({inlist})))"
+        r" / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1)::DOUBLE"
+    )
+
+
+TEXT_LANGID_SQL = rf"""
+WITH r AS (
+  SELECT doc_id,
+         {_ratio_sql(textops.LANG_PROFILES['en'])} AS r_en,
+         {_ratio_sql(textops.LANG_PROFILES['es'])} AS r_es,
+         {_ratio_sql(textops.LANG_PROFILES['de'])} AS r_de,
+         {_ratio_sql(textops.LANG_PROFILES['fr'])} AS r_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(r_en, r_es, r_de, r_fr) <= 0.05 THEN 'und'
+            WHEN r_en >= greatest(r_es, r_de, r_fr) THEN 'en'
+            WHEN r_es >= greatest(r_de, r_fr)       THEN 'es'
+            WHEN r_de >= r_fr                        THEN 'de'
+            ELSE 'fr' END AS lang_detected,
+       floor(r_en * 10000 + 0.5) / 10000 AS en_ratio
+FROM r
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count("text").alias("n_tokens"),
+        derive.portable_round(textops.punct_ratio("text"), 4).alias("punct_ratio"),
+        derive.portable_round(textops.stopword_ratio("text"), 4).alias("stop_ratio"),
+        derive.portable_round(textops.mean_word_length("text"), 4).alias("mean_word_len"),
+        derive.portable_round(textops.quality_score("text"), 4).alias("quality"),
+    )
+
+
+TEXT_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+         length(regexp_replace(regexp_replace(text, '\s', '', 'g'), '[^a-zA-Z0-9]', '', 'g')) AS n_alnum,
+         list_sum(list_transform(regexp_split_to_array(lower(text), '\s+'), w -> length(w))) AS sum_wlen,
+         len(regexp_split_to_array(lower(text), '\s+')) AS n_tok_raw,
+         {_ratio_sql(textops.LANG_PROFILES['en'])} AS stop_r
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       floor((n_nonws - n_alnum) / greatest(n_nonws, 1)::DOUBLE * 10000 + 0.5) / 10000 AS punct_ratio,
+       floor(stop_r * 10000 + 0.5) / 10000 AS stop_ratio,
+       floor(sum_wlen / greatest(n_tok_raw, 1)::DOUBLE * 10000 + 0.5) / 10000 AS mean_word_len,
+       floor((0.4 * least(n_tokens / 200.0, 1.0)
+           + 0.3 * (1.0 - (n_nonws - n_alnum) / greatest(n_nonws, 1)::DOUBLE)
+           + 0.3 * least(stop_r / 0.08, 1.0)) * 10000 + 0.5) / 10000 AS quality
+FROM t
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count("text").alias("n_ws_tokens"),
+        textops.word_token_count("text").alias("n_word_tokens"),
+    )
+
+
+TEXT_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]', 0)) AS n_word_tokens
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.doc_fingerprint("text").alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# --- similarity search ------------------------------------------------------
+
+_COS_SQL = """
+list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+ / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))
+  * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = vector.cosine_topk(emb, "vec_id", "embedding", query, k=10, exclude_id=0)
+    return top.select("vec_id", derive.portable_round(F.col("cosine"), 4).alias("cosine"))
+
+
+SIM_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, floor(({_COS_SQL.format(a='embedding', b='qv')}) * 10000 + 0.5) / 10000 AS cosine
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY {_COS_SQL.format(a='embedding', b='qv')} DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = vector.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return pairs.select("id_a", "id_b")
+
+
+DEDUP_EMB_COSINE_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.4
+"""
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN — no SQL oracle (recall floor pinned by unit test
+    against the brute-force baseline instead)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = vector.hyperplane_lsh_topk(
+        emb, "vec_id", "embedding", query, k=10, num_planes=4, probe_hamming=2,
+        exclude_id=0,
+    )
+    return top.select("vec_id", derive.portable_round(F.col("cosine"), 4).alias("cosine"))
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = multimodal.attach_binary(docs, "text")
+    return multimodal.extract_image_meta(with_bin)
+
+
+MM_IMAGE_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       ('0x' || substr(md5(text), 1, 2))::INT % 64 + 16 AS width,
+       ('0x' || substr(md5(text), 3, 2))::INT % 64 + 16 AS height,
+       ('0x' || substr(md5(text), 5, 2))::INT % 3 + 1   AS channels,
+       'fake/raw' AS format
+FROM documents
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = multimodal.attach_binary(docs, "text")
+    return multimodal.sample_frames(with_bin, every_n_bytes=64, max_frames=8)
+
+
+MM_FRAME_SAMPLE_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         greatest(1, least(8, octet_length(encode(text)) // 64)) AS n_frames
+  FROM documents
+)
+SELECT doc_id, f AS frame_no, md5(substr(text, f * 64 + 1, 64)) AS frame_hash
+FROM n, range(8) t(f)
+WHERE f < n_frames
+"""

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.similarity import difflib_ratio_udf
 from ..functions.text import normalize_category_col
+from ..operators import derive
 from ..operators.fuzzy import apply_fuzzy_mapping, fuzzy_match_names
 from ..session import load_table
 
@@ -68,7 +69,7 @@ def j1_fuzzy_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.select(
         "raw_name",
         "matched_n_name",
-        F.round("match_score", 3).alias("match_score"),
+        derive.portable_round(F.col("match_score"), 3).alias("match_score"),
         "n_nationkey",
     )
 
@@ -78,7 +79,7 @@ J1_SQL = (
     + """
 SELECT raw_name,
        CASE WHEN score >= 0.6 THEN n_name END       AS matched_n_name,
-       round(score, 3)                              AS match_score,
+       floor(score * 1000 + 0.5) / 1000             AS match_score,
        CASE WHEN score >= 0.6 THEN n_nationkey END  AS n_nationkey
 FROM best
 """
@@ -125,7 +126,7 @@ def j1_fuzzy_difflib(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name", threshold=0.6, score_fn=difflib_ratio_udf,
     )
     return matched.select(
-        "raw_name", "matched_n_name", F.round("match_score", 3).alias("match_score")
+        "raw_name", "matched_n_name", derive.portable_round(F.col("match_score"), 3).alias("match_score")
     )
 
 

@@ -1,0 +1,89 @@
+"""Correctness-gate pairs for the streaming operator set, checked in BATCH
+mode (the window expressions are mode-agnostic; tests/test_streaming.py
+drives the same builders through readStream + memory sink).
+
+Window starts are epoch-aligned in Spark; the oracle floors epoch seconds
+to the same boundaries. Timestamps are emitted as formatted strings so the
+comparison is timezone-representation-proof (session TZ pinned to UTC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import load_table
+from ..streaming import jobs
+
+
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+STREAM_TUMBLING_SQL = """
+SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.sliding_avg(load_table(spark, sf_dir, "events"))
+
+
+# a 10-min window sliding by 5: each event lands in exactly 2 windows —
+# floor to each of the two 5-min-aligned starts covering the event
+STREAM_SLIDING_SQL = """
+WITH starts AS (
+  SELECT *, floor(epoch(ts) / 300) * 300 - s.off AS win_start
+  FROM events, (SELECT 0 AS off UNION ALL SELECT 300) s
+)
+SELECT strftime(to_timestamp(win_start), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       round(avg(value), 4) AS avg_value,
+       count(*) AS n_events
+FROM starts
+GROUP BY 1, 2
+"""
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.user_sessions(load_table(spark, sf_dir, "events"))
+
+
+STREAM_SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sessioned
+GROUP BY user_id, session_id
+"""
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = jobs.dedup_events(load_table(spark, sf_dir, "events"))
+    return df.select("event_id", "user_id", "event_type")
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn FROM events)
+WHERE rn = 1
+"""

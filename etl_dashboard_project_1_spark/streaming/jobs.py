@@ -1,0 +1,133 @@
+"""Structured Streaming jobs over the events table (SURVEY.md §2.13 — the
+reference is batch-only; streaming is the north-star extension).
+
+Every transformation here is defined once and runs in BOTH modes: the
+builders take any events DataFrame — a batch ``spark.read`` or a
+``spark.readStream`` — because tumbling/session windows and watermark-based
+dedup are identical expressions in Spark's unified model. The batch shape
+is what the DuckDB oracle checks; the streaming shape is exercised by
+tests with a file source + memory sink.
+
+Scale notes: windowed aggregations are keyed state — state size is bounded
+by (watermark horizon × key cardinality), not stream length;
+``dropDuplicatesWithinWatermark`` keeps dedup state bounded the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns since epoch (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """ns-long → microsecond timestamp (mirrors session.load_table)."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def read_events_stream(spark, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the events parquet (one file = one
+    micro-batch in tests; object-store directories at scale)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        # the file source wants a directory; glob-filter to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return normalize_event_ts(raw)
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window count/sum per event type. In streaming mode the
+    watermark bounds state and admits late data up to its horizon."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window average value per event type."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", width, slide), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+def user_sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user: events merge while consecutive gaps stay
+    under ``gap``."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Exactly-once-per-id dedup. Streaming: state bounded by the watermark
+    horizon (dropDuplicatesWithinWatermark); batch: plain dropDuplicates."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str):
+    """Drive a streaming query to completion against the file source and
+    land results in an in-memory table (test harness)."""
+    q = (
+        stream_df.writeStream.outputMode("complete" if stream_df.isStreaming else "append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

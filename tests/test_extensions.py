@@ -1,0 +1,101 @@
+"""Unit tests for the training-data extension operators beyond what the
+DuckDB oracle covers: ANN recall floor, LSH candidate quality, multimodal
+batch plumbing."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_dashboard_project_1_spark.operators import dedup, multimodal, vector
+from etl_dashboard_project_1_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """Hyperplane-LSH top-k must overlap the exact top-k meaningfully and
+    never return a vector outside the query bucket's exact ranking."""
+    emb = load_table(spark, SF, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = {
+        r["vec_id"]
+        for r in vector.cosine_topk(emb, "vec_id", "embedding", query, k=10, exclude_id=0).collect()
+    }
+    approx_rows = vector.hyperplane_lsh_topk(
+        emb, "vec_id", "embedding", query, k=10, num_planes=4, probe_hamming=2,
+        exclude_id=0,
+    ).collect()
+    approx = {r["vec_id"] for r in approx_rows}
+    assert len(approx_rows) > 0
+    # measured 0.7 recall at these settings on the testdata; 0.4 floor
+    # leaves headroom for the approximation being genuinely approximate
+    recall = len(exact & approx) / 10
+    assert recall >= 0.4, f"recall {recall} too low: exact={exact}, approx={approx}"
+    # scores must be true cosines: re-check one against the exact list order
+    scores = [r["cosine"] for r in approx_rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark):
+    """LSH with 4 bands of 2 should catch nearly every pair with very high
+    Jaccard (probability of missing j=0.9 is (1-0.81)^4 ≈ 0.1%)."""
+    docs = load_table(spark, SF, "documents")
+    exact_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", 3, 8, 2, 0.2).collect()
+    }
+    missed = exact_pairs - lsh_pairs
+    assert not missed, f"LSH missed near-identical pairs: {missed}"
+
+
+def test_exact_dedup_finds_planted_duplicate(spark):
+    docs = load_table(spark, SF, "documents").limit(5)
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 10_000)
+    with_dup = docs.unionByName(dup)
+    groups = dedup.exact_dedup_groups(with_dup, "doc_id", "text")
+    dups = groups.filter(F.col("n_docs") > 1).collect()
+    assert len(dups) == 1
+    assert dups[0]["n_docs"] == 2
+    assert dups[0]["keep_id"] < 10_000  # keeper is the original
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "spark shuffles the data"), (2, "spark shuffles the data"),
+         (3, "completely different words entirely")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.simhash_pairs(df, "doc_id", "text", bits=32, max_hamming=0, prefix_bits=0)
+    got = [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()]
+    assert got == [(1, 2, 0)]
+
+
+def test_multimodal_meta_deterministic_and_batched(spark):
+    docs = load_table(spark, SF, "documents").limit(20)
+    with_bin = multimodal.attach_binary(docs)
+    meta = multimodal.extract_image_meta(with_bin)
+    rows = {r["doc_id"]: r for r in meta.collect()}
+    assert len(rows) == 20
+    for r in rows.values():
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert 1 <= r["channels"] <= 3
+        assert r["n_bytes"] > 0
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in multimodal.extract_image_meta(with_bin).collect()}
+    assert rows == again
+
+
+def test_frame_sampling_bounded_fanout(spark):
+    docs = load_table(spark, SF, "documents").limit(10)
+    frames = multimodal.sample_frames(multimodal.attach_binary(docs), every_n_bytes=64, max_frames=8)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(1 <= r["count"] <= 8 for r in per_doc)
