@@ -118,21 +118,31 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    shingle_table: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, hash_index, minhash) — min over shingle hashes per universal
-    hash function. Deterministic parameters a=2i+1, b=7919i+13."""
-    sh = _shingle_table(df, id_col, text_col, k).withColumn("_h", md5_int(F.col("_s")))
-    params = df.sparkSession.range(num_hashes).select(
-        F.col("id").alias("_i"),
-        (2 * F.col("id") + 1).alias("_a"),
-        (7919 * F.col("id") + 13).alias("_b"),
-    )
-    return (
-        sh.crossJoin(F.broadcast(params))
-        .groupBy("_id", "_i")
-        .agg(F.min((F.col("_a") * F.col("_h") + F.col("_b")) % MINHASH_PRIME).alias("_m"))
-    )
+    """(id, _m0.._m{n-1}) — min over shingle hashes per universal hash
+    function, deterministic parameters a=2i+1, b=7919i+13.
+
+    All ``num_hashes`` minima are parallel aggregates of ONE groupBy — a
+    single shuffle over the shingle table, no hash-function fan-out join
+    (a params cross join would multiply the shuffle by num_hashes)."""
+    sh = (
+        shingle_table
+        if shingle_table is not None
+        else _shingle_table(df, id_col, text_col, k)
+    ).withColumn("_h", md5_int(F.col("_s")))
+    aggs = [
+        F.min((F.lit(2 * i + 1) * F.col("_h") + F.lit(7919 * i + 13)) % MINHASH_PRIME).alias(
+            f"_m{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -150,24 +160,36 @@ def minhash_lsh_pairs(
     The candidate join keys on (band, md5-of-band-signature): its size is
     the number of truly-colliding pairs — this is the 100 TB path (the
     quadratic shingle join only runs on candidates).
+
+    The shingle table feeds both the signature and the verification pass —
+    computed once and persisted (shingling is the most expensive
+    expression in the pipeline).
     """
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    bands = (
-        sig.withColumn("_band", (F.col("_i") / band_size).cast("int"))
-        .groupBy("_id", "_band")
-        .agg(
-            # band signature = md5 of the in-band minhashes in hash-index
-            # order (collect_list is unordered; sort by the carried index)
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("_i", "_m"))),
-                        lambda s: s["_m"].cast("string"),
-                    ),
-                )
-            ).alias("_bh")
-        )
+    sh_all = _shingle_table(df, id_col, text_col, k).persist()
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, shingle_table=sh_all)
+    # one row per (doc, band): band signature = md5 of the in-band minhashes
+    # in hash-index order. Built by exploding a literal array of per-band
+    # structs — pure projection, no extra shuffle.
+    num_bands = num_hashes // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("_band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"_m{band * band_size + j}").cast("string")
+                            for j in range(band_size)
+                        ],
+                    )
+                ).alias("_bh"),
+            )
+            for band in range(num_bands)
+        ]
+    )
+    bands = sig.select("_id", F.explode(band_structs).alias("_bs")).select(
+        "_id", F.col("_bs._band").alias("_band"), F.col("_bs._bh").alias("_bh")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -181,8 +203,14 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    sh = _shingle_table(df, id_col, text_col, k)
-    verified = _pair_jaccard(sh).join(candidates, ["id_a", "id_b"])  # verify only candidates
+    # verify ONLY candidate docs: semi-join the shingle table down to ids
+    # that appear in some candidate pair BEFORE the quadratic pair join —
+    # this is the whole point of LSH (cost tracks near-dup density, not n²)
+    cand_ids = candidates.select(F.col("id_a").alias("_id")).unionByName(
+        candidates.select(F.col("id_b").alias("_id"))
+    ).distinct()
+    sh = sh_all.join(cand_ids, "_id", "left_semi")
+    verified = _pair_jaccard(sh).join(candidates, ["id_a", "id_b"])
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -194,18 +222,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("_t"),
     ).withColumn("_h", md5_int(F.col("_t")))
-    pos = df.sparkSession.range(bits).select(F.col("id").alias("_p"))
-    bit_set = F.expr("shiftright(_h, cast(_p AS int)) % 2 = 1")
-    votes = (
-        tok.crossJoin(F.broadcast(pos))
-        .groupBy("_id", "_p")
-        .agg(F.sum(F.when(bit_set, 1).otherwise(-1)).alias("_v"))
+    # all `bits` bit-votes as parallel aggregates of ONE groupBy (no
+    # bit-position fan-out join), then pack the sign vector in a single
+    # projection
+    votes = tok.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), p) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"_v{p}")
+            for p in range(bits)
+        ]
     )
-    return votes.groupBy("_id").agg(
-        F.sum(
-            F.when(F.col("_v") > 0, F.expr("shiftleft(1L, cast(_p AS int))")).otherwise(0)
-        ).alias("simhash")
-    )
+    packed = None
+    for p in range(bits):
+        term = F.when(F.col(f"_v{p}") > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return votes.select("_id", packed.alias("simhash"))
 
 
 def simhash_pairs(
