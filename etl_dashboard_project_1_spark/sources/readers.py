@@ -1,0 +1,106 @@
+"""Source operators S1-S7 (SURVEY.md §2.1), Spark-first.
+
+The acquisition steps that are inherently driver-side in the reference
+(HTML scrape S1/S2, GCS client S3/S7) stay driver-side here too — they
+land a file where Spark can scan it. They are STUBBED behind import-tries
+(requests/bs4/google-cloud-storage are not in this container) with the
+control flow — try-primary → fallback-source — preserved and testable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True, schema=None) -> DataFrame:
+    """S5: CSV scan (e.g. the 28-row importer master). Schema explicit when
+    known — inferSchema is a second full read."""
+    reader = spark.read.option("header", header)
+    return (reader.schema(schema) if schema is not None else reader).csv(path)
+
+
+def read_importer_catalog(spark: SparkSession, path: str) -> DataFrame:
+    """S5 specialized: the importer master dimension
+    (COD_IMP, NOMBRE_EMP, RUT, NOMBRE_COD, RUT_COD) — broadcast-sized."""
+    return read_csv(spark, path, header=True)
+
+
+def read_json_catalog(path: str | Path) -> dict:
+    """S6: driver-side JSON catalog scan (metadata-scale)."""
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def acquire_with_fallback(
+    primary: Callable[[], Path], fallback: Callable[[], Path]
+) -> tuple[Path, str]:
+    """S1-S3 control flow: try the primary acquisition (web scrape +
+    download in the reference), fall back to the backup source (GCS bucket)
+    on ANY failure. Returns (local_path, source_used)."""
+    try:
+        return primary(), "primary"
+    except Exception:
+        return fallback(), "fallback"
+
+
+def http_download(url: str, dest: str | Path) -> Path:  # pragma: no cover - env
+    """S2 stub: HTTP file download. Needs `requests`, absent here."""
+    try:
+        import requests  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "requests not available in this environment; provide the file "
+            "locally or via acquire_with_fallback's fallback source"
+        ) from exc
+    resp = requests.get(url, timeout=60)
+    resp.raise_for_status()
+    dest = Path(dest)
+    dest.write_bytes(resp.content)
+    return dest
+
+
+def gcs_download(bucket: str, blob: str, dest: str | Path):  # pragma: no cover - env
+    """S3 stub: GCS blob download. Needs google-cloud-storage, absent here.
+    On a real cluster, prefer `spark.read` over gs:// (Hadoop GCS
+    connector) so the data path never touches the driver."""
+    try:
+        from google.cloud import storage  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError("google-cloud-storage not available") from exc
+    client = storage.Client()
+    b = client.bucket(bucket)
+    dest = Path(dest)
+    b.blob(blob).download_to_filename(dest)
+    return dest
+
+
+def union_sheets(frames: list[DataFrame]) -> DataFrame:
+    """O3: fuse per-sheet DataFrames (year ranges) into one relation,
+    aligning by column name and tolerating schema drift across sheets."""
+    if not frames:
+        raise ValueError("no frames to union")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def add_load_order(df: DataFrame, col: str = "_row_id") -> DataFrame:
+    """Attach a monotonically increasing load-order id (NOT globally
+    contiguous — unique and ascending per partition; sufficient as an
+    ordering key for ffill-style operators)."""
+    return df.withColumn(col, F.monotonically_increasing_id())
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,82 @@
+"""Sink operators K1-K6 (SURVEY.md §2.2), Spark-first.
+
+The reference writes pandas CSVs to local disk + GCS; here sinks are
+``df.write`` (distributed, per-partition files). ``single_file=True``
+coalesces to one part for small dashboard exports — an explicit choice,
+never the default (a single writer is a scale bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """K1: CSV sink."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", header).csv(path)
+
+
+def write_projected_csv(
+    df: DataFrame, columns: list[str], path: str, mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    """K2: final-projection CSV sink (~35 dashboard columns). Missing
+    columns are skipped (schema-drift tolerant)."""
+    keep = [c for c in columns if c in df.columns]
+    write_csv(df.select(*keep), path, mode=mode, single_file=single_file)
+
+
+def data_driven_filename(
+    df: DataFrame, col: str, prefix: str = "datos", ext: str = "csv"
+) -> str:
+    """K3: '<prefix>_<min>-<max>.<ext>' from a min/max aggregate over the
+    data (reference: datos3cv_2013-2026.csv)."""
+    row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    return f"{prefix}_{row['lo']}-{row['hi']}.{ext}"
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Parquet sink, optionally hive-partitioned — the scale-default sink
+    (columnar, splittable, predicate-pushdown-able on re-read)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def upload_to_gcs(local: str | Path, bucket: str, blob: str):  # pragma: no cover - env
+    """K4 stub: GCS upload (google-cloud-storage absent here). On a real
+    cluster, write directly to gs:// instead — the driver never holds data."""
+    try:
+        from google.cloud import storage
+    except ImportError as exc:
+        raise NotImplementedError("google-cloud-storage not available") from exc
+    client = storage.Client()
+    client.bucket(bucket).blob(blob).upload_from_filename(str(local))
+
+
+def write_json_catalog(catalog: dict, path: str | Path) -> None:
+    """K5: persist a metadata catalog (driver-side, pretty, utf-8)."""
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(catalog, f, indent=2, ensure_ascii=False)
+
+
+def write_catalog_audit_csv(rows: list[tuple[str, str, str]], path: str | Path) -> None:
+    """K6: mapping-audit CSV — (standard_name, original_name, hash) rows
+    exploded from the header catalog (driver-side, metadata-scale)."""
+    import csv
+
+    with open(path, "w", encoding="utf-8", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["standard_name", "original_name", "hash"])
+        w.writerows(rows)

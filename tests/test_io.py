@@ -1,0 +1,84 @@
+"""Sinks/readers (K1-K6, S5-S6, O3) round-trip tests."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_dashboard_project_1_spark.functions.headers import HeaderCanonicalizer
+from etl_dashboard_project_1_spark.session import load_table
+from etl_dashboard_project_1_spark.sources import readers, writers
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_csv_roundtrip_with_projection(spark, tmp_path):
+    cust = load_table(spark, SF, "customer")
+    out = str(tmp_path / "cust_csv")
+    writers.write_projected_csv(
+        cust, ["c_custkey", "c_mktsegment", "not_a_column"], out, single_file=True
+    )
+    back = readers.read_csv(spark, out, header=True)
+    assert set(back.columns) == {"c_custkey", "c_mktsegment"}
+    assert back.count() == cust.count()
+
+
+def test_data_driven_filename(spark):
+    orders = load_table(spark, SF, "orders").withColumn("anio", F.year("o_orderdate"))
+    name = writers.data_driven_filename(orders, "anio", prefix="datos3cv")
+    assert name.startswith("datos3cv_19")
+    assert name.endswith(".csv")
+    lo, hi = name.split("_")[1].split(".")[0].split("-")
+    assert int(lo) <= int(hi)
+
+
+def test_partitioned_parquet_roundtrip(spark, tmp_path):
+    orders = load_table(spark, SF, "orders").withColumn("anio", F.year("o_orderdate"))
+    out = str(tmp_path / "orders_pq")
+    writers.write_parquet(orders, out, partition_by=["anio"])
+    back = readers.read_parquet_table(spark, out)
+    assert back.count() == orders.count()
+    # partition pruning: a filter on the partition column prunes directories
+    plan = back.filter(F.col("anio") == 1996)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(anio" in plan
+
+
+def test_union_sheets_with_drift(spark):
+    a = spark.createDataFrame([(1, "x")], ["k", "v"])
+    b = spark.createDataFrame([(2,)], ["k"])  # missing column v
+    out = readers.union_sheets([a, b])
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {1: "x", 2: None}
+
+
+def test_acquire_with_fallback():
+    def bad_primary():
+        raise RuntimeError("site down")
+
+    def good_fallback():
+        return "backup.xls"
+
+    path, source = readers.acquire_with_fallback(bad_primary, good_fallback)
+    assert (path, source) == ("backup.xls", "fallback")
+    path, source = readers.acquire_with_fallback(lambda: "fresh.xls", good_fallback)
+    assert (path, source) == ("fresh.xls", "primary")
+
+
+def test_catalog_audit_csv(tmp_path):
+    c = HeaderCanonicalizer()
+    c.standardize("Marca")
+    c.standardize("CO2 combinado (g/km)")
+    out = tmp_path / "audit.csv"
+    writers.write_catalog_audit_csv(c.catalog_rows(), out)
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "standard_name,original_name,hash"
+    assert len(lines) == 3
+
+
+def test_json_catalog_roundtrip(tmp_path):
+    cat = {"MARCA": {"original_names": ["Marca"], "hashes": ["abc123def456"]}}
+    p = tmp_path / "cat.json"
+    writers.write_json_catalog(cat, p)
+    assert readers.read_json_catalog(p) == cat
