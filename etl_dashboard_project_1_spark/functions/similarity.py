@@ -50,3 +50,22 @@ def difflib_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         return SequenceMatcher(None, x, y, autojunk=False).ratio()
 
     return pd.Series([ratio(x, y) for x, y in zip(a, b)], dtype="float64")
+
+
+_JUNK_CHARS = {"\t", ".", " ", "-"}
+
+
+@F.pandas_udf(T.DoubleType())
+def difflib_ratio_junk_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """The reference's wired-in importer scorer: case-sensitive
+    ``SequenceMatcher`` over the RAW names with tab/dot/space/hyphen as
+    junk (behavior of the old in-place variant the pipeline actually
+    imports). Distinct from normalize-then-score: case differences lower
+    the score, so fewer names clear the threshold."""
+
+    def ratio(x, y):
+        if x is None or y is None:
+            return None
+        return SequenceMatcher(lambda ch: ch in _JUNK_CHARS, str(x), str(y)).ratio()
+
+    return pd.Series([ratio(x, y) for x, y in zip(a, b)], dtype="float64")

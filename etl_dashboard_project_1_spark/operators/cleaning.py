@@ -62,7 +62,8 @@ def mean_impute(df: DataFrame, cols: Sequence[str], decimals: int = 2) -> DataFr
     literal — scale-safe and broadcast-free.
     """
     means = df.agg(
-        *[F.round(F.avg(c), decimals).alias(c) for c in cols]
+        # bround (HALF_EVEN) matches pandas Series.mean().round()
+        *[F.bround(F.avg(c), decimals).alias(c) for c in cols]
     ).first()
     out = df
     for c in cols:

@@ -41,17 +41,27 @@ def fuzzy_match_names(
     threshold: float = 0.6,
     score_fn: ScoreFn | None = None,
     blocking_fn: Callable[[Column], Column] | None = None,
+    normalize: bool = True,
+    strict: bool = False,
 ) -> DataFrame:
     """J1: best catalog match per distinct raw name.
 
     Returns columns: ``raw_col``, ``matched_<catalog_col>`` (null when below
     threshold), ``match_score`` plus every other catalog column (nulled when
     below threshold). Deterministic tie-break: score desc, catalog value asc.
+
+    ``normalize=False`` scores the raw strings as-is (the reference's old
+    importer variant relies on case-sensitive scoring); ``strict=True``
+    requires score STRICTLY above the threshold (ditto).
     """
     score_fn = score_fn or levenshtein_ratio
     names = raw.select(raw_col).na.drop().distinct()
-    norm_raw = normalize_join_key(F.col(raw_col))
-    norm_cat = normalize_join_key(F.col(catalog_col))
+    if normalize:
+        norm_raw = normalize_join_key(F.col(raw_col))
+        norm_cat = normalize_join_key(F.col(catalog_col))
+    else:
+        norm_raw = F.col(raw_col)
+        norm_cat = F.col(catalog_col)
 
     if blocking_fn is not None:
         names = names.withColumn("_block", blocking_fn(F.col(raw_col)))
@@ -64,7 +74,11 @@ def fuzzy_match_names(
     w = Window.partitionBy(raw_col).orderBy(F.desc("match_score"), F.asc(catalog_col))
     best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
-    accepted = F.col("match_score") >= F.lit(threshold)
+    accepted = (
+        F.col("match_score") > F.lit(threshold)
+        if strict
+        else F.col("match_score") >= F.lit(threshold)
+    )
     out = best.withColumn(
         f"matched_{catalog_col}", F.when(accepted, F.col(catalog_col))
     ).drop(catalog_col)

@@ -178,7 +178,9 @@ def derive_equivalent_efficiency(df: DataFrame) -> DataFrame:
     for src in {s for s, _ in table.values()}:
         cleaned = cleaned.withColumn(src, _numeric_measure(src))
     expr = derive.factor_product(["PROPULSION", "COMBUSTIBLE"], table, decimals=None)
-    return cleaned.withColumn("REND_EQUIV_KML", F.round(expr, 2))
+    # bround = HALF_EVEN, matching pandas/numpy round(2) in the reference
+    # (plain F.round is HALF_UP and diverges on exact .xx5 values)
+    return cleaned.withColumn("REND_EQUIV_KML", F.bround(expr, 2))
 
 
 def derive_co2_equivalent(df: DataFrame) -> DataFrame:
@@ -221,13 +223,20 @@ def standardize_importers(
 ) -> tuple[DataFrame, DataFrame]:
     """J1+J2: fuzzy-resolve IMPORTADOR against the master catalog
     (NOMBRE_EMP/RUT/COD_IMP), carry RUT + IMP_COD, replace the name with
-    the catalog spelling; returns (resolved_df, not_found_names)."""
-    from ..functions.similarity import difflib_ratio_udf
+    the catalog spelling; returns (resolved_df, not_found_names).
+
+    Reference-faithful scoring: case-sensitive difflib over the RAW
+    (D3-lowercased) names with junk chars, score STRICTLY above the
+    threshold — the behavior of the old variant the reference pipeline
+    actually imports. (The normalize-then-score path in operators/fuzzy
+    matches more aggressively; both are available.)"""
+    from ..functions.similarity import difflib_ratio_junk_udf
     from ..operators.fuzzy import not_found as nf
 
     matched = fuzzy_match_names(
         df, "IMPORTADOR", catalog.select("NOMBRE_EMP", "RUT", "COD_IMP"),
-        "NOMBRE_EMP", threshold=threshold, score_fn=difflib_ratio_udf,
+        "NOMBRE_EMP", threshold=threshold, score_fn=difflib_ratio_junk_udf,
+        normalize=False, strict=True,
     )
     mapping = matched.select(
         "IMPORTADOR",
