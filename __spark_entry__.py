@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_dashboard_project_1_spark.plans import (
     analytics,
+    dashboard_queries,
     etl_queries,
     extension_queries,
     fuzzy_queries,
@@ -102,6 +103,21 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_queries.stream_dedup_events,
         streaming_queries.STREAM_DEDUP_SQL,
     ),
+    # dashboard aggregation breadth (cube/rollup/sets/pivot/percentiles/windows)
+    "agg_cube_year_status": (dashboard_queries.agg_cube_year_status, dashboard_queries.AGG_CUBE_SQL),
+    "agg_rollup_region_nation": (
+        dashboard_queries.agg_rollup_region_nation,
+        dashboard_queries.AGG_ROLLUP_SQL,
+    ),
+    "agg_grouping_sets": (dashboard_queries.agg_grouping_sets, dashboard_queries.AGG_GROUPING_SETS_SQL),
+    "pivot_status_by_year": (dashboard_queries.pivot_status_by_year, dashboard_queries.PIVOT_SQL),
+    "agg_percentiles": (dashboard_queries.agg_percentiles, dashboard_queries.AGG_PERCENTILES_SQL),
+    "agg_distinct_counts": (dashboard_queries.agg_distinct_counts, dashboard_queries.AGG_DISTINCT_SQL),
+    "window_lag_delta": (dashboard_queries.window_lag_delta, dashboard_queries.WINDOW_LAG_SQL),
+    "window_running_sum": (dashboard_queries.window_running_sum, dashboard_queries.WINDOW_RUNNING_SQL),
+    "topk_parts_per_brand": (dashboard_queries.topk_parts_per_brand, dashboard_queries.TOPK_PARTS_SQL),
+    "q10_returned_items": (dashboard_queries.q10_returned_items, dashboard_queries.Q10_SQL),
+    "q7_nation_volume": (dashboard_queries.q7_nation_volume, dashboard_queries.Q7_SQL),
 }
 
 
