@@ -23,6 +23,7 @@ from etl_dashboard_project_1_spark.plans import (
     extension_queries,
     fuzzy_queries,
     streaming_queries,
+    timeseries_queries,
 )
 
 
@@ -118,6 +119,20 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "topk_parts_per_brand": (dashboard_queries.topk_parts_per_brand, dashboard_queries.TOPK_PARTS_SQL),
     "q10_returned_items": (dashboard_queries.q10_returned_items, dashboard_queries.Q10_SQL),
     "q7_nation_volume": (dashboard_queries.q7_nation_volume, dashboard_queries.Q7_SQL),
+    # time-series / semi-structured / skew handling
+    "asof_signup_attribution": (
+        timeseries_queries.asof_signup_attribution,
+        timeseries_queries.ASOF_SQL,
+    ),
+    "json_props_extract": (timeseries_queries.json_props_extract, timeseries_queries.JSON_PROPS_SQL),
+    "salted_agg_user_value": (
+        timeseries_queries.salted_agg_user_value,
+        timeseries_queries.SALTED_AGG_SQL,
+    ),
+    "salted_join_events_customers": (
+        timeseries_queries.salted_join_events_customers,
+        timeseries_queries.SALTED_JOIN_SQL,
+    ),
 }
 
 
