@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_dashboard_project_1_spark.plans import (
     analytics,
+    cdc_queries,
     dashboard_queries,
     etl_queries,
     extension_queries,
@@ -133,6 +134,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.salted_join_events_customers,
         timeseries_queries.SALTED_JOIN_SQL,
     ),
+    # CDC / upsert patterns (MERGE emulation without lakehouse jars)
+    "cdc_upsert_orders": (cdc_queries.cdc_upsert_orders, cdc_queries.CDC_UPSERT_SQL),
+    "cdc_latest_compaction": (cdc_queries.cdc_latest_compaction, cdc_queries.CDC_COMPACTION_SQL),
 }
 
 

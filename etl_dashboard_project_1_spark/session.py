@@ -58,6 +58,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark cannot
         # read natively; read as long (ns since epoch) and convert in the

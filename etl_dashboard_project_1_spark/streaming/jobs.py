@@ -120,6 +120,37 @@ def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, value total) maintained in explicit
+    state across micro-batches, emitting the updated totals whenever a
+    batch touches the user.
+
+    State is one tiny row per user — bounded by key cardinality, the
+    pattern for arbitrary stateful logic Spark's built-in aggregates can't
+    express. Works only in streaming mode (batch callers: groupBy.agg)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str):
     """Drive a streaming query to completion against the file source and
     land results in an in-memory table (test harness)."""
