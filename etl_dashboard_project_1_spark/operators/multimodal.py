@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODED_META_SCHEMA = (
-    "doc_id bigint, n_bytes int, width int, height int, channels int, format string"
+    "doc_id bigint, n_bytes bigint, width int, height int, channels int, format string"
 )
 
 
@@ -101,5 +101,5 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_hash"])
 
     return df.select(id_col, payload_col).mapInPandas(
-        run, schema="doc_id bigint, frame_no int, frame_hash string"
+        run, schema="doc_id bigint, frame_no bigint, frame_hash string"
     )

@@ -219,8 +219,8 @@ def a1_minmax_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference: datos3cv_{min}-{max}.csv, src/load_to_gcp.py:47-55)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.agg(
-        F.min(F.year("o_orderdate")).alias("year_min"),
-        F.max(F.year("o_orderdate")).alias("year_max"),
+        F.min(F.year("o_orderdate")).cast("long").alias("year_min"),
+        F.max(F.year("o_orderdate")).cast("long").alias("year_max"),
     ).select(
         "year_min",
         "year_max",

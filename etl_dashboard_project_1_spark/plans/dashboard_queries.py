@@ -15,7 +15,7 @@ from ..session import load_table
 
 def agg_cube_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (year, status): every subtotal combination + grand total."""
-    orders = load_table(spark, sf_dir, "orders").withColumn("anio", F.year("o_orderdate"))
+    orders = load_table(spark, sf_dir, "orders").withColumn("anio", F.year("o_orderdate").cast("long"))
     return (
         orders.cube("anio", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
@@ -78,7 +78,7 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linesta
 def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with an explicit value list (never the implicit distinct scan
     — that is an extra job and unstable columns at scale)."""
-    orders = load_table(spark, sf_dir, "orders").withColumn("anio", F.year("o_orderdate"))
+    orders = load_table(spark, sf_dir, "orders").withColumn("anio", F.year("o_orderdate").cast("long"))
     return (
         orders.groupBy("anio")
         .pivot("o_orderstatus", ["O", "F", "P"])
@@ -187,7 +187,7 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return (
-        part.withColumn("rn", F.row_number().over(w))
+        part.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("p_brand", "rn", "p_partkey", F.round("p_retailprice", 2).alias("price"))
     )
@@ -263,7 +263,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
         .filter(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
     )
 

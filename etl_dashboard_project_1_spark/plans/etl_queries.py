@@ -115,7 +115,7 @@ def d1_d2_datetime_and_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a string-ified column round-tripped to double."""
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.withColumn("anio", derive.extract_year("o_orderdate"))
+        orders.withColumn("anio", derive.extract_year("o_orderdate").cast("long"))
         .withColumn("price_d", derive.numeric_cast(F.col("o_totalprice").cast("string")))
         .groupBy("anio")
         .agg(

@@ -156,7 +156,7 @@ sig AS (
 ),
 blk AS (SELECT doc_id, simhash, simhash >> 24 AS b FROM sig)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
 FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
@@ -206,7 +206,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        textops.token_count("text").alias("n_tokens"),
+        textops.token_count("text").cast("long").alias("n_tokens"),
         derive.portable_round(textops.punct_ratio("text"), 4).alias("punct_ratio"),
         derive.portable_round(textops.stopword_ratio("text"), 4).alias("stop_ratio"),
         derive.portable_round(textops.mean_word_length("text"), 4).alias("mean_word_len"),
@@ -240,8 +240,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        textops.token_count("text").alias("n_ws_tokens"),
-        textops.word_token_count("text").alias("n_word_tokens"),
+        textops.token_count("text").cast("long").alias("n_ws_tokens"),
+        textops.word_token_count("text").cast("long").alias("n_word_tokens"),
     )
 
 

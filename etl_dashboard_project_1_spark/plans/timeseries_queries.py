@@ -73,7 +73,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_SQL = """
 SELECT event_type,
-       sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        count(json_extract_string(props, '$.k'))        AS n_with_k
 FROM events
 GROUP BY event_type

@@ -30,6 +30,38 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_output_dtypes_match_oracle(spark, sf_dir):
+    """Column TYPES must agree with DuckDB too (the driver compares
+    schemas): computed ints are widened to long where DuckDB yields
+    BIGINT, and the oracles cast DuckDB's odd widths (TINYINT bit_count,
+    HUGEINT sum) back to standard ones."""
+    import duckdb
+
+    from tests.oracle_harness import duckdb_connect
+
+    canon_duck = {
+        "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "DOUBLE": "f64",
+        "FLOAT": "f32", "VARCHAR": "str", "DATE": "date", "BOOLEAN": "bool",
+    }
+    canon_spark = {
+        "bigint": "i64", "int": "i32", "smallint": "i16", "double": "f64",
+        "float": "f32", "string": "str", "date": "date", "boolean": "bool",
+    }
+    con = duckdb_connect(sf_dir)
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    diffs = {}
+    for name, sql in o.items():
+        stypes = {c: canon_spark.get(t, t) for c, t in q[name](spark, sf_dir).dtypes}
+        rel = con.sql(sql)
+        dtypes = {c: canon_duck.get(str(t).upper(), str(t)) for c, t in zip(rel.columns, rel.types)}
+        bad = {c: (stypes.get(c), dtypes[c]) for c in dtypes if stypes.get(c) != dtypes[c]}
+        if bad:
+            diffs[name] = bad
+    con.close()
+    assert not diffs, diffs
+
+
 def test_rows_only_queries_run(spark, sf_dir):
     """Queries without an oracle must still run and return a stable schema."""
     q = entrymod.queries()
