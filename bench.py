@@ -51,9 +51,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     registry = entrymod.queries()
-    # JVM/codegen warmup on the smallest table so per-query numbers are
-    # not dominated by first-job initialization
-    force(registry["q6_forecast_revenue"](spark, SF_DIR))
+    # Warmup pass: run every headline query once untimed. First execution
+    # pays one-time JVM costs (whole-stage-codegen janino compiles,
+    # broadcast thread-pool init, Arrow allocator setup) that a long-lived
+    # cluster amortizes across thousands of queries; the timed pass below
+    # measures sustained per-query cost, which is what scales.
+    for name in HEADLINE:
+        force(registry[name](spark, SF_DIR))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

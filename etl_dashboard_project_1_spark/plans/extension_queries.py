@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, derive, multimodal, textops, vector
-from ..session import load_table
+from ..session import fan_out, load_table
 
 # shared oracle CTE: distinct word-3-gram shingles per doc
 _SHINGLES_CTE = r"""
@@ -49,7 +49,7 @@ jac AS (
 # --- exact dedup ------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return dedup.exact_dedup_groups(docs, "doc_id", "text", normalized=True)
 
 
@@ -65,7 +65,7 @@ GROUP BY 1
 # --- n-gram Jaccard near-dup pairs -----------------------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
     return pairs.select("id_a", "id_b", derive.portable_round(F.col("jaccard"), 4).alias("jaccard"))
 
@@ -79,7 +79,7 @@ DEDUP_NGRAM_SQL = (
 # --- MinHash + LSH ----------------------------------------------------------
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=0.2
     )
@@ -130,7 +130,7 @@ WHERE j.jaccard >= 0.2
 # --- SimHash ---------------------------------------------------------------
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return dedup.simhash_pairs(
         docs, "doc_id", "text", bits=32, max_hamming=3, prefix_bits=8
     )
@@ -165,7 +165,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 # --- text analysis ----------------------------------------------------------
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         textops.detect_language("text").alias("lang_detected"),
@@ -203,7 +203,7 @@ FROM r
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         textops.token_count("text").cast("long").alias("n_tokens"),
@@ -237,7 +237,7 @@ FROM t
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         textops.token_count("text").cast("long").alias("n_ws_tokens"),
@@ -254,7 +254,7 @@ FROM documents
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", textops.doc_fingerprint("text").alias("fingerprint"))
 
 
@@ -275,7 +275,7 @@ list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DO
 
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     top = vector.cosine_topk(emb, "vec_id", "embedding", query, k=10, exclude_id=0)
     return top.select("vec_id", derive.portable_round(F.col("cosine"), 4).alias("cosine"))
@@ -292,7 +292,7 @@ LIMIT 10
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     pairs = vector.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
     return pairs.select("id_a", "id_b")
 
@@ -307,7 +307,7 @@ WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.4
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN — no SQL oracle (recall floor pinned by unit test
     against the brute-force baseline instead)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     top = vector.hyperplane_lsh_topk(
         emb, "vec_id", "embedding", query, k=10, num_planes=4, probe_hamming=2,
@@ -319,7 +319,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal plumbing ----------------------------------------------------
 
 def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     with_bin = multimodal.attach_binary(docs, "text")
     return multimodal.extract_image_meta(with_bin)
 
@@ -336,7 +336,7 @@ FROM documents
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     with_bin = multimodal.attach_binary(docs, "text")
     return multimodal.sample_frames(with_bin, every_n_bytes=64, max_frames=8)
 

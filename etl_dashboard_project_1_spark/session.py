@@ -92,6 +92,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan yields fewer partitions
+    than the session's parallelism.
+
+    Small single-file parquet scans (one row group) arrive as ONE
+    partition, serializing every downstream expression onto one core —
+    a small-data artifact. At real scale the scan already produces
+    >= cores partitions and this is a no-op, so no shuffle is added on
+    the 100 TB path.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES, register: bool = True
 ) -> dict[str, DataFrame]:
