@@ -85,6 +85,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # similarity search
     "sim_cosine_topk": (extension_queries.sim_cosine_topk, extension_queries.SIM_COSINE_TOPK_SQL),
     "sim_ann_lsh": (extension_queries.sim_ann_lsh, None),  # ANN: recall pinned in tests
+    "sim_ann_ivf": (extension_queries.sim_ann_ivf, None),  # ANN: recall pinned in tests
     # multimodal plumbing (decode stubbed, Spark machinery real)
     "mm_image_meta": (extension_queries.mm_image_meta, extension_queries.MM_IMAGE_META_SQL),
     "mm_frame_sample": (extension_queries.mm_frame_sample, extension_queries.MM_FRAME_SAMPLE_SQL),
@@ -133,6 +134,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "salted_join_events_customers": (
         timeseries_queries.salted_join_events_customers,
         timeseries_queries.SALTED_JOIN_SQL,
+    ),
+    # sessionization / range joins / semi-anti joins
+    "sessionize_events": (timeseries_queries.sessionize_events, timeseries_queries.SESSIONIZE_SQL),
+    "range_join_error_purchases": (
+        timeseries_queries.range_join_error_purchases,
+        timeseries_queries.RANGE_JOIN_SQL,
+    ),
+    "band_join_purchase_values": (
+        timeseries_queries.band_join_purchase_values,
+        timeseries_queries.BAND_JOIN_SQL,
+    ),
+    "semi_join_big_spenders": (
+        dashboard_queries.semi_join_big_spenders,
+        dashboard_queries.SEMI_JOIN_SQL,
+    ),
+    "anti_join_dormant_customers": (
+        dashboard_queries.anti_join_dormant_customers,
+        dashboard_queries.ANTI_JOIN_SQL,
     ),
     # CDC / upsert patterns (MERGE emulation without lakehouse jars)
     "cdc_upsert_orders": (cdc_queries.cdc_upsert_orders, cdc_queries.CDC_UPSERT_SQL),

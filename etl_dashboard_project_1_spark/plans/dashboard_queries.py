@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import derive
 from ..session import load_table
 
 
@@ -281,4 +282,50 @@ JOIN nation n2 ON c_nationkey = n2.n_nationkey
 WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
 GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers holding at least one order over
+    300k, counted per market segment. The semi join keeps only the probe
+    side's columns and short-circuits on first match — strictly cheaper
+    than join+distinct at any scale (no fan-out, no dedup shuffle)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    hits = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+    return hits.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+SEMI_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no order since
+    2000-01-01, per market segment with average balance. Same plan family
+    as the semi join — one shuffle on the key, no fan-out."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    dormant = cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        derive.portable_round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       floor(avg(c_acctbal) * 100 + 0.5) / 100 AS avg_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
 """

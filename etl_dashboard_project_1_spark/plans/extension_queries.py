@@ -351,3 +351,16 @@ SELECT doc_id, f AS frame_no, md5(substr(text, f * 64 + 1, 64)) AS frame_hash
 FROM n, range(8) t(f)
 WHERE f < n_frames
 """
+
+
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN — coarse k-means quantization, probe the 4
+    nearest of 16 cells, exact re-rank inside. No SQL oracle (iterative
+    centroid fit); recall floor pinned by unit test."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = vector.ivf_topk(
+        emb, "vec_id", "embedding", query, k=10,
+        num_centroids=16, n_probe=4, iterations=2, exclude_id=0,
+    )
+    return top.select("vec_id", derive.portable_round(F.col("cosine"), 4).alias("cosine"))

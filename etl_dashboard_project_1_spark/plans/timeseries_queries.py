@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import derive, rangejoin, sessionize
 from ..operators.asof import asof_join
 from ..operators.skew import replicated_salted_join, salted_aggregate
 from ..session import load_table
@@ -125,4 +126,118 @@ def salted_join_events_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SALTED_JOIN_SQL = """
 SELECT event_id, user_id, c_mktsegment
 FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (6h gap) + per-session stats.
+    One shuffle on user_id; both windows and the final groupBy share it."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = sessionize.session_stats(
+        ev, "ts", by=["user_id"], gap_seconds=21600, value_col="value",
+        tiebreak=["event_id"],
+    )
+    return stats.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        derive.portable_round(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 21600 SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S')  AS session_start,
+       count(*)                                AS n_events,
+       floor(sum(value) * 100 + 0.5) / 100     AS sum_value
+FROM sessioned
+GROUP BY user_id, session_seq
+"""
+
+
+def range_join_error_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with an equi key: purchases of the SAME user within
+    one hour after each error event. The equi key (user_id) carries the
+    shuffle; the time-range predicate is a post-join filter — co-
+    partitioned, no replication, scales with the key cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("error_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    joined = rangejoin.interval_join(
+        purchases, errors, "purchase_ts", "error_ts", "error_end", by=["user_id"]
+    )
+    return joined.select(
+        "user_id", "error_id", "purchase_id",
+        derive.portable_round(F.col("value"), 2).alias("purchase_value"),
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id,
+       floor(p.value * 100 + 0.5) / 100 AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
+"""
+
+
+# config-sized band dimension: [lo, hi) purchase-value bands
+_VALUE_BANDS = [
+    ("micro", 0.0, 10.0),
+    ("small", 10.0, 50.0),
+    ("medium", 50.0, 150.0),
+    ("large", 150.0, 1000000.0),
+]
+
+
+def band_join_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-dimension range join: classify purchase values into literal
+    [lo, hi) bands. The band table is broadcast; the plan is a
+    BroadcastNestedLoopJoin streaming the facts — zero fact shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    bands = spark.createDataFrame(_VALUE_BANDS, ["band", "lo", "hi"])
+    joined = rangejoin.band_join(purchases, "value", bands)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        derive.portable_round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+BAND_JOIN_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('micro', 0.0, 10.0), ('small', 10.0, 50.0),
+         ('medium', 50.0, 150.0), ('large', 150.0, 1000000.0)
+)
+SELECT band, count(*) AS n_purchases,
+       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+WHERE event_type = 'purchase'
+GROUP BY band
 """
