@@ -86,6 +86,20 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sim_cosine_topk": (extension_queries.sim_cosine_topk, extension_queries.SIM_COSINE_TOPK_SQL),
     "sim_ann_lsh": (extension_queries.sim_ann_lsh, None),  # ANN: recall pinned in tests
     "sim_ann_ivf": (extension_queries.sim_ann_ivf, None),  # ANN: recall pinned in tests
+    # deterministic sampling / splitting / sequence packing
+    "sample_hash_10pct": (extension_queries.sample_hash_10pct, extension_queries.SAMPLE_HASH_SQL),
+    "sample_train_test_split": (
+        extension_queries.sample_train_test_split,
+        extension_queries.SAMPLE_SPLIT_SQL,
+    ),
+    "sample_stratified_topn": (
+        extension_queries.sample_stratified_topn,
+        extension_queries.SAMPLE_STRATIFIED_SQL,
+    ),
+    "pack_chunks_manifest": (
+        extension_queries.pack_chunks_manifest,
+        extension_queries.PACK_CHUNKS_SQL,
+    ),
     # multimodal plumbing (decode stubbed, Spark machinery real)
     "mm_image_meta": (extension_queries.mm_image_meta, extension_queries.MM_IMAGE_META_SQL),
     "mm_frame_sample": (extension_queries.mm_frame_sample, extension_queries.MM_FRAME_SAMPLE_SQL),

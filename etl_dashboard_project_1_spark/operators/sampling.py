@@ -1,0 +1,127 @@
+"""Deterministic sampling / splitting / packing for training-data curation.
+
+The reference has no sampling surface (its 7.5k-row dataset is processed
+whole — /root/reference/src/transform_pipeline.py), but any corpus-scale
+pipeline needs reproducible subset selection. Everything here is
+HASH-driven, never RNG-driven:
+
+- rerun-stable: the same row lands in the same sample/split/bin on every
+  run, on any cluster layout — no seed plumbing, no partition-order
+  dependence (Spark's ``df.sample`` is seed × partition-layout dependent);
+- oracle-checkable: md5 integer arithmetic reproduces bit-for-bit in any
+  engine (same convention as operators/dedup.py);
+- scale-free: each row decides membership from its own key — a map-only
+  predicate, no shuffle, fully pushdown-friendly.
+
+Sequence packing is the concat-then-chunk scheme LLM pretraining uses:
+order documents deterministically, accumulate token counts, and emit the
+chunk index each document STARTS in. One partitioned shuffle; parallelism
+at scale comes from packing within (group, shard) rather than globally —
+a shard is a hash bucket of the order key, so layout stays deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_int
+
+#: resolution of the sampling wheel; fractions quantize to 1/10000
+WHEEL = 10000
+
+
+def hash_bucket(key: Column, salt: str = "", buckets: int = WHEEL) -> Column:
+    """Uniform bucket in [0, buckets) from md5 of (key, salt).
+
+    The salt decouples independent decisions on the same key (e.g. a 10%
+    sample and a train/test split must not correlate).
+    """
+    return md5_int(F.concat(key.cast("string"), F.lit(salt))) % buckets
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Bernoulli-style sample: keep rows whose hash bucket falls below
+    ``fraction`` of the wheel. Map-only — no shuffle, no state."""
+    return df.filter(hash_bucket(F.col(key_col), salt) < int(round(fraction * WHEEL)))
+
+
+def split_assign(
+    key: Column, test_fraction: float, salt: str = "split"
+) -> Column:
+    """'test' / 'train' label from the key's hash bucket. Disjoint and
+    exhaustive by construction; stable under data growth (a row's split
+    never changes when other rows arrive)."""
+    return F.when(
+        hash_bucket(key, salt) < int(round(test_fraction * WHEEL)), F.lit("test")
+    ).otherwise(F.lit("train"))
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """Add a ``split`` column. Filtering by it afterwards is a pushable
+    predicate, so the train and test scans each prune at the source."""
+    return df.withColumn("split", split_assign(F.col(key_col), test_fraction, salt))
+
+
+def stratified_topn(
+    df: DataFrame, strata: list[str], n: int, order_cols: list[str]
+) -> DataFrame:
+    """Exactly n rows per stratum, chosen by a deterministic order —
+    row_number over a PARTITIONED window (one shuffle on the strata;
+    per-stratum state is a counter, no global sort)."""
+    w = Window.partitionBy(*strata).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    token_col: str,
+    chunk_tokens: int,
+    by: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Concat-then-chunk packing: within each ``by`` group, documents are
+    concatenated in ``order_cols`` order and the stream is cut every
+    ``chunk_tokens`` tokens; each document is labeled with ``chunk_id``,
+    the chunk its FIRST token lands in (straddling documents belong to
+    their starting chunk).
+
+    ``chunk_id = floor((running_sum - own_tokens) / chunk_tokens)`` — one
+    window over one shuffle on the group key. For corpus-scale runs pass a
+    hash shard in ``by`` (e.g. ``hash_bucket(key, buckets=4096)``) so no
+    single group serializes the corpus.
+    """
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return df.withColumn(
+        "chunk_id", F.floor(start / F.lit(chunk_tokens)).cast("bigint")
+    )
+
+
+def chunk_stats(
+    df: DataFrame,
+    token_col: str,
+    chunk_tokens: int,
+    by: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Per-(group, chunk) document count and token sum — the packing
+    manifest a loader would consume. GroupBy reuses the packing shuffle's
+    partitioning (same leading keys), so AQE plans no second exchange."""
+    packed = pack_chunks(df, token_col, chunk_tokens, by, order_cols)
+    return packed.groupBy(*by, "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).alias("sum_tokens"),
+    )

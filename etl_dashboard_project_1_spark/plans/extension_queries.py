@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, derive, multimodal, textops, vector
+from ..operators import dedup, derive, multimodal, sampling, textops, vector
 from ..session import fan_out, load_table
 
 # shared oracle CTE: distinct word-3-gram shingles per doc
@@ -364,3 +364,76 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_centroids=16, n_probe=4, iterations=2, exclude_id=0,
     )
     return top.select("vec_id", derive.portable_round(F.col("cosine"), 4).alias("cosine"))
+
+
+# --- deterministic sampling / splitting / packing ---------------------------
+
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% hash-Bernoulli sample of documents — map-only membership
+    predicate, rerun-stable on any partition layout (unlike df.sample)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return sampling.deterministic_sample(docs, "doc_id", 0.10).select("doc_id", "lang")
+
+
+SAMPLE_HASH_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'sample'), 1, 8))::BIGINT % 10000 < 1000
+"""
+
+
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint-and-exhaustive 80/20 split keyed on doc_id hash; per
+    (split, lang) counts. A row's split never changes as the corpus grows."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    split = sampling.train_test_split(docs, "doc_id", test_fraction=0.2)
+    return split.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+SAMPLE_SPLIT_SQL = """
+SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT % 10000 < 2000
+            THEN 'test' ELSE 'train' END AS split,
+       lang, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per language by deterministic order — row_number
+    over a PARTITIONED window (one shuffle on the stratum key)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return sampling.stratified_topn(docs, ["lang"], 5, ["doc_id"]).select("lang", "doc_id")
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT lang, doc_id
+FROM (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn <= 5
+"""
+
+
+def pack_chunks_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (4096-char chunks per language):
+    the per-chunk manifest a training loader would consume. One shuffle;
+    the chunk groupBy reuses the packing window's partitioning."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return sampling.chunk_stats(
+        docs, "n_chars", 4096, by=["lang"], order_cols=["doc_id"]
+    ).select("lang", "chunk_id", "n_docs", "sum_tokens")
+
+
+PACK_CHUNKS_SQL = """
+WITH packed AS (
+  SELECT lang, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS start
+  FROM documents
+)
+SELECT lang, CAST(floor(start / 4096) AS BIGINT) AS chunk_id,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_tokens
+FROM packed
+GROUP BY 1, 2
+"""

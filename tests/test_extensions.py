@@ -180,3 +180,60 @@ def test_interval_join_half_open_bounds(spark):
         points, ranges, "p_ts", "r_start", "r_end", by=["user_id"]
     ).collect()
     assert len(out) == 1  # 10:00 in, 11:00 out (half-open), user 2 no range
+
+
+def test_split_disjoint_exhaustive_and_stable(spark):
+    """Every doc gets exactly one split; the label is a pure function of
+    the key (subsetting the corpus never reassigns a surviving row)."""
+    from etl_dashboard_project_1_spark.operators import sampling
+
+    docs = load_table(spark, SF, "documents")
+    split = sampling.train_test_split(docs, "doc_id", test_fraction=0.2)
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n
+    assert set(counts) == {"train", "test"}
+    # stability: the same keys keep their split on a half corpus
+    half = sampling.train_test_split(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", 0.2)
+    joined = split.alias("a").join(half.alias("b"), "doc_id").filter(
+        F.col("a.split") != F.col("b.split")
+    )
+    assert joined.count() == 0
+
+
+def test_sample_fraction_and_salt_independence(spark):
+    """10% hash sample lands near 10%; different salts decorrelate."""
+    from etl_dashboard_project_1_spark.operators import sampling
+
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    s1 = sampling.deterministic_sample(docs, "doc_id", 0.10, salt="a")
+    s2 = sampling.deterministic_sample(docs, "doc_id", 0.10, salt="b")
+    n1, n2 = s1.count(), s2.count()
+    assert 0.03 * n <= n1 <= 0.2 * n
+    overlap = s1.select("doc_id").intersect(s2.select("doc_id")).count()
+    # independent 10% samples overlap ~1%; correlated ones ~10%
+    assert overlap < 0.05 * n
+
+
+def test_pack_chunks_concat_then_chunk_semantics(spark):
+    """Hand-built stream, budget 100: docs of 60/60/100/30 tokens start at
+    offsets 0/60/120/220 -> chunks 0/0/1/2."""
+    from etl_dashboard_project_1_spark.operators import sampling
+
+    rows = [("en", 1, 60), ("en", 2, 60), ("en", 3, 100), ("en", 4, 30), ("de", 9, 10)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "n_tok"])
+    packed = sampling.pack_chunks(df, "n_tok", 100, by=["lang"], order_cols=["doc_id"])
+    got = {r["doc_id"]: r["chunk_id"] for r in packed.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2, 9: 0}
+
+
+def test_stratified_topn_exact_count(spark):
+    from etl_dashboard_project_1_spark.operators import sampling
+
+    docs = load_table(spark, SF, "documents")
+    out = sampling.stratified_topn(docs, ["lang"], 3, ["doc_id"])
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, k in avail.items():
+        assert per[lang] == min(3, k)
