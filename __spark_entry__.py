@@ -159,6 +159,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.band_join_purchase_values,
         timeseries_queries.BAND_JOIN_SQL,
     ),
+    "unpivot_lineitem_measures": (
+        dashboard_queries.unpivot_lineitem_measures,
+        dashboard_queries.UNPIVOT_SQL,
+    ),
+    "ntile_balance_deciles": (
+        dashboard_queries.ntile_balance_deciles,
+        dashboard_queries.NTILE_SQL,
+    ),
+    "set_ops_retained_customers": (
+        dashboard_queries.set_ops_retained_customers,
+        dashboard_queries.SET_OPS_SQL,
+    ),
     "semi_join_big_spenders": (
         dashboard_queries.semi_join_big_spenders,
         dashboard_queries.SEMI_JOIN_SQL,

@@ -329,3 +329,85 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_mktsegment
 """
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the lineitem measure family via native unpivot
+    (compiles to Expand — each input row fans out JVM-side, no shuffle
+    until the aggregate). The long layout is what the reference's D9
+    family-mean would consume as a relation instead of an expression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        derive.portable_round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_returnflag, measure, count(*) AS n,
+       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+FROM (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+)
+GROUP BY l_returnflag, measure
+"""
+
+
+def ntile_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) account-balance deciles per market segment — partitioned
+    window (one shuffle on the segment), decile boundaries summarized."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    dec = cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return dec.groupBy("c_mktsegment", "decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        derive.portable_round(F.min("c_acctbal"), 2).alias("lo"),
+        derive.portable_round(F.max("c_acctbal"), 2).alias("hi"),
+    )
+
+
+NTILE_SQL = """
+SELECT c_mktsegment, decile, count(*) AS n_customers,
+       floor(min(c_acctbal) * 100 + 0.5) / 100 AS lo,
+       floor(max(c_acctbal) * 100 + 0.5) / 100 AS hi
+FROM (SELECT c_mktsegment, c_acctbal,
+             ntile(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+GROUP BY c_mktsegment, decile
+"""
+
+
+def set_ops_retained_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over yearly active-customer sets: retained =
+    active both years, churned = active 1995 only. Both compile to the
+    same aggregate-style plan as a distinct join — one shuffle per input."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    retained = y95.intersect(y96).withColumn("cohort", F.lit("retained"))
+    churned = y95.subtract(y96).withColumn("cohort", F.lit("churned"))
+    return retained.unionByName(churned).groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+SET_OPS_SQL = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'retained' AS cohort, count(*) AS n_customers
+FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT 'churned', count(*)
+FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+"""
