@@ -86,6 +86,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sim_cosine_topk": (extension_queries.sim_cosine_topk, extension_queries.SIM_COSINE_TOPK_SQL),
     "sim_ann_lsh": (extension_queries.sim_ann_lsh, None),  # ANN: recall pinned in tests
     "sim_ann_ivf": (extension_queries.sim_ann_ivf, None),  # ANN: recall pinned in tests
+    "dedup_cluster_assign": (
+        extension_queries.dedup_cluster_assign,
+        extension_queries.DEDUP_CLUSTERS_SQL,
+    ),
     # deterministic sampling / splitting / sequence packing
     "sample_hash_10pct": (extension_queries.sample_hash_10pct, extension_queries.SAMPLE_HASH_SQL),
     "sample_train_test_split": (

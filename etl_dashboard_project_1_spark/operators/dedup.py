@@ -310,3 +310,54 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Cluster near-dup PAIRS into components: ``(node, cluster)`` where
+    ``cluster`` is the component's minimum node id — the canonical doc a
+    dedup pass keeps.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node takes the min of its own and its neighbors' labels.
+    Converges in O(component diameter) rounds — near-dup graphs are
+    shallow (dups of a doc are dups of each other), so a handful of
+    rounds in practice; ``max_iter`` bounds pathological chains.
+
+    Scale shape: the driver loop is over ROUNDS, never rows — each round
+    is one distributed join + min-aggregate, shuffling on the node id.
+    ``localCheckpoint`` truncates lineage every round so the plan stays
+    O(1) deep regardless of iteration count (on a cluster prefer
+    reliable ``checkpoint`` with a checkpoint dir for fault tolerance).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        nbr_label = (
+            edges.join(labels, edges.b == labels.node)
+            .select(F.col("a").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            nbr_label.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster"))

@@ -437,3 +437,34 @@ SELECT lang, CAST(floor(start / 4096) AS BIGINT) AS chunk_id,
 FROM packed
 GROUP BY 1, 2
 """
+
+
+# --- near-dup clustering (pairs -> components -> canonical keep id) ---------
+
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster n-gram-Jaccard near-dup pairs into connected components;
+    each doc in a component maps to the component's min doc_id (the doc a
+    dedup pass keeps). Iterative min-label propagation — the driver loop
+    is over rounds (O(diameter)), each round one distributed join+agg."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster")
+
+
+DEDUP_CLUSTERS_SQL = (
+    _JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.2
+  UNION ALL
+  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.2
+),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node
+"""
+)

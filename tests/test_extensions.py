@@ -237,3 +237,13 @@ def test_stratified_topn_exact_count(spark):
     avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     for lang, k in avail.items():
         assert per[lang] == min(3, k)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3-4 collapses to one cluster labeled 1 even though (1,4)
+    never co-occur in a pair; 10-11 is a separate island."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["cluster"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
