@@ -183,6 +183,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         dashboard_queries.anti_join_dormant_customers,
         dashboard_queries.ANTI_JOIN_SQL,
     ),
+    "stream_error_purchase_join": (
+        streaming_queries.stream_error_purchase_join,
+        streaming_queries.STREAM_JOIN_SQL,
+    ),
     # CDC / upsert patterns (MERGE emulation without lakehouse jars)
     "cdc_upsert_orders": (cdc_queries.cdc_upsert_orders, cdc_queries.CDC_UPSERT_SQL),
     "cdc_latest_compaction": (cdc_queries.cdc_latest_compaction, cdc_queries.CDC_COMPACTION_SQL),

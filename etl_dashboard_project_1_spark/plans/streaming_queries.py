@@ -10,6 +10,7 @@ comparison is timezone-representation-proof (session TZ pinned to UTC).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..session import load_table
 from ..streaming import jobs
@@ -86,4 +87,24 @@ STREAM_DEDUP_SQL = """
 SELECT event_id, user_id, event_type
 FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn FROM events)
 WHERE rn = 1
+"""
+
+
+def stream_error_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the stream-stream interval join builder — the
+    streaming mode (watermarks both sides, bounded buffered state) is
+    exercised in tests/test_streaming.py with a file source."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return jobs.error_purchase_interval_join(errors, purchases)
+
+
+STREAM_JOIN_SQL = """
+SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id,
+       floor(p.value * 100 + 0.5) / 100 AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
 """

@@ -58,3 +58,53 @@ def test_streaming_dedup_drops_replayed_ids(spark):
         assert n["n"] > 0
     finally:
         q.stop()
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream interval join (append mode) lands the
+    same pairs as the identical builder in batch mode."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events")
+    batch = jobs.error_purchase_interval_join(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    s = jobs.read_events_stream(spark, SF)
+    stream = jobs.error_purchase_interval_join(
+        s.filter(F.col("event_type") == "error"),
+        s.filter(F.col("event_type") == "purchase"),
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssjoin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_ssjoin")
+        cols = ["user_id", "error_id", "purchase_id", "purchase_value"]
+        assert _rows(got, cols) == _rows(batch, cols)
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    """Streaming the same source twice through the upsert sink converges
+    to exactly one row per key (replay-idempotent materialization)."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "upsert_target")
+    s = jobs.read_events_stream(spark, SF).select("event_id", "user_id", "value")
+    q1 = jobs.foreach_batch_upsert(s, target, key="event_id")
+    q1.stop()
+    first = spark.read.parquet(target).count()
+    s2 = jobs.read_events_stream(spark, SF).select("event_id", "user_id", "value")
+    q2 = jobs.foreach_batch_upsert(s2, target, key="event_id")
+    q2.stop()
+    after = spark.read.parquet(target)
+    assert after.count() == first
+    distinct_keys = load_table(spark, SF, "events").select("event_id").distinct().count()
+    assert first == distinct_keys
