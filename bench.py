@@ -38,6 +38,9 @@ HEADLINE = [
     "text_quality",
     "sim_cosine_topk",
     "stream_tumbling_agg",
+    "sessionize_events",
+    "pack_chunks_manifest",
+    "text_pii_scrub",
 ]
 
 
@@ -59,12 +62,17 @@ def main() -> None:
     for name in HEADLINE:
         force(registry[name](spark, SF_DIR))
 
+    # best-of-2 timed passes: a single pass is hostage to transient
+    # machine load; the min is the query's sustained cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        t0 = time.perf_counter()
-        force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

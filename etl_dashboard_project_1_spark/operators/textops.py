@@ -99,3 +99,35 @@ def doc_fingerprint(text: Column | str) -> Column:
     """Stable content fingerprint: md5 of the sorted distinct token set
     (whitespace/order-invariant). Alias of the dedup building block."""
     return normalized_fingerprint(text)
+
+
+# PII patterns deliberately written in the regex subset every engine
+# parses identically (no lookarounds, no \b word boundaries — DuckDB RE2
+# and Java regex agree on these literals and classes).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "<PHONE>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def scrub_pii(text: Column | str, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace PII spans with typed placeholder tokens — chained
+    ``regexp_replace`` (JVM-side, codegen'd; order = PII_PATTERNS order,
+    so SSN-looking strings inside already-scrubbed spans can't re-match).
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    for kind, pattern, token in PII_PATTERNS:
+        if kinds is None or kind in kinds:
+            col = F.regexp_replace(col, pattern, token)
+    return col
+
+
+def pii_hit_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind match counts (audit metric before destructive scrubbing)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.coalesce(F.regexp_count(col, F.lit(pattern)), F.lit(0)).cast("long")
+        for kind, pattern, _ in PII_PATTERNS
+    }

@@ -468,3 +468,41 @@ reach(node, label) AS (
 SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node
 """
 )
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PII redaction + per-kind audit counts. Pure chained
+    regexp_replace / regexp_count — codegen'd, zero Python in the path;
+    output is the md5 of the scrubbed text so the oracle checks the full
+    replacement semantics without hashing megabytes of text per row."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    hits = textops.pii_hit_counts("text")
+    return docs.select(
+        "doc_id",
+        F.md5(textops.scrub_pii("text")).alias("scrubbed_md5"),
+        *[hits[k].alias(f"{k}_hits") for k, _, _ in textops.PII_PATTERNS],
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from ..operators.textops import PII_PATTERNS
+
+    expr = "text"
+    for _, pattern, token in PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{token}', 'g')"
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pattern}')) AS {kind}_hits"
+        for kind, pattern, _ in PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id,
+       md5({expr}) AS scrubbed_md5,
+       {counts}
+FROM documents
+"""
+
+
+TEXT_PII_SQL = _pii_scrub_sql()

@@ -247,3 +247,26 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r["node"]: r["cluster"] for r in dedup.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_pii_scrub_replaces_all_kinds(spark):
+    from etl_dashboard_project_1_spark.operators import textops
+
+    rows = [
+        (1, "mail a@b.com and c.d+x@e.org twice"),
+        (2, "call +1-555-123-4567 or 555 123 4567"),
+        (3, "ssn 123-45-6789 ip 10.0.0.1"),
+        (4, "clean text, nothing to scrub"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        textops.scrub_pii("text").alias("scrubbed"),
+        *[c.alias(k) for k, c in textops.pii_hit_counts("text").items()],
+    ).collect()}
+    assert out[1]["scrubbed"] == "mail <EMAIL> and <EMAIL> twice"
+    assert out[1]["email"] == 2
+    assert "<PHONE>" in out[2]["scrubbed"] and "4567" not in out[2]["scrubbed"]
+    assert out[3]["ssn"] == 1 and out[3]["ipv4"] == 1
+    assert "<SSN>" in out[3]["scrubbed"] and "<IP>" in out[3]["scrubbed"]
+    assert out[4]["scrubbed"] == rows[3][1]
