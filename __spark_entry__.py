@@ -101,6 +101,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.sample_stratified_topn,
         extension_queries.SAMPLE_STRATIFIED_SQL,
     ),
+    "sample_mixture_weights": (
+        extension_queries.sample_mixture_weights,
+        extension_queries.SAMPLE_MIXTURE_SQL,
+    ),
     "pack_chunks_manifest": (
         extension_queries.pack_chunks_manifest,
         extension_queries.PACK_CHUNKS_SQL,

@@ -125,3 +125,29 @@ def chunk_stats(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(token_col)).alias("sum_tokens"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    salt: str = "mix",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Corpus mixture reweighting: keep each row with its source's target
+    rate (pretraining-style up/down-weighting of web/books/code slices).
+
+    The rate table is config-sized and broadcast; membership stays a pure
+    function of (key, salt), so the kept set only shrinks/grows per
+    source when its rate changes — other sources' samples are untouched.
+    """
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        [(s, float(r)) for s, r in rates.items()], [source_col, "_rate"]
+    )
+    joined = df.join(F.broadcast(rates_df), source_col, "left").withColumn(
+        "_rate", F.coalesce(F.col("_rate"), F.lit(float(default_rate)))
+    )
+    keep = hash_bucket(F.col(key_col), salt) < F.round(F.col("_rate") * WHEEL).cast("bigint")
+    return joined.filter(keep).drop("_rate")

@@ -506,3 +506,35 @@ FROM documents
 
 
 TEXT_PII_SQL = _pii_scrub_sql()
+
+
+# config-sized mixture: tiered per-source sampling rates
+_MIXTURE_RATES = {
+    "src0": 1.0, "src1": 1.0, "src2": 1.0, "src3": 1.0, "src4": 1.0,
+    "src5": 0.5, "src6": 0.5, "src7": 0.5, "src8": 0.5, "src9": 0.5,
+    "src10": 0.25, "src11": 0.25, "src12": 0.25, "src13": 0.25, "src14": 0.25,
+    "src15": 0.1, "src16": 0.1, "src17": 0.1, "src18": 0.1, "src19": 0.1,
+}
+
+
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style mixture reweighting: per-source keep rates via a
+    broadcast rate table × the hash wheel; per-source kept counts."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    kept = sampling.mixture_sample(docs, "doc_id", "source", _MIXTURE_RATES)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _mixture_sql() -> str:
+    vals = ", ".join(f"('{s}', {r})" for s, r in _MIXTURE_RATES.items())
+    return f"""
+WITH rates(source, rate) AS (VALUES {vals})
+SELECT d.source, count(*) AS n_docs
+FROM documents d LEFT JOIN rates r ON d.source = r.source
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 8))::BIGINT % 10000
+      < CAST(round(coalesce(r.rate, 1.0) * 10000) AS BIGINT)
+GROUP BY 1
+"""
+
+
+SAMPLE_MIXTURE_SQL = _mixture_sql()
