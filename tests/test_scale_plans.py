@@ -83,3 +83,55 @@ def test_stateful_user_totals_stream(spark):
         assert got == want
     finally:
         q.stop()
+
+
+def test_sessionize_single_exchange(spark):
+    """Gap sessionization: both windows and the final groupBy must reuse
+    ONE hash partitioning on the session key — exactly one Exchange."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["sessionize_events"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_band_join_broadcasts_bands_not_facts(spark):
+    """Band join: the config-sized band table broadcasts (nested-loop);
+    the fact side must NOT shuffle before the join."""
+    from etl_dashboard_project_1_spark.operators import rangejoin
+
+    ev = load_table(spark, SF, "events").filter(F.col("event_type") == "purchase")
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 50.0), ("hi", 50.0, 1e9)], ["band", "lo", "hi"]
+    )
+    j = rangejoin.band_join(ev, "value", bands)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastNestedLoopJoin")[0], plan
+
+
+def test_interval_join_shuffles_on_equi_key_only(spark):
+    """Interval join with an equi key: the time predicate must ride along
+    as a join condition/filter, never force a cross-product plan."""
+    from etl_dashboard_project_1_spark.operators import rangejoin
+
+    ev = load_table(spark, SF, "events")
+    pts = ev.select("user_id", F.col("ts").alias("p_ts"))
+    rng = ev.select(
+        "user_id", F.col("ts").alias("r_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("r_end"),
+    )
+    j = rangejoin.interval_join(pts, rng, "p_ts", "r_start", "r_end", by=["user_id"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sample_predicate_is_map_only(spark):
+    """Hash sampling must stay a scan-side filter — zero exchanges."""
+    from etl_dashboard_project_1_spark.operators import sampling
+
+    docs = load_table(spark, SF, "documents")
+    s = sampling.deterministic_sample(docs, "doc_id", 0.1)
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
