@@ -83,6 +83,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.TEXT_FINGERPRINT_SQL,
     ),
     "text_pii_scrub": (extension_queries.text_pii_scrub, extension_queries.TEXT_PII_SQL),
+    "curation_pipeline": (extension_queries.curation_pipeline, extension_queries.CURATION_SQL),
     # similarity search
     "sim_cosine_topk": (extension_queries.sim_cosine_topk, extension_queries.SIM_COSINE_TOPK_SQL),
     "sim_ann_lsh": (extension_queries.sim_ann_lsh, None),  # ANN: recall pinned in tests

@@ -538,3 +538,69 @@ GROUP BY 1
 
 
 SAMPLE_MIXTURE_SQL = _mixture_sql()
+
+
+# --- end-to-end curation composition ---------------------------------------
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain in ONE lazy plan: exact-dedup keep-list
+    (min doc_id per normalized fingerprint) ∘ language filter ∘ quality
+    threshold → per-source kept counts. Catalyst fuses the three scoring
+    expressions into one scan projection; the only shuffles are the
+    fingerprint window and the final small groupBy."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        textops.detect_language("text").alias("lang_detected"),
+        textops.quality_score("text").alias("quality"),
+        dedup.normalized_fingerprint("text").alias("fp"),
+    )
+    keep = scored.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).filter(
+        (F.col("doc_id") == F.col("keep_id"))
+        & (F.col("lang_detected") == "en")
+        & (derive.portable_round(F.col("quality"), 4) >= 0.5)
+    )
+    return keep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        derive.portable_round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+CURATION_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+         length(regexp_replace(regexp_replace(text, '\s', '', 'g'), '[^a-zA-Z0-9]', '', 'g')) AS n_alnum,
+         {_ratio_sql(textops.LANG_PROFILES['en'])} AS r_en,
+         {_ratio_sql(textops.LANG_PROFILES['es'])} AS r_es,
+         {_ratio_sql(textops.LANG_PROFILES['de'])} AS r_de,
+         {_ratio_sql(textops.LANG_PROFILES['fr'])} AS r_fr
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, fp,
+         CASE WHEN greatest(r_en, r_es, r_de, r_fr) <= 0.05 THEN 'und'
+              WHEN r_en >= greatest(r_es, r_de, r_fr) THEN 'en'
+              WHEN r_es >= greatest(r_de, r_fr)       THEN 'es'
+              WHEN r_de >= r_fr                        THEN 'de'
+              ELSE 'fr' END AS lang_detected,
+         0.4 * least(n_tokens / 200.0, 1.0)
+       + 0.3 * (1.0 - (n_nonws - n_alnum) / greatest(n_nonws, 1)::DOUBLE)
+       + 0.3 * least(r_en / 0.08, 1.0) AS quality,
+         min(doc_id) OVER (PARTITION BY fp) AS keep_id
+  FROM t
+)
+SELECT source, count(*) AS n_docs,
+       floor(avg(quality) * 10000 + 0.5) / 10000 AS avg_quality
+FROM scored
+WHERE doc_id = keep_id AND lang_detected = 'en'
+  AND floor(quality * 10000 + 0.5) / 10000 >= 0.5
+GROUP BY source
+"""
