@@ -169,6 +169,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.band_join_purchase_values,
         timeseries_queries.BAND_JOIN_SQL,
     ),
+    "q14_promo_revenue_share": (
+        dashboard_queries.q14_promo_revenue_share,
+        dashboard_queries.Q14_SQL,
+    ),
+    "q4_priority_with_late_lines": (
+        dashboard_queries.q4_priority_with_late_lines,
+        dashboard_queries.Q4_SQL,
+    ),
     "unpivot_lineitem_measures": (
         dashboard_queries.unpivot_lineitem_measures,
         dashboard_queries.UNPIVOT_SQL,

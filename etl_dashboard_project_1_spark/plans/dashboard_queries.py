@@ -411,3 +411,63 @@ UNION ALL
 SELECT 'churned', count(*)
 FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
 """
+
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share per ship-year: conditional aggregate over a
+    broadcast part-dimension join — the CASE rides inside the partial
+    aggregate, so only (year, 2 sums) cross the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        j.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            derive.portable_round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                * 100.0
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT year(l_shipdate) AS ship_year,
+       floor(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000
+         AS promo_share_pct,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q4_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority counts for orders having at least one line shipped
+    > 60 days after the order date — EXISTS as a left-semi join with the
+    date predicate evaluated pre-shuffle on the build side."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).select(
+        F.col("l_orderkey").alias("late_key")
+    )
+    hit = orders.join(late, orders.o_orderkey == F.col("late_key"), "left_semi")
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
