@@ -112,6 +112,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     # multimodal plumbing (decode stubbed, Spark machinery real)
     "mm_image_meta": (extension_queries.mm_image_meta, extension_queries.MM_IMAGE_META_SQL),
+    "mm_feature_topk": (extension_queries.mm_feature_topk, extension_queries.MM_FEATURE_TOPK_SQL),
     "mm_frame_sample": (extension_queries.mm_frame_sample, extension_queries.MM_FRAME_SAMPLE_SQL),
     # streaming operator set (batch-checked; streamed in tests)
     "stream_tumbling_agg": (

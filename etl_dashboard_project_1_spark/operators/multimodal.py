@@ -103,3 +103,81 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(
         run, schema="doc_id bigint, frame_no bigint, frame_hash string"
     )
+
+
+def resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB resize — deterministic fake in place of a real raster resize.
+
+    A real implementation would be::
+
+        img = Image.open(io.BytesIO(payload)).resize((target_w, target_h))
+        ... img.tobytes()                  # Pillow not in this container
+
+    The fake emits exactly ``target_w * target_h`` bytes derived by
+    cycling the payload — correct output SIZE contract, stable content.
+    """
+    if not payload:
+        return b"\x00" * (target_w * target_h)
+    reps = (target_w * target_h) // len(payload) + 1
+    return (bytes(payload) * reps)[: target_w * target_h]
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas binary→binary transform (the resize/transcode shape):
+    payloads stay executor-side, output schema is (id, resized binary,
+    n_bytes). Batch memory = Arrow batch size × payload size, independent
+    of corpus size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resize_stub(p, target_w, target_h) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "resized": resized,
+                    "n_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema="doc_id bigint, resized binary, n_bytes bigint"
+    )
+
+
+def feature_vector_stub(payload: bytes, dim: int = 8) -> list[float]:
+    """STUB feature extractor — md5-derived unit-scale floats standing in
+    for a real embedding model's output (same signature, stable values)."""
+    h = hashlib.md5(payload).digest()
+    return [h[i % len(h)] / 255.0 for i in range(dim)]
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas binary→vector featurization: the batch shape a real
+    model-inference UDF uses (load model once per partition iterator,
+    score per Arrow batch). Output is ``array<double>`` ready for the
+    vector operators (cosine top-k, IVF)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a real implementation loads the model HERE, once per partition
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "features": [feature_vector_stub(p, dim) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema="doc_id bigint, features array<double>"
+    )

@@ -604,3 +604,33 @@ WHERE doc_id = keep_id AND lang_detected = 'en'
   AND floor(quality * 10000 + 0.5) / 10000 >= 0.5
 GROUP BY source
 """
+
+
+# --- multimodal featurize -> vector search chain ----------------------------
+
+def mm_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → mapInPandas featurization (stub model, real Arrow
+    batch shape) → exact cosine top-10 against doc 0 — the decode→embed→
+    search chain of a multimodal retrieval pipeline, end-to-end in one
+    lazy plan."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(multimodal.attach_binary(docs), dim=8)
+    qv = feats.filter(F.col("doc_id") == 0).first()["features"]
+    top = vector.cosine_topk(feats, "doc_id", "features", qv, k=10, exclude_id=0)
+    return top.select("doc_id", derive.portable_round(F.col("cosine"), 4).alias("cosine"))
+
+
+MM_FEATURE_TOPK_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(text), 2*i+1, 2))::INT / 255.0 FOR i IN range(8)] AS v
+  FROM documents
+),
+q AS (SELECT v AS qv FROM f WHERE doc_id = 0)
+SELECT doc_id,
+       floor(list_cosine_similarity(v, qv) * 10000 + 0.5) / 10000 AS cosine
+FROM f, q
+WHERE doc_id <> 0
+ORDER BY list_cosine_similarity(v, qv) DESC, doc_id ASC
+LIMIT 10
+"""

@@ -270,3 +270,16 @@ def test_pii_scrub_replaces_all_kinds(spark):
     assert out[3]["ssn"] == 1 and out[3]["ipv4"] == 1
     assert "<SSN>" in out[3]["scrubbed"] and "<IP>" in out[3]["scrubbed"]
     assert out[4]["scrubbed"] == rows[3][1]
+
+
+def test_resize_and_features_contracts(spark):
+    """resize: output is exactly target_w*target_h bytes per row;
+    features: fixed-dim array<double> in [0,1], deterministic."""
+    docs = load_table(spark, SF, "documents").limit(20)
+    with_bin = multimodal.attach_binary(docs)
+    resized = multimodal.resize_images(with_bin, 16, 8).collect()
+    assert all(r["n_bytes"] == 16 * 8 and len(r["resized"]) == 16 * 8 for r in resized)
+    feats1 = {r["doc_id"]: r["features"] for r in multimodal.extract_features(with_bin, dim=8).collect()}
+    feats2 = {r["doc_id"]: r["features"] for r in multimodal.extract_features(with_bin, dim=8).collect()}
+    assert feats1 == feats2
+    assert all(len(v) == 8 and all(0.0 <= x <= 1.0 for x in v) for v in feats1.values())
