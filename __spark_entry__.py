@@ -170,6 +170,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.band_join_purchase_values,
         timeseries_queries.BAND_JOIN_SQL,
     ),
+    "q17_small_quantity_revenue": (
+        dashboard_queries.q17_small_quantity_revenue,
+        dashboard_queries.Q17_SQL,
+    ),
     "q14_promo_revenue_share": (
         dashboard_queries.q14_promo_revenue_share,
         dashboard_queries.Q14_SQL,

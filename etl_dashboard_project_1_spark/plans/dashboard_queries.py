@@ -471,3 +471,31 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
 GROUP BY o_orderpriority
 """
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (TPC-H q17): lineitems below 20%
+    of their part's average quantity. Decorrelated the way Catalyst wants
+    it — aggregate once per part, shuffle-join back on the key (both
+    sides hash-partition on l_partkey; at scale AQE handles skewed
+    parts). Never a per-row subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    small = li.join(per_part, "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_threshold")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        derive.portable_round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+Q17_SQL = """
+SELECT count(*) AS n_lines,
+       floor(sum(l_extendedprice) / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+FROM lineitem l
+WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+"""
