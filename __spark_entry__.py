@@ -160,6 +160,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.salted_join_events_customers,
         timeseries_queries.SALTED_JOIN_SQL,
     ),
+    "rolling_1h_user_value": (
+        timeseries_queries.rolling_1h_user_value,
+        timeseries_queries.ROLLING_SQL,
+    ),
     # sessionization / range joins / semi-anti joins
     "sessionize_events": (timeseries_queries.sessionize_events, timeseries_queries.SESSIONIZE_SQL),
     "range_join_error_purchases": (

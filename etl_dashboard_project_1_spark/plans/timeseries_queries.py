@@ -9,7 +9,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import derive, rangejoin, sessionize
@@ -240,4 +240,33 @@ SELECT band, count(*) AS n_purchases,
 FROM events JOIN bands ON value >= lo AND value < hi
 WHERE event_type = 'purchase'
 GROUP BY band
+"""
+
+
+def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time rolling 1-hour sum/count per user — a RANGE frame over
+    ``unix_micros(ts)`` so the window is exact event-time (identical to
+    an INTERVAL frame), not row-count. Partitioned on user_id: one
+    shuffle, per-key frames, no global order anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        derive.portable_round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+ROLLING_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       floor(sum(value) OVER w * 100 + 0.5) / 100 AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
