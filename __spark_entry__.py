@@ -160,6 +160,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.salted_join_events_customers,
         timeseries_queries.SALTED_JOIN_SQL,
     ),
+    "lead_gap_to_next_event": (
+        timeseries_queries.lead_gap_to_next_event,
+        timeseries_queries.LEAD_GAP_SQL,
+    ),
+    "approx_distinct_users_daily": (
+        timeseries_queries.approx_distinct_users_daily,
+        None,  # HLL estimates are engine-specific; error bound pinned in tests
+    ),
     "rolling_1h_user_value": (
         timeseries_queries.rolling_1h_user_value,
         timeseries_queries.ROLLING_SQL,

@@ -270,3 +270,36 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
+
+
+def lead_gap_to_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() per user: exact microseconds until the user's next event
+    (null on their last). Integer microsecond arithmetic on both engines
+    — no float/interval comparison ambiguity."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("micros_to_next"),
+    )
+
+
+LEAD_GAP_SQL = """
+SELECT event_id, user_id,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         - epoch_us(ts) AS micros_to_next
+FROM events
+"""
+
+
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per day — THE 100 TB cardinality
+    operator (constant memory per group, partial-merge friendly, no
+    distinct shuffle). No SQL oracle: sketch estimates are
+    engine-specific; the error bound vs exact is pinned by unit test."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -93,7 +93,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
         if isinstance(field, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer division: `/` is DOUBLE division, and ns-since-epoch
+            # (~1.7e18) exceeds double's 53-bit mantissa — the rounded
+            # quotient lands ±1µs off. `div` stays exact on longs.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

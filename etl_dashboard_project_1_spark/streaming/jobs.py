@@ -34,7 +34,9 @@ EVENTS_SCHEMA = T.StructType(
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """ns-long → microsecond timestamp (mirrors session.load_table)."""
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # `div` (integer division) — `/` is double division and ns-epoch
+        # magnitudes exceed double precision, skewing timestamps ±1µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -283,3 +283,17 @@ def test_resize_and_features_contracts(spark):
     feats2 = {r["doc_id"]: r["features"] for r in multimodal.extract_features(with_bin, dim=8).collect()}
     assert feats1 == feats2
     assert all(len(v) == 8 and all(0.0 <= x <= 1.0 for x in v) for v in feats1.values())
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """HLL estimate within 5% of the exact per-day distinct count."""
+    from etl_dashboard_project_1_spark.plans import timeseries_queries as tq
+
+    approx = {r["day"]: r["approx_users"] for r in
+              tq.approx_distinct_users_daily(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    exact = {r["day"]: r["n"] for r in ev.groupBy(F.to_date("ts").alias("day"))
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(approx) == set(exact)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(1, 0.05 * n), (day, approx[day], n)
