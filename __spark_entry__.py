@@ -182,6 +182,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.band_join_purchase_values,
         timeseries_queries.BAND_JOIN_SQL,
     ),
+    "histogram_order_values": (
+        dashboard_queries.histogram_order_values,
+        dashboard_queries.HISTOGRAM_SQL,
+    ),
     "q17_small_quantity_revenue": (
         dashboard_queries.q17_small_quantity_revenue,
         dashboard_queries.Q17_SQL,

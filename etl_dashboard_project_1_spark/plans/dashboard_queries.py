@@ -499,3 +499,28 @@ FROM lineitem l
 WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
                     FROM lineitem i WHERE i.l_partkey = l.l_partkey)
 """
+
+
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values (12 × 50k buckets, clamped):
+    pure expression arithmetic → one partial/final aggregate. The
+    streaming-friendly histogram shape — no sort, no per-bucket scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / 50000.0), F.lit(0)), F.lit(11)
+    ).cast("long")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        derive.portable_round(F.min("o_totalprice"), 2).alias("lo"),
+        derive.portable_round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 11) AS BIGINT) AS bucket,
+       count(*) AS n_orders,
+       floor(min(o_totalprice) * 100 + 0.5) / 100 AS lo,
+       floor(max(o_totalprice) * 100 + 0.5) / 100 AS hi
+FROM orders
+GROUP BY 1
+"""

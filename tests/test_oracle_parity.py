@@ -71,3 +71,16 @@ def test_rows_only_queries_run(spark, sf_dir):
             df = fn(spark, sf_dir)
             assert df.columns, name
             assert df.count() >= 0, name
+
+
+def test_no_oracle_queries_run(spark, sf_dir):
+    """Queries without SQL oracles still get the driver's rows-only check
+    — make sure each runs end-to-end and yields a stable, non-degenerate
+    schema."""
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    for name in [n for n in q if n not in o]:
+        df = q[name](spark, sf_dir)
+        rows = df.collect()
+        assert df.schema.fields, name
+        assert rows is not None, name
