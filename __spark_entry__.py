@@ -83,6 +83,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.TEXT_FINGERPRINT_SQL,
     ),
     "text_pii_scrub": (extension_queries.text_pii_scrub, extension_queries.TEXT_PII_SQL),
+    "vocab_top_tokens": (extension_queries.vocab_top_tokens, extension_queries.VOCAB_SQL),
     "curation_pipeline": (extension_queries.curation_pipeline, extension_queries.CURATION_SQL),
     # similarity search
     "sim_cosine_topk": (extension_queries.sim_cosine_topk, extension_queries.SIM_COSINE_TOPK_SQL),

@@ -634,3 +634,36 @@ WHERE doc_id <> 0
 ORDER BY list_cosine_similarity(v, qv) DESC, doc_id ASC
 LIMIT 10
 """
+
+
+# --- corpus vocabulary ------------------------------------------------------
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 tokens by document frequency (distinct
+    docs containing the token) with total occurrences. Explode → two-level
+    aggregate; the heavy count happens map-side per token partition, the
+    top-k is a single reduced sort of the tiny aggregate."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(dedup.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    return counts.orderBy(
+        F.desc("doc_freq"), F.desc("n_occurrences"), F.asc("token")
+    ).limit(20)
+
+
+VOCAB_SQL = r"""
+SELECT t AS token,
+       count(DISTINCT doc_id) AS doc_freq,
+       count(*) AS n_occurrences
+FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+      FROM documents)
+WHERE t <> ''
+GROUP BY t
+ORDER BY doc_freq DESC, n_occurrences DESC, token ASC
+LIMIT 20
+"""
