@@ -183,6 +183,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.band_join_purchase_values,
         timeseries_queries.BAND_JOIN_SQL,
     ),
+    "agg_ordered_collect": (
+        dashboard_queries.agg_ordered_collect,
+        dashboard_queries.ORDERED_COLLECT_SQL,
+    ),
     "histogram_order_values": (
         dashboard_queries.histogram_order_values,
         dashboard_queries.HISTOGRAM_SQL,

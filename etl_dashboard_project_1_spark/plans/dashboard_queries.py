@@ -524,3 +524,31 @@ SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 11) AS BIGINT) AS 
 FROM orders
 GROUP BY 1
 """
+
+
+def agg_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered set-collect per group: distinct order priorities per market
+    segment as one sorted CSV string. collect_set is partial-aggregate
+    friendly (set union map-side); the sort happens on the final tiny set,
+    making the output deterministic regardless of partition order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORDERED_COLLECT_SQL = """
+SELECT c_mktsegment,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
