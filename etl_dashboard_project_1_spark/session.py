@@ -89,6 +89,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects outright. `nanosAsLong` is a RUNTIME SQL conf, so
+        # set it here rather than only in get_spark's builder: callers may
+        # hand us a SparkSession built elsewhere (the correctness driver
+        # does exactly that) and reads must survive any session.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            # conf rejected (e.g. treated as static on some builds) — fall
+            # through; if the session already has it set the read succeeds.
+            pass
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")

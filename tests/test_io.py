@@ -82,3 +82,19 @@ def test_json_catalog_roundtrip(tmp_path):
     p = tmp_path / "cat.json"
     writers.write_json_catalog(cat, p)
     assert readers.read_json_catalog(p) == cat
+
+
+def test_events_readable_from_unconfigured_session(spark):
+    """Regression (VERDICT r1): the correctness driver builds its OWN
+    SparkSession without the nanosAsLong builder config; load_table must
+    set the runtime conf itself so events (TIMESTAMP NANOS parquet) reads
+    survive any caller session.
+    """
+    # Simulate the driver's vanilla session: strip the conf, then load.
+    try:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
+    ev = load_table(spark, SF, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.limit(5).count() == 5
