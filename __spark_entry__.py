@@ -160,7 +160,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_queries.STREAM_SESSION_SQL,
     ),
     # --- changed this round: re-verify ---
-    "j1_fuzzy_difflib": (fuzzy_queries.j1_fuzzy_difflib, None),  # UDF scorer: rows-only
+    # difflib scorer: literal expected-mapping oracle (pinned nation names)
+    "j1_fuzzy_difflib": (fuzzy_queries.j1_fuzzy_difflib, fuzzy_queries.J1_DIFFLIB_SQL),
     "dedup_embedding_cosine": (
         extension_queries.dedup_embedding_cosine,
         extension_queries.DEDUP_EMB_COSINE_SQL,

@@ -118,8 +118,11 @@ LEFT JOIN mapping m ON d.raw_name = m.raw_name
 
 def j1_fuzzy_difflib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-exact scorer (difflib.SequenceMatcher.ratio as a pandas
-    UDF). No SQL oracle — rows-only check here; unit tests pin the scores
-    against stdlib difflib directly."""
+    UDF). The oracle is a literal expected-mapping table precomputed with
+    the SAME stdlib difflib over the pinned testdata nation names
+    (NATION_0..24 — identical at every SF), so the driver gets a full
+    hash-check instead of a rows-only row. A unit test asserts the pin
+    still matches the actual nation table."""
     nation = load_table(spark, sf_dir, "nation")
     matched = fuzzy_match_names(
         _dirty_names(spark, sf_dir), "raw_name", nation.select("n_name", "n_nationkey"),
@@ -128,6 +131,52 @@ def j1_fuzzy_difflib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.select(
         "raw_name", "matched_n_name", derive.portable_round(F.col("match_score"), 3).alias("match_score")
     )
+
+
+# Testdata nation dimension is the fixed synthetic list NATION_0..NATION_24
+# at every SF (verified in test_fuzzy.py); the expected difflib mapping is
+# computed here with the exact scorer semantics (normalize_join_key then
+# SequenceMatcher(autojunk=False), tie-break score desc / name asc,
+# threshold 0.6, floor-based round to 3 decimals).
+PINNED_NATION_NAMES = tuple(f"NATION_{i}" for i in range(25))
+
+
+def _difflib_expected_rows() -> list[tuple[str, str | None, float]]:
+    import math
+    import re
+    from difflib import SequenceMatcher
+
+    norm = lambda s: re.sub(r"[\t\.\-\s]", "", s).upper()  # noqa: E731
+    raws = sorted({n + " SA" for n in PINNED_NATION_NAMES}) + ["ZZZ MOTORS INC"]
+    rows: list[tuple[str, str | None, float]] = []
+    for raw in raws:
+        nr = norm(raw)
+        scored = sorted(
+            ((SequenceMatcher(None, nr, norm(c), autojunk=False).ratio(), c)
+             for c in PINNED_NATION_NAMES),
+            key=lambda t: (-t[0], t[1]),
+        )
+        score, cat = scored[0]
+        rows.append((raw, cat if score >= 0.6 else None,
+                     math.floor(score * 1000 + 0.5) / 1000))
+    return rows
+
+
+def _difflib_values_sql() -> str:
+    def lit(m: str | None) -> str:
+        return f"'{m}'" if m is not None else "CAST(NULL AS VARCHAR)"
+
+    values = ",\n  ".join(
+        f"('{raw}', {lit(m)}, {score}::DOUBLE)" for raw, m, score in _difflib_expected_rows()
+    )
+    return (
+        "SELECT raw_name, matched_n_name, match_score FROM (VALUES\n  "
+        + values
+        + "\n) AS t(raw_name, matched_n_name, match_score)"
+    )
+
+
+J1_DIFFLIB_SQL = _difflib_values_sql()
 
 
 def d3_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,3 +113,16 @@ def test_blocking_variant_matches_unblocked(spark):
     ga = {r["raw_name"]: r["matched_name"] for r in a}
     gb = {r["raw_name"]: r["matched_name"] for r in b}
     assert ga == gb
+
+
+def test_pinned_nation_names_match_testdata(spark):
+    """The j1_fuzzy_difflib oracle is a literal table precomputed from
+    PINNED_NATION_NAMES; if the testdata generator ever changes the nation
+    dimension, this trips before the driver does."""
+    from etl_dashboard_project_1_spark.plans.fuzzy_queries import PINNED_NATION_NAMES
+    from etl_dashboard_project_1_spark.session import load_table
+
+    actual = sorted(
+        r["n_name"] for r in load_table(spark, "/root/testdata/sf0.001", "nation").select("n_name").collect()
+    )
+    assert actual == sorted(PINNED_NATION_NAMES)
