@@ -39,10 +39,12 @@ def sessionize(
     order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak]]
     w = Window.partitionBy(*by).orderBy(*order)
     prev = F.lag(F.col(ts_col)).over(w)
-    # timestamp→double keeps microsecond precision (unix_timestamp truncates
-    # to whole seconds, which would mis-split sub-second gaps)
-    gap = F.col(ts_col).cast("double") - prev.cast("double")
-    is_new = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    # integer microseconds, never double: at ~1.7e9 s epochs a double cast
+    # has ~2.4e-7 s ULP, so a gap landing exactly on gap_seconds could flip
+    # the strict comparison vs an exact INTERVAL oracle. unix_micros stays
+    # exact (and unix_timestamp would truncate to whole seconds).
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    is_new = F.when(prev.isNull() | (gap_us > gap_seconds * 1_000_000), 1).otherwise(0)
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_seq", F.sum(is_new).over(running))
 

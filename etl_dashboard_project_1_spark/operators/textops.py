@@ -104,11 +104,15 @@ def doc_fingerprint(text: Column | str) -> Column:
 # PII patterns deliberately written in the regex subset every engine
 # parses identically (no lookarounds, no \b word boundaries — DuckDB RE2
 # and Java regex agree on these literals and classes).
+# ipv4 MUST precede phone, and phone's separator class excludes '.': an
+# IPv4 with 3-digit octets (192.168.100.200) would otherwise fully match a
+# dotted phone pattern, mislabeling both the scrub token and the per-kind
+# audit counts (which match each pattern independently on the raw text).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "<PHONE>"),
-    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}", "<PHONE>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
 )
 
 

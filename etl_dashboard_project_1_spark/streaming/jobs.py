@@ -212,6 +212,9 @@ def foreach_batch_upsert(stream_df: DataFrame, target_dir: str, key: str):
 
     def do_upsert(batch_df: DataFrame, batch_id: int):
         spark = batch_df.sparkSession
+        # a micro-batch can carry several rows per key (rapid updates);
+        # keep exactly one so the merged target never holds duplicates
+        batch_df = batch_df.dropDuplicates([key])
         if os.path.exists(target_dir):
             current = spark.read.parquet(target_dir)
             merged = batch_df.unionByName(current.join(
@@ -220,13 +223,21 @@ def foreach_batch_upsert(stream_df: DataFrame, target_dir: str, key: str):
         else:
             merged = batch_df
         merged.write.mode("overwrite").format("parquet").save(target_dir + "__new")
-        # atomic-enough swap for a local test target; object stores use
-        # versioned/committed writes instead
+        # swap order matters for crash-safety: move the old target ASIDE
+        # first, then promote __new, then delete the old copy — a crash
+        # between steps always leaves a readable target or a recoverable
+        # __old, never a window with no data (object stores use
+        # versioned/committed writes instead)
         import shutil
 
+        old_dir = target_dir + "__old"
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
         if os.path.exists(target_dir):
-            shutil.rmtree(target_dir)
+            os.rename(target_dir, old_dir)
         os.rename(target_dir + "__new", target_dir)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
 
     q = stream_df.writeStream.outputMode("update").foreachBatch(do_upsert).start()
     q.processAllAvailable()
