@@ -114,14 +114,34 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs by word-k-gram Jaccard ≥ threshold.
 
     Scale note: cost is Σ_shingle df² — fine when shingles are selective
     (k ≥ 3); for short/repetitive text use :func:`minhash_lsh_pairs`.
+
+    ``max_shingle_df`` is the skew guard: shingles appearing in more than
+    that many documents (stopword grams — the df² hot keys) are dropped
+    from the universe BEFORE the self-join, and Jaccard is computed over
+    the filtered universe (both intersection and union shrink together,
+    the standard df-capped all-pairs semantics). Default ``None`` keeps
+    the exact semantics the paired oracle checks.
     """
     sh = _shingle_table(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_s")
+        )
+        sh = sh.join(hot, "_s", "left_anti")
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 

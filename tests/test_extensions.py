@@ -350,3 +350,23 @@ def test_ivf_prebuilt_index_matches_inline_fit(spark):
         num_centroids=16, n_probe=4, iterations=2, exclude_id=0,
     ).collect()
     assert [tuple(r) for r in prebuilt] == [tuple(r) for r in inline]
+
+
+def test_ngram_jaccard_df_cap_kills_hot_shingles(spark):
+    """Skew guard: many unrelated docs sharing one stopword gram explode
+    the df² self-join; with max_shingle_df the hot gram is dropped from
+    the universe while genuinely near-identical pairs survive."""
+    hot = "as a matter of fact"  # one shared 5-word prefix -> hot 3-grams
+    rows = [(i, f"{hot} unique{i} filler{i} tail{i}") for i in range(20)]
+    rows += [(100, "zebra quantum lattice horizon drum"),
+             (101, "zebra quantum lattice horizon drumkit")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.2)
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.2, max_shingle_df=5)
+    un_pairs = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # hot-gram-only pairs appear without the cap, vanish with it
+    assert any(a < 100 and b < 100 for a, b in un_pairs)
+    assert not any(a < 100 and b < 100 for a, b in cap_pairs)
+    # the true near-dup pair survives the cap
+    assert (100, 101) in cap_pairs
