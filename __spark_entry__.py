@@ -23,6 +23,7 @@ from etl_dashboard_project_1_spark.plans import (
     etl_queries,
     extension_queries,
     fuzzy_queries,
+    header_queries,
     streaming_queries,
     timeseries_queries,
 )
@@ -170,6 +171,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_minhash_lsh": (extension_queries.dedup_minhash_lsh, extension_queries.DEDUP_MINHASH_SQL),
     "sim_ann_lsh": (extension_queries.sim_ann_lsh, None),  # ANN: recall pinned in tests
     "sim_ann_ivf": (extension_queries.sim_ann_ivf, None),  # ANN: recall pinned in tests
+    # --- new this round: H9 LLM-path header standardizer (fake model) ---
+    "h9_llm_headers": (header_queries.h9_llm_headers, header_queries.H9_SQL),
     # --- r1-green, stable (local oracle-parity tests still cover these) ---
     # analytics / aggregation / join / window layer (SURVEY §2.8-§2.11)
     "q1_pricing_summary": (analytics.q1_pricing_summary, analytics.Q1_SQL),

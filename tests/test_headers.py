@@ -82,3 +82,56 @@ def test_old_catalog_format_readable(tmp_path):
     )
     c = HeaderCanonicalizer(catalog_file=path)
     assert c.catalog["MARCA"]["original_names"] == ["Marca"]
+
+
+# --- H9: LLM-path standardizer (deterministic fake model) -------------------
+
+def test_llm_standardizer_cache_and_collisions(tmp_path):
+    """Reference semantics (src/header_standarizer_llm.py:161-190): second
+    call is a cache hit; distinct headers generating the same name get
+    _1/_2 suffixes; degenerate model output falls back to col_<hash8>."""
+    from etl_dashboard_project_1_spark.functions.llm_headers import (
+        FakeSeq2Seq, LLMHeaderStandardizer)
+
+    cat = tmp_path / "llm_catalog.json"
+    std = LLMHeaderStandardizer(catalog_file=cat)
+    a = std.standardize_header("Marca")
+    assert a == "MARCA"
+    assert std.standardize_header("Marca") == a  # cache hit, no new entry
+    assert len(std.catalog) == 1
+    # collision: 'marca' normalizes to the same MARCA -> suffix _1
+    b = std.standardize_header("marca")
+    assert b == "MARCA_1"
+    # degenerate input -> hash fallback
+    c = std.standardize_header("°°")
+    assert c.startswith("col_") and len(c) == 12
+    # persisted catalog reloads into an equivalent standardizer
+    std2 = LLMHeaderStandardizer(catalog_file=cat)
+    assert std2.standardize_header("Marca") == "MARCA"
+    assert std2.standardize_header("marca") == "MARCA_1"
+
+
+def test_llm_standardizer_shares_catalog_format(tmp_path):
+    """H9 and the H7 rules engine are drop-in alternatives over ONE catalog
+    file: names admitted by one are cache hits for the other."""
+    from etl_dashboard_project_1_spark.functions.llm_headers import LLMHeaderStandardizer
+
+    cat = tmp_path / "shared_catalog.json"
+    rules = HeaderCanonicalizer(catalog_file=cat)
+    name = rules.standardize("CO2 combinado_(g/km)")
+    llm = LLMHeaderStandardizer(catalog_file=cat)
+    assert llm.standardize_header("CO2 combinado_(g/km)") == name
+
+
+def test_llm_batch_spark_matches_driver_path(spark):
+    """The distributed pandas-UDF inference path must admit exactly the
+    names the pure-driver path does (same model, same sorted admission)."""
+    from etl_dashboard_project_1_spark.functions.llm_headers import (
+        LLMHeaderStandardizer, batch_standardize_spark)
+    from etl_dashboard_project_1_spark.plans.header_queries import SAMPLE_HEADERS
+
+    driver_std = LLMHeaderStandardizer()
+    expected = driver_std.batch_standardize(sorted(SAMPLE_HEADERS))
+    spark_std = LLMHeaderStandardizer()
+    got = batch_standardize_spark(spark, spark_std, list(SAMPLE_HEADERS))
+    assert got == expected
