@@ -46,11 +46,61 @@ def acquire_with_fallback(
 ) -> tuple[Path, str]:
     """S1-S3 control flow: try the primary acquisition (web scrape +
     download in the reference), fall back to the backup source (GCS bucket)
-    on ANY failure. Returns (local_path, source_used)."""
+    on ANY failure; a fallback failure propagates. Returns
+    (local_path, source_used)."""
     try:
         return primary(), "primary"
     except Exception:
         return fallback(), "fallback"
+
+
+_ANCHOR_RE = r"""<[^>]*\bid\s*=\s*["']{id}["'][^>]*\bhref\s*=\s*["']([^"']+)["']"""
+_ANCHOR_RE_HREF_FIRST = r"""<[^>]*\bhref\s*=\s*["']([^"']+)["'][^>]*\bid\s*=\s*["']{id}["']"""
+
+
+def find_download_link(html: str, element_id: str) -> str:
+    """S1 parse step (reference extraction.py:68-75: BeautifulSoup
+    ``find(id=...)`` then ``.get('href')``): locate the anchor carrying
+    the dataset link by its element id. Pure string function (stdlib
+    regex, attribute order-insensitive) so the scrape control flow is
+    testable without a network or bs4; raises ``LookupError`` exactly
+    where the reference does when the element or href is missing."""
+    import re
+
+    for pat in (_ANCHOR_RE, _ANCHOR_RE_HREF_FIRST):
+        m = re.search(pat.format(id=re.escape(element_id)), html, re.IGNORECASE)
+        if m:
+            return m.group(1)
+    raise LookupError(f"no element with id {element_id!r} carrying an href")
+
+
+def scrape_and_download(
+    url: str,
+    element_id: str,
+    dest: str | Path,
+    fetch: Callable[[str], str] | None = None,
+    download: Callable[[str, str | Path], Path] | None = None,
+) -> Path:
+    """S1+S2 chain (reference extraction.py:45-98): fetch the catalog
+    page, extract the dataset href by element id, download it to ``dest``.
+
+    ``fetch``/``download`` are injectable transports — production wires
+    HTTP (``http_download``); tests wire local-file fakes, which is what
+    upgrades S1-S3 from env-stub to tested control flow. Defaults use
+    ``requests`` and raise ``NotImplementedError`` where unavailable."""
+    if fetch is None:
+        def fetch(u: str) -> str:  # pragma: no cover - env
+            try:
+                import requests
+            except ImportError as exc:
+                raise NotImplementedError("requests not available") from exc
+            resp = requests.get(u, timeout=15)
+            resp.raise_for_status()
+            return resp.text
+
+    download = download or http_download
+    link = find_download_link(fetch(url), element_id)
+    return download(link, dest)
 
 
 def http_download(url: str, dest: str | Path) -> Path:  # pragma: no cover - env

@@ -98,3 +98,73 @@ def test_events_readable_from_unconfigured_session(spark):
     ev = load_table(spark, SF, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.limit(5).count() == 5
+
+
+# --- S1-S3 acquisition chain with fake transports ---------------------------
+
+_SAMPLE_HTML = """
+<html><body>
+  <div class="nav"><a href="/elsewhere">ignore</a></div>
+  <a class="btn" id="brxe-dqzlqf" href="https://files.example/datos_3cv.xlsx">Descargar</a>
+</body></html>
+"""
+
+
+def test_find_download_link_by_element_id():
+    link = readers.find_download_link(_SAMPLE_HTML, "brxe-dqzlqf")
+    assert link == "https://files.example/datos_3cv.xlsx"
+    # attribute order flipped (href before id) still resolves
+    flipped = '<a href="https://x.example/f.xls" id="someid">x</a>'
+    assert readers.find_download_link(flipped, "someid") == "https://x.example/f.xls"
+    import pytest as _pytest
+    with _pytest.raises(LookupError):
+        readers.find_download_link(_SAMPLE_HTML, "missing-id")
+    with _pytest.raises(LookupError):
+        readers.find_download_link('<a id="noref">x</a>', "noref")
+
+
+def test_scrape_and_download_with_fake_transports(tmp_path):
+    """End-to-end S1+S2 on local fakes: the fetched page's link is what
+    gets downloaded; no network, no stubs raised."""
+    calls = []
+
+    def fake_fetch(url):
+        calls.append(("fetch", url))
+        return _SAMPLE_HTML
+
+    def fake_download(link, dest):
+        calls.append(("download", link))
+        p = tmp_path / "raw.xlsx"
+        p.write_bytes(b"xlsx-bytes")
+        return p
+
+    out = readers.scrape_and_download(
+        "https://catalog.example/page", "brxe-dqzlqf", tmp_path / "raw.xlsx",
+        fetch=fake_fetch, download=fake_download,
+    )
+    assert out.read_bytes() == b"xlsx-bytes"
+    assert calls == [
+        ("fetch", "https://catalog.example/page"),
+        ("download", "https://files.example/datos_3cv.xlsx"),
+    ]
+
+
+def test_acquire_fallback_ordering(tmp_path):
+    """primary ok -> primary; primary raises -> fallback; both raise ->
+    the fallback's exception propagates (reference: scrape first, GCS
+    backup second, hard-fail last)."""
+    ok = tmp_path / "ok.bin"
+    ok.write_bytes(b"x")
+
+    path, src = readers.acquire_with_fallback(lambda: ok, lambda: 1 / 0)
+    assert (path, src) == (ok, "primary")
+
+    def boom():
+        raise ConnectionError("scrape failed")
+
+    path, src = readers.acquire_with_fallback(boom, lambda: ok)
+    assert (path, src) == (ok, "fallback")
+
+    import pytest as _pytest
+    with _pytest.raises(ZeroDivisionError):
+        readers.acquire_with_fallback(boom, lambda: 1 / 0)
