@@ -169,7 +169,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "dedup_ngram_jaccard": (extension_queries.dedup_ngram_jaccard, extension_queries.DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (extension_queries.dedup_minhash_lsh, extension_queries.DEDUP_MINHASH_SQL),
-    "sim_ann_lsh": (extension_queries.sim_ann_lsh, None),  # ANN: recall pinned in tests
+    # LSH ANN: deterministic bucket filter mirrored in SQL (+ recall test)
+    "sim_ann_lsh": (extension_queries.sim_ann_lsh, extension_queries.SIM_ANN_LSH_SQL),
     "sim_ann_ivf": (extension_queries.sim_ann_ivf, None),  # ANN: recall pinned in tests
     # --- new this round: H9 LLM-path header standardizer (fake model) ---
     "h9_llm_headers": (header_queries.h9_llm_headers, header_queries.H9_SQL),

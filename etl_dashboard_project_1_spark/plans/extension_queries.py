@@ -341,8 +341,10 @@ WHERE {_COS_SQL.format(a='ea.embedding', b='eb.embedding')} >= 0.4
 
 
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN — no SQL oracle (recall floor pinned by unit test
-    against the brute-force baseline instead)."""
+    """Approximate NN via multi-probe sign-LSH. Fully deterministic
+    (integer-arithmetic hyperplanes, fixed query vector), so the DuckDB
+    oracle mirrors the exact bucket filter + re-rank; a unit test
+    additionally pins the recall floor against brute force."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     top = vector.hyperplane_lsh_topk(
@@ -350,6 +352,26 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude_id=0,
     )
     return top.select("vec_id", derive.portable_round(F.col("cosine"), 4).alias("cosine"))
+
+
+# Mirror of hyperplane_lsh_topk(num_planes=4, probe_hamming=2): bucket =
+# 4 sign bits of the deterministic hyperplane projections (planes 0..3 =
+# _band_bucket_sql band 0), candidates within hamming<=2 of the query's
+# bucket, exact cosine re-rank, same rounding and tie-break as the Spark
+# side.
+SIM_ANN_LSH_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {_band_bucket_sql('qv', 0, 4)} AS qbucket FROM q),
+v AS (
+  SELECT vec_id, embedding, {_band_bucket_sql('embedding', 0, 4)} AS bucket
+  FROM embeddings
+)
+SELECT vec_id, floor(({_COS_SQL.format(a='embedding', b='qv')}) * 10000 + 0.5) / 10000 AS cosine
+FROM v, q, qb
+WHERE vec_id != 0 AND bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 2
+ORDER BY {_COS_SQL.format(a='embedding', b='qv')} DESC, vec_id ASC
+LIMIT 10
+"""
 
 
 # --- multimodal plumbing ----------------------------------------------------
