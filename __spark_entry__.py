@@ -174,6 +174,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sim_ann_ivf": (extension_queries.sim_ann_ivf, None),  # ANN: recall pinned in tests
     # --- new this round: H9 LLM-path header standardizer (fake model) ---
     "h9_llm_headers": (header_queries.h9_llm_headers, header_queries.H9_SQL),
+    # --- new this round: corpus-quality / training-prep text ops ---
+    "text_repetition": (extension_queries.text_repetition, extension_queries.TEXT_REPETITION_SQL),
+    "text_chunk_overlap": (extension_queries.text_chunk_overlap, extension_queries.TEXT_CHUNK_SQL),
+    "text_tfidf_topk": (extension_queries.text_tfidf_topk, extension_queries.TFIDF_SQL),
     # --- r1-green, stable (local oracle-parity tests still cover these) ---
     # analytics / aggregation / join / window layer (SURVEY §2.8-§2.11)
     "q1_pricing_summary": (analytics.q1_pricing_summary, analytics.Q1_SQL),

@@ -101,6 +101,104 @@ def doc_fingerprint(text: Column | str) -> Column:
     return normalized_fingerprint(text)
 
 
+def repetition_signals(text: Column | str) -> dict[str, Column]:
+    """Repetition-based quality signals (the corpus-filtering family
+    popularized by large-LM data pipelines: heavily repeated content is a
+    strong low-quality marker):
+
+    - ``dup_word_ratio``: fraction of word occurrences that are repeats
+      (``1 - distinct/total``).
+    - ``top_token_share``: share of the single most frequent token.
+
+    Pure per-row array expressions — per-doc cost is bounded by document
+    length (docs are bounded; corpora are not), zero shuffle, zero UDF.
+    """
+    t = tokens(text)
+    n = F.greatest(F.size(t), F.lit(1))
+    distinct = F.array_distinct(t)
+    counts = F.transform(distinct, lambda d: F.size(F.filter(t, lambda x: x == d)))
+    return {
+        "dup_word_ratio": F.lit(1.0) - F.size(distinct) / n,
+        "top_token_share": F.array_max(counts) / n,
+    }
+
+
+def chunk_tokens_overlap(
+    df, id_col: str, text_col: str, chunk_size: int = 32, stride: int = 24
+):
+    """Sliding-window token chunking with overlap — the LLM-training prep
+    step that turns long documents into fixed-length training windows
+    (``stride < chunk_size`` overlaps consecutive windows).
+
+    One generate (explode of a per-row ``sequence``) with NO shuffle: the
+    chunk count per doc is ``ceil((n - chunk_size)/stride) + 1`` (min 1),
+    chunk ``i`` is ``slice(tokens, i*stride + 1, chunk_size)``. Emits
+    (id, chunk_no, n_tokens, chunk_hash) — the hash stands in for the
+    chunk payload so the manifest stays narrow; a loader re-slices by
+    (id, chunk_no).
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_size)) / F.lit(float(stride))).cast("int") + 1
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            t.alias("_t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_no",
+            F.size(F.slice(F.col("_t"), F.col("chunk_no") * stride + 1, chunk_size)).alias(
+                "n_tokens"
+            ),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_t"), F.col("chunk_no") * stride + 1, chunk_size))
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def tfidf_topk(df, id_col: str, text_col: str, k: int = 3):
+    """Top-k characteristic terms per document by tf·idf.
+
+    Two-phase, three-shuffle plan that scales: (1) token counts per
+    (doc, token) — ONE shuffle with map-side combine; (2) document
+    frequency per token — vocab-sized result, joined back via BROADCAST
+    (no fact-side shuffle); (3) per-doc top-k — window on the doc key.
+
+    idf is the RATIONAL form ``(N + 1) / (df + 1)`` rather than its log:
+    integer-product-then-divide is a single correctly-rounded IEEE op, so
+    rankings are bit-identical across engines (log-idf is a one-line swap
+    but libm vs JVM ``log`` can disagree in the last ulp and flip
+    near-ties). Monotone per fixed tf, so top-k membership only differs
+    from log-idf where scores tie anyway.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
+    tf = tok.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n")).first()["n"]
+    scored = tf.join(F.broadcast(dfreq), "_tok").withColumn(
+        "score", F.col("tf") * F.lit(float(n_docs + 1)) / (F.col("df") + 1)
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("_tok"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_rn").alias("rank"),
+            F.col("_tok").alias("token"),
+            "tf",
+            "df",
+        )
+    )
+
+
 # PII patterns deliberately written in the regex subset every engine
 # parses identically (no lookarounds, no \b word boundaries — DuckDB RE2
 # and Java regex agree on these literals and classes).

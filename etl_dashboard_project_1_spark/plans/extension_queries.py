@@ -265,6 +265,90 @@ FROM documents
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-quality signals per document (dup-word ratio + top-token
+    share) — pure per-row expressions, zero shuffle."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sig = textops.repetition_signals("text")
+    return docs.select(
+        "doc_id",
+        derive.portable_round(sig["dup_word_ratio"], 4).alias("dup_word_ratio"),
+        derive.portable_round(sig["top_token_share"], 4).alias("top_token_share"),
+    )
+
+
+TEXT_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       floor((1.0 - len(list_distinct(toks)) / greatest(len(toks), 1)) * 10000 + 0.5) / 10000
+         AS dup_word_ratio,
+       floor((list_max(list_transform(list_distinct(toks),
+                 d -> len(list_filter(toks, x -> x = d))))
+              / greatest(len(toks), 1)) * 10000 + 0.5) / 10000
+         AS top_token_share
+FROM t
+"""
+
+
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (size 32, stride 24) — training-window
+    manifest rows (doc_id, chunk_no, n_tokens, chunk_hash)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return textops.chunk_tokens_overlap(docs, "doc_id", "text", chunk_size=32, stride=24)
+
+
+TEXT_CHUNK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks,
+         len(regexp_split_to_array(lower(text), '\s+')) AS n
+  FROM documents
+),
+nc AS (
+  SELECT doc_id, toks,
+         CASE WHEN n <= 32 THEN 1
+              ELSE CAST(ceil((n - 32) / 24.0) AS INT) + 1 END AS n_chunks
+  FROM t
+)
+SELECT doc_id, CAST(c AS INT) AS chunk_no,
+       CAST(len(list_slice(toks, c * 24 + 1, c * 24 + 32)) AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, c * 24 + 1, c * 24 + 32), ' ')) AS chunk_hash
+FROM nc, range(4096) r(c)
+WHERE c < n_chunks
+"""
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic tokens per document by (rational-idf) tf·idf."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return textops.tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         tf.tf * (n.n_docs + 1.0) / (dfreq.df + 1) AS score
+  FROM tf JOIN dfreq USING (tok), n
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS INT) AS rank,
+       tok AS token, tf, df
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 # --- similarity search ------------------------------------------------------
 
 _COS_SQL = """

@@ -370,3 +370,39 @@ def test_ngram_jaccard_df_cap_kills_hot_shingles(spark):
     assert not any(a < 100 and b < 100 for a, b in cap_pairs)
     # the true near-dup pair survives the cap
     assert (100, 101) in cap_pairs
+
+
+def test_chunk_overlap_boundaries(spark):
+    """Chunk arithmetic: short doc -> 1 chunk; a doc of exactly
+    chunk_size -> 1; one token over -> 2 overlapping chunks whose token
+    windows share stride..chunk_size positions."""
+    from etl_dashboard_project_1_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                                # 3 tokens
+            (2, " ".join(f"t{i}" for i in range(8))),     # exactly chunk_size
+            (3, " ".join(f"t{i}" for i in range(9))),     # one over
+        ],
+        ["doc_id", "text"],
+    )
+    out = textops.chunk_tokens_overlap(docs, "doc_id", "text", chunk_size=8, stride=6)
+    per_doc = {r["doc_id"]: r["n"] for r in out.groupBy("doc_id").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert per_doc == {1: 1, 2: 1, 3: 2}
+    rows = {(r["doc_id"], r["chunk_no"]): r["n_tokens"] for r in out.collect()}
+    assert rows[(3, 0)] == 8 and rows[(3, 1)] == 3  # tail window truncates
+
+
+def test_repetition_signals_extremes(spark):
+    from etl_dashboard_project_1_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    sig = textops.repetition_signals("text")
+    got = {r["doc_id"]: (r["dup"], r["top"]) for r in docs.select(
+        "doc_id", sig["dup_word_ratio"].alias("dup"), sig["top_token_share"].alias("top")
+    ).collect()}
+    assert got[1] == (0.75, 1.0)   # all repeats of one token
+    assert got[2] == (0.0, 0.25)   # all distinct
