@@ -178,6 +178,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_repetition": (extension_queries.text_repetition, extension_queries.TEXT_REPETITION_SQL),
     "text_chunk_overlap": (extension_queries.text_chunk_overlap, extension_queries.TEXT_CHUNK_SQL),
     "text_tfidf_topk": (extension_queries.text_tfidf_topk, extension_queries.TFIDF_SQL),
+    # --- new this round: data-quality audit + embedding cohesion ---
+    "dq_rule_violations": (dashboard_queries.dq_rule_violations, dashboard_queries.DQ_RULES_SQL),
+    "dq_orphan_orders": (dashboard_queries.dq_orphan_orders, dashboard_queries.DQ_ORPHANS_SQL),
+    "emb_label_centroid_stats": (
+        extension_queries.emb_label_centroid_stats,
+        extension_queries.EMB_LABEL_STATS_SQL,
+    ),
     # --- r1-green, stable (local oracle-parity tests still cover these) ---
     # analytics / aggregation / join / window layer (SURVEY §2.8-§2.11)
     "q1_pricing_summary": (analytics.q1_pricing_summary, analytics.Q1_SQL),

@@ -1,0 +1,64 @@
+"""Config-driven data-quality rule engine — the audit side of an ETL
+dashboard (reference parity: the reference emits audit CSVs of its header
+catalog, src/transform_pipeline.py K6; this generalizes that to row-level
+data contracts).
+
+Rules are declarative (name, predicate Column); evaluation is ONE pass:
+every rule becomes a conditional-sum aggregate over the same scan, so N
+rules cost one job and zero extra shuffles (the aggregation is a global
+partial+final pair). Referential-integrity rules are left anti joins —
+the one rule family that genuinely needs a second table.
+
+All counting is done with ``sum(when(violated, 1))`` rather than N
+filtered passes: at 100 TB the scan dominates, so rules must share it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_rules(df: DataFrame, rules: Sequence[tuple[str, Column]]) -> DataFrame:
+    """Evaluate named violation predicates in one aggregate pass.
+
+    ``rules`` = [(rule_name, violation_condition), ...]; returns one row
+    per rule: (rule, violations, total_rows, violation_rate).
+    """
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in rules
+    ]
+    row = df.agg(F.count(F.lit(1)).cast("long").alias("_total"), *aggs)
+    names = [name for name, _ in rules]
+    stacked = row.select(
+        "_total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(name).alias("rule"), F.col(name).alias("violations"))
+                    for name in names
+                ]
+            )
+        ).alias("_r"),
+    )
+    return stacked.select(
+        F.col("_r.rule").alias("rule"),
+        F.col("_r.violations").alias("violations"),
+        F.col("_total").alias("total_rows"),
+        (F.col("_r.violations") / F.col("_total")).alias("violation_rate"),
+    )
+
+
+def orphan_count(
+    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str
+) -> DataFrame:
+    """Referential integrity: fact rows whose key has no dimension match
+    (left ANTI join — only the key column shuffles; for genuinely
+    dimension-sized right sides Spark broadcasts it)."""
+    orphans = fact.select(F.col(fact_key)).join(
+        dim.select(F.col(dim_key).alias(fact_key)), fact_key, "left_anti"
+    )
+    return orphans.agg(F.count(F.lit(1)).cast("long").alias("orphans"))

@@ -552,3 +552,63 @@ SELECT c_mktsegment,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
+
+
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven data-quality audit over lineitem: N declarative rules
+    evaluated as conditional sums in ONE scan+aggregate (operators/quality.py
+    — the row-level generalization of the reference's catalog audit CSV)."""
+    from ..operators import quality
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        ("nonpositive_quantity", F.col("l_quantity") <= 0),
+        ("discount_above_policy", F.col("l_discount") > 0.08),
+        ("tax_above_policy", F.col("l_tax") > 0.06),
+        ("nonpositive_price", F.col("l_extendedprice") <= 0),
+        ("null_ship_date", F.col("l_shipdate").isNull()),
+    ]
+    out = quality.check_rules(li, rules)
+    return out.select(
+        "rule", "violations", "total_rows",
+        derive.portable_round(F.col("violation_rate"), 6).alias("violation_rate"),
+    )
+
+
+DQ_RULES_SQL = """
+WITH agg AS (
+  SELECT count(*)::BIGINT AS total_rows,
+         sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT AS nonpositive_quantity,
+         sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)::BIGINT AS discount_above_policy,
+         sum(CASE WHEN l_tax > 0.06 THEN 1 ELSE 0 END)::BIGINT AS tax_above_policy,
+         sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS nonpositive_price,
+         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_ship_date
+  FROM lineitem
+)
+SELECT t.rule, t.violations, agg.total_rows,
+       floor((t.violations / agg.total_rows) * 1000000 + 0.5) / 1000000 AS violation_rate
+FROM agg, LATERAL (VALUES
+  ('nonpositive_quantity', nonpositive_quantity),
+  ('discount_above_policy', discount_above_policy),
+  ('tax_above_policy', tax_above_policy),
+  ('nonpositive_price', nonpositive_price),
+  ('null_ship_date', null_ship_date)
+) t(rule, violations)
+"""
+
+
+def dq_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity probe: orders whose customer key has no
+    dimension row (left anti join, key-only shuffle)."""
+    from ..operators import quality
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return quality.orphan_count(orders, "o_custkey", cust, "c_custkey")
+
+
+DQ_ORPHANS_SQL = """
+SELECT count(*)::BIGINT AS orphans
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""

@@ -821,3 +821,52 @@ GROUP BY t
 ORDER BY doc_freq DESC, n_occurrences DESC, token ASC
 LIMIT 20
 """
+
+
+def emb_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cohesion: member count + mean cosine of members
+    to their label centroid (the compactness diagnostic run before using
+    labels as training strata).
+
+    Scale shape mirrors the k-means update: centroid = per-(label, dim)
+    mean via posexplode + ONE groupBy (only label·dim cells shuffle), the
+    label→centroid table is labels-sized and broadcast back, the final
+    per-label aggregate is a second small shuffle. Vectors never shuffle.
+    """
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    v = emb.select("label", "vec_id", vector.as_double_vec("embedding").alias("_v"))
+    cells = (
+        v.select("label", F.posexplode("_v").alias("_pos", "_x"))
+        .groupBy("label", "_pos")
+        .agg(F.avg("_x").alias("_m"))
+    )
+    centroids = (
+        cells.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
+        .select("label", F.transform(F.col("_pm"), lambda s: s["_m"]).alias("_centroid"))
+    )
+    joined = v.join(F.broadcast(centroids), "label")
+    cos = vector.cosine(F.col("_v"), F.col("_centroid"))
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        derive.portable_round(F.avg(cos), 4).alias("mean_cosine"),
+    )
+
+
+# dim pinned to the testdata embedding width (64); the Spark side reads it
+# from the array itself.
+EMB_LABEL_STATS_SQL = f"""
+WITH cells AS (
+  SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY label, i
+),
+cent AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM cells GROUP BY label
+)
+SELECT e.label, count(*)::BIGINT AS n_vecs,
+       floor(avg({_COS_SQL.format(a='e.embedding', b='c.centroid')}) * 10000 + 0.5) / 10000
+         AS mean_cosine
+FROM embeddings e JOIN cent c USING (label)
+GROUP BY e.label
+"""

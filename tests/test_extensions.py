@@ -406,3 +406,28 @@ def test_repetition_signals_extremes(spark):
     ).collect()}
     assert got[1] == (0.75, 1.0)   # all repeats of one token
     assert got[2] == (0.0, 0.25)   # all distinct
+
+
+def test_dq_check_rules_counts_and_single_pass(spark):
+    from etl_dashboard_project_1_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, 0.0), (4, 99.0)], ["id", "amount"]
+    )
+    out = quality.check_rules(
+        df,
+        [("nonpositive", F.col("amount") <= 0), ("too_big", F.col("amount") > 50)],
+    )
+    rows = {r["rule"]: (r["violations"], r["total_rows"]) for r in out.collect()}
+    assert rows == {"nonpositive": (2, 4), "too_big": (1, 4)}
+    # all rules share ONE scan+aggregate: no join/union of per-rule passes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Union" not in plan
+
+
+def test_dq_orphan_count_planted(spark):
+    from etl_dashboard_project_1_spark.operators import quality
+
+    fact = spark.createDataFrame([(1,), (2,), (99,)], ["k"])
+    dim = spark.createDataFrame([(1,), (2,)], ["k"])
+    assert quality.orphan_count(fact, "k", dim, "k").first()["orphans"] == 1
