@@ -303,3 +303,61 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: per-user daily activity densified over
+    each user's [first_day, last_day] span (missing days exist with zero
+    events — the precondition for any rolling/interpolation pass), then
+    summarized per user.
+
+    Scale shape: daily counts are ONE shuffle on (user, day); the spine is
+    a per-user ``sequence`` explode of the user's own bounds (span-bounded
+    fan-out, no global calendar cross join); spine⋈daily co-partitions on
+    the same (user, day) key. Cost tracks Σ per-user spans, never
+    |users| × |global calendar|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("_lo", "_hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    filled = spine.join(daily, ["user_id", "day"], "left").withColumn(
+        "n_events", F.coalesce(F.col("n_events"), F.lit(0))
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("n_events") == 0, 1).otherwise(0)).cast("long").alias("n_gap_days"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+
+
+GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+filled AS (
+  SELECT s.user_id, s.day, coalesce(d.n_events, 0) AS n_events
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_days,
+       sum(CASE WHEN n_events = 0 THEN 1 ELSE 0 END)::BIGINT AS n_gap_days,
+       sum(n_events)::BIGINT AS total_events
+FROM filled
+GROUP BY user_id
+"""
