@@ -135,3 +135,34 @@ def test_sample_predicate_is_map_only(spark):
     s = sampling.deterministic_sample(docs, "doc_id", 0.1)
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_no_registered_query_plans_a_cartesian_product(spark):
+    """Global scale guard: NO registry query may compile to an unbounded
+    CartesianProduct. Broadcast nested-loop joins are allowed only where
+    one side is config/driver-sized by construction (the band-table join
+    and the fuzzy join's broadcast catalog cross)."""
+    import importlib
+
+    entrymod = importlib.import_module("__spark_entry__")
+    # nested-loop-by-design: the broadcast side is literal/config-sized
+    NESTED_LOOP_OK = {
+        "band_join_purchase_values",       # literal band table
+        "j1_fuzzy_similarity_join",        # broadcast 25-row catalog cross
+        "j1_fuzzy_difflib",
+        "j2_mapping_application",
+        "salted_join_events_customers",    # dim × salt_buckets literal replication
+    }
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # a query failing to BUILD is itself a bug
+            offenders[name] = f"plan build failed: {e}"
+            continue
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
+            offenders[name] = "BroadcastNestedLoopJoin (not whitelisted)"
+    assert not offenders, offenders
