@@ -186,6 +186,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.EMB_LABEL_STATS_SQL,
     ),
     "gap_fill_daily": (timeseries_queries.gap_fill_daily, timeseries_queries.GAP_FILL_SQL),
+    "stream_windowed_topk": (
+        streaming_queries.stream_windowed_topk,
+        streaming_queries.STREAM_TOPK_SQL,
+    ),
     # --- r1-green, stable (local oracle-parity tests still cover these) ---
     # analytics / aggregation / join / window layer (SURVEY §2.8-§2.11)
     "q1_pricing_summary": (analytics.q1_pricing_summary, analytics.Q1_SQL),

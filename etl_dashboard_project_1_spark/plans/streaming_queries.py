@@ -108,3 +108,35 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON e.user_id = p.user_id
  AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
 """
+
+
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour: the watermarked per-window
+    counts (streamable) + rank-on-closed-windows (batch/foreachBatch
+    side). Deterministic tie-break: count desc, type asc."""
+    from pyspark.sql import Window
+
+    counts = jobs.windowed_type_counts(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "rank", "event_type", "n_events")
+    )
+
+
+STREAM_TOPK_SQL = """
+WITH counts AS (
+  SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start,
+       CAST(row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type ASC) AS INT) AS rank,
+       event_type, n_events
+FROM counts
+QUALIFY rank <= 3
+"""

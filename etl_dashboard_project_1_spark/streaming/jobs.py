@@ -242,3 +242,25 @@ def foreach_batch_upsert(stream_df: DataFrame, target_dir: str, key: str):
     q = stream_df.writeStream.outputMode("update").foreachBatch(do_upsert).start()
     q.processAllAvailable()
     return q
+
+
+def windowed_type_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-(tumbling window, event_type) counts — the streamable half of
+    windowed top-k. Streaming top-N cannot rank inside the engine's
+    append-mode aggregation (ranking needs the window CLOSED), so the
+    standard pattern splits: this watermarked aggregate runs in the
+    stream; the rank-and-keep-k step runs on the closed windows (batch
+    query below, or a foreachBatch/serving-side pass)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -108,3 +108,18 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     assert after.count() == first
     distinct_keys = load_table(spark, SF, "events").select("event_id").distinct().count()
     assert first == distinct_keys
+
+
+def test_windowed_counts_stream_matches_batch(spark):
+    """The streamable half of windowed top-k: per-(window, type) counts
+    through a real readStream equal the batch expression."""
+    batch = jobs.windowed_type_counts(load_table(spark, SF, "events"))
+    stream = jobs.windowed_type_counts(jobs.read_events_stream(spark, SF))
+    assert stream.isStreaming
+    q = jobs.run_stream_to_memory(stream, "t_wtopk")
+    try:
+        got = spark.sql("SELECT * FROM t_wtopk")
+        cols = ["window_start", "event_type", "n_events"]
+        assert _rows(got, cols) == _rows(batch, cols)
+    finally:
+        q.stop()
