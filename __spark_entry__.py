@@ -190,6 +190,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_queries.stream_windowed_topk,
         streaming_queries.STREAM_TOPK_SQL,
     ),
+    "curation_funnel": (extension_queries.curation_funnel, extension_queries.CURATION_FUNNEL_SQL),
+    "decontaminate_report": (
+        extension_queries.decontaminate_report,
+        extension_queries.DECONTAMINATE_SQL,
+    ),
     # --- r1-green, stable (local oracle-parity tests still cover these) ---
     # analytics / aggregation / join / window layer (SURVEY §2.8-§2.11)
     "q1_pricing_summary": (analytics.q1_pricing_summary, analytics.Q1_SQL),

@@ -870,3 +870,131 @@ SELECT e.label, count(*)::BIGINT AS n_vecs,
 FROM embeddings e JOIN cent c USING (label)
 GROUP BY e.label
 """
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel report for the curation chain: how many documents
+    survive each successive gate (dedup keep → language → quality). All
+    four stage counts are conditional sums over ONE scan (the same
+    single-pass shape as the DQ rule engine) — the monitoring view a
+    curation run emits alongside its output."""
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        textops.detect_language("text").alias("lang_detected"),
+        derive.portable_round(textops.quality_score("text"), 4).alias("quality"),
+        dedup.normalized_fingerprint("text").alias("fp"),
+    )
+    flags = scored.withColumn(
+        "is_keeper", F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
+    ).select(
+        "is_keeper",
+        (F.col("lang_detected") == "en").alias("is_en"),
+        (F.col("quality") >= 0.5).alias("is_quality"),
+    )
+    row = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum(F.when(F.col("is_keeper"), 1).otherwise(0)).cast("long").alias("after_dedup"),
+        F.sum(F.when(F.col("is_keeper") & F.col("is_en"), 1).otherwise(0))
+        .cast("long").alias("after_lang"),
+        F.sum(
+            F.when(F.col("is_keeper") & F.col("is_en") & F.col("is_quality"), 1).otherwise(0)
+        ).cast("long").alias("after_quality"),
+    )
+    stages = ["total", "after_dedup", "after_lang", "after_quality"]
+    return row.select(
+        F.posexplode(
+            F.array(*[F.struct(F.lit(s).alias("stage"), F.col(s).alias("n_docs")) for s in stages])
+        ).alias("stage_no", "_s")
+    ).select(
+        F.col("stage_no").cast("int").alias("stage_no"),
+        F.col("_s.stage").alias("stage"),
+        F.col("_s.n_docs").alias("n_docs"),
+    )
+
+
+CURATION_FUNNEL_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+         length(regexp_replace(regexp_replace(text, '\s', '', 'g'), '[^a-zA-Z0-9]', '', 'g')) AS n_alnum,
+         {_ratio_sql(textops.LANG_PROFILES['en'])} AS r_en,
+         {_ratio_sql(textops.LANG_PROFILES['es'])} AS r_es,
+         {_ratio_sql(textops.LANG_PROFILES['de'])} AS r_de,
+         {_ratio_sql(textops.LANG_PROFILES['fr'])} AS r_fr
+  FROM documents
+),
+flags AS (
+  SELECT doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_keeper,
+         (CASE WHEN greatest(r_en, r_es, r_de, r_fr) <= 0.05 THEN 'und'
+               WHEN r_en >= greatest(r_es, r_de, r_fr) THEN 'en'
+               WHEN r_es >= greatest(r_de, r_fr)       THEN 'es'
+               WHEN r_de >= r_fr                        THEN 'de'
+               ELSE 'fr' END) = 'en' AS is_en,
+         floor((0.4 * least(n_tokens / 200.0, 1.0)
+              + 0.3 * (1.0 - (n_nonws - n_alnum) / greatest(n_nonws, 1)::DOUBLE)
+              + 0.3 * least(r_en / 0.08, 1.0)) * 10000 + 0.5) / 10000 >= 0.5 AS is_quality
+  FROM t
+),
+agg AS (
+  SELECT count(*)::BIGINT AS total,
+         sum(CASE WHEN is_keeper THEN 1 ELSE 0 END)::BIGINT AS after_dedup,
+         sum(CASE WHEN is_keeper AND is_en THEN 1 ELSE 0 END)::BIGINT AS after_lang,
+         sum(CASE WHEN is_keeper AND is_en AND is_quality THEN 1 ELSE 0 END)::BIGINT AS after_quality
+  FROM flags
+)
+SELECT t.stage_no, t.stage, t.n_docs
+FROM agg, LATERAL (VALUES
+  (0, 'total', total),
+  (1, 'after_dedup', after_dedup),
+  (2, 'after_lang', after_lang),
+  (3, 'after_quality', after_quality)
+) t(stage_no, stage, n_docs)
+"""
+
+
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose normalized
+    fingerprint collides with a held-out evaluation set (here: the
+    deterministic 5% hash sample stands in for the benchmark), reporting
+    per-source contamination counts.
+
+    Scale shape: the benchmark fingerprint set is eval-sized (always ≪
+    corpus) — broadcast semi join against the corpus fingerprints; ONE
+    corpus scan, no corpus-side shuffle before the final small groupBy.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    fp = docs.select(
+        "doc_id", "source", dedup.normalized_fingerprint("text").alias("fp")
+    )
+    bench = (
+        sampling.deterministic_sample(docs, "doc_id", 0.05)
+        .select(dedup.normalized_fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    contaminated = fp.join(F.broadcast(bench), "fp", "left_semi")
+    return contaminated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_contaminated")
+    )
+
+
+DECONTAMINATE_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp
+  FROM documents
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'sample'), 1, 8))::BIGINT % 10000 < 500
+)
+SELECT source, count(*)::BIGINT AS n_contaminated
+FROM fp
+WHERE EXISTS (SELECT 1 FROM bench b WHERE b.fp = fp.fp)
+GROUP BY source
+"""
