@@ -174,12 +174,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_chunk_overlap": (extension_queries.text_chunk_overlap, extension_queries.TEXT_CHUNK_SQL),
     "text_tfidf_topk": (extension_queries.text_tfidf_topk, extension_queries.TFIDF_SQL),
     "dq_rule_violations": (dashboard_queries.dq_rule_violations, dashboard_queries.DQ_RULES_SQL),
-    "dq_orphan_orders": (dashboard_queries.dq_orphan_orders, dashboard_queries.DQ_ORPHANS_SQL),
+    # pii scrub/audit semantics changed this round (sequential counts,
+    # ipv4-before-phone) — must re-earn its driver row
+    "text_pii_scrub": (extension_queries.text_pii_scrub, extension_queries.TEXT_PII_SQL),
     "emb_label_centroid_stats": (
         extension_queries.emb_label_centroid_stats,
         extension_queries.EMB_LABEL_STATS_SQL,
     ),
     # --- new this round, next in line if the driver checks past 50 ---
+    "dq_orphan_orders": (dashboard_queries.dq_orphan_orders, dashboard_queries.DQ_ORPHANS_SQL),
     "gap_fill_daily": (timeseries_queries.gap_fill_daily, timeseries_queries.GAP_FILL_SQL),
     "stream_windowed_topk": (
         streaming_queries.stream_windowed_topk,
@@ -234,7 +237,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.text_fingerprint,
         extension_queries.TEXT_FINGERPRINT_SQL,
     ),
-    "text_pii_scrub": (extension_queries.text_pii_scrub, extension_queries.TEXT_PII_SQL),
     "vocab_top_tokens": (extension_queries.vocab_top_tokens, extension_queries.VOCAB_SQL),
     "curation_pipeline": (extension_queries.curation_pipeline, extension_queries.CURATION_SQL),
     # similarity search

@@ -200,6 +200,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.2,
+    reuse: str = "checkpoint",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signature → bands → bucket join
     → candidate pairs → verify with true Jaccard ≥ threshold.
@@ -213,13 +214,22 @@ def minhash_lsh_pairs(
     id-equi-joins that verify candidates via ``array_intersect`` on the
     per-doc shingle sets — cost tracks near-dup density, never n².
     """
-    # localCheckpoint, NOT persist: the shingle sets are read twice
-    # (signatures + candidate verification), but a plain persist lives for
-    # the whole session unless the caller unpersists — repeated invocations
-    # (bench warmup/timed passes, test reruns) would accumulate cached
-    # partitions in executor storage. Checkpoint blocks are released by the
-    # ContextCleaner when this DataFrame goes out of scope.
-    ss = shingle_sets(df, id_col, text_col, k).localCheckpoint(eager=False)
+    # The shingle sets are read twice (signatures + candidate verify);
+    # ``reuse`` picks how, because each strategy fails differently:
+    # - 'checkpoint' (default): localCheckpoint — freed by the
+    #   ContextCleaner when unreferenced (no session-lifetime cache leak),
+    #   but blocks are NOT recomputable after executor loss.
+    # - 'persist': lineage kept (executor-loss safe) but lives until the
+    #   caller unpersists — leak-prone across repeated invocations.
+    # - 'recompute': no caching — the projection runs twice; measured
+    #   equal-cost at local SFs, doubles the corpus scan at 100 TB.
+    ss = shingle_sets(df, id_col, text_col, k)
+    if reuse == "checkpoint":
+        ss = ss.localCheckpoint(eager=False)
+    elif reuse == "persist":
+        ss = ss.persist()
+    elif reuse != "recompute":
+        raise ValueError(f"unknown reuse mode {reuse!r}")
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes, shingle_sets_df=ss)
     # one row per (doc, band): band signature = md5 of the in-band minhashes
     # in hash-index order. Built by exploding a literal array of per-band

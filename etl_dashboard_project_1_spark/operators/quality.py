@@ -27,19 +27,26 @@ def check_rules(df: DataFrame, rules: Sequence[tuple[str, Column]]) -> DataFrame
     ``rules`` = [(rule_name, violation_condition), ...]; returns one row
     per rule: (rule, violations, total_rows, violation_rate).
     """
-    aggs = [
-        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
-        for name, cond in rules
-    ]
-    row = df.agg(F.count(F.lit(1)).cast("long").alias("_total"), *aggs)
+    # rule names are DATA, not identifiers: aggregates get positional
+    # internal aliases so a name like '_total', 'a.b', or a duplicate
+    # cannot collide with internal columns or shadow another rule
     names = [name for name, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate rule names")
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"__dq_{i}")
+        for i, (_name, cond) in enumerate(rules)
+    ]
+    row = df.agg(F.count(F.lit(1)).cast("long").alias("__dq_total"), *aggs)
     stacked = row.select(
-        "_total",
+        "__dq_total",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(name).alias("rule"), F.col(name).alias("violations"))
-                    for name in names
+                    F.struct(
+                        F.lit(name).alias("rule"), F.col(f"__dq_{i}").alias("violations")
+                    )
+                    for i, name in enumerate(names)
                 ]
             )
         ).alias("_r"),
@@ -47,8 +54,8 @@ def check_rules(df: DataFrame, rules: Sequence[tuple[str, Column]]) -> DataFrame
     return stacked.select(
         F.col("_r.rule").alias("rule"),
         F.col("_r.violations").alias("violations"),
-        F.col("_total").alias("total_rows"),
-        (F.col("_r.violations") / F.col("_total")).alias("violation_rate"),
+        F.col("__dq_total").alias("total_rows"),
+        (F.col("_r.violations") / F.col("__dq_total")).alias("violation_rate"),
     )
 
 

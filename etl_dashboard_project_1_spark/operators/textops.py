@@ -117,14 +117,22 @@ def repetition_signals(text: Column | str) -> dict[str, Column]:
     n = F.greatest(F.size(t), F.lit(1))
     distinct = F.array_distinct(t)
     counts = F.transform(distinct, lambda d: F.size(F.filter(t, lambda x: x == d)))
+    # size(NULL) is -1 in Spark: propagate null for null text instead of
+    # emitting garbage ratios (the SQL oracle's len(NULL) is NULL too)
+    c = F.col(text) if isinstance(text, str) else text
     return {
-        "dup_word_ratio": F.lit(1.0) - F.size(distinct) / n,
-        "top_token_share": F.array_max(counts) / n,
+        "dup_word_ratio": F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
+            F.lit(1.0) - F.size(distinct) / n
+        ),
+        "top_token_share": F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
+            F.array_max(counts) / n
+        ),
     }
 
 
 def chunk_tokens_overlap(
-    df, id_col: str, text_col: str, chunk_size: int = 32, stride: int = 24
+    df, id_col: str, text_col: str, chunk_size: int = 32, stride: int = 24,
+    max_chunks: int | None = None,
 ):
     """Sliding-window token chunking with overlap — the LLM-training prep
     step that turns long documents into fixed-length training windows
@@ -135,15 +143,21 @@ def chunk_tokens_overlap(
     chunk ``i`` is ``slice(tokens, i*stride + 1, chunk_size)``. Emits
     (id, chunk_no, n_tokens, chunk_hash) — the hash stands in for the
     chunk payload so the manifest stays narrow; a loader re-slices by
-    (id, chunk_no).
+    (id, chunk_no). Null-text rows produce no chunks.
+
+    ``max_chunks`` is an EXPLICIT per-doc truncation cap (pathological
+    mega-docs stop fanning out); None means unbounded.
     """
     t = tokens(text_col)
     n = F.size(t)
     n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
         F.ceil((n - F.lit(chunk_size)) / F.lit(float(stride))).cast("int") + 1
     )
+    if max_chunks is not None:
+        n_chunks = F.least(n_chunks, F.lit(max_chunks))
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     return (
-        df.select(
+        df.filter(c.isNotNull()).select(
             F.col(id_col),
             t.alias("_t"),
             F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
@@ -181,9 +195,14 @@ def tfidf_topk(df, id_col: str, text_col: str, k: int = 3):
     tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
     tf = tok.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n")).first()["n"]
-    scored = tf.join(F.broadcast(dfreq), "_tok").withColumn(
-        "score", F.col("tf") * F.lit(float(n_docs + 1)) / (F.col("df") + 1)
+    # corpus size joins in LAZILY (broadcast 1-row cross) — a .first() here
+    # would run a full corpus scan at plan-BUILD time, firing jobs from
+    # mere EXPLAIN / plan-audit calls
+    n_docs = df.agg(F.countDistinct(F.col(id_col)).cast("double").alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "_tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * (F.col("_n") + 1) / (F.col("df") + 1))
     )
     w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("_tok"))
     return (
@@ -202,14 +221,16 @@ def tfidf_topk(df, id_col: str, text_col: str, k: int = 3):
 # PII patterns deliberately written in the regex subset every engine
 # parses identically (no lookarounds, no \b word boundaries — DuckDB RE2
 # and Java regex agree on these literals and classes).
-# ipv4 MUST precede phone, and phone's separator class excludes '.': an
-# IPv4 with 3-digit octets (192.168.100.200) would otherwise fully match a
-# dotted phone pattern, mislabeling both the scrub token and the per-kind
-# audit counts (which match each pattern independently on the raw text).
+# ipv4 MUST precede phone: an IPv4 with 3-digit octets (192.168.100.200)
+# fully matches the dotted phone pattern, so the earlier-listed ipv4 rule
+# must claim it first. The audit counts apply the same sequential
+# semantics (each kind counted on the text with earlier kinds already
+# scrubbed), so a string is only ever attributed to ONE kind — the one
+# that would scrub it.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
-    ("phone", r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}", "<PHONE>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "<PHONE>"),
     ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
 )
 
@@ -227,9 +248,15 @@ def scrub_pii(text: Column | str, kinds: tuple[str, ...] | None = None) -> Colum
 
 
 def pii_hit_counts(text: Column | str) -> dict[str, Column]:
-    """Per-kind match counts (audit metric before destructive scrubbing)."""
+    """Per-kind match counts (audit metric before destructive scrubbing).
+
+    Counted SEQUENTIALLY — kind i is counted on the text with kinds
+    0..i-1 already scrubbed — so every span is attributed to exactly the
+    kind that scrub_pii would replace it with (an IP never also counts as
+    a phone; a dotted phone still counts as a phone)."""
     col = F.col(text) if isinstance(text, str) else text
-    return {
-        kind: F.coalesce(F.regexp_count(col, F.lit(pattern)), F.lit(0)).cast("long")
-        for kind, pattern, _ in PII_PATTERNS
-    }
+    out: dict[str, Column] = {}
+    for kind, pattern, token in PII_PATTERNS:
+        out[kind] = F.coalesce(F.regexp_count(col, F.lit(pattern)), F.lit(0)).cast("long")
+        col = F.regexp_replace(col, pattern, token)
+    return out

@@ -296,7 +296,10 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (size 32, stride 24) — training-window
     manifest rows (doc_id, chunk_no, n_tokens, chunk_hash)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    return textops.chunk_tokens_overlap(docs, "doc_id", "text", chunk_size=32, stride=24)
+    # max_chunks mirrors the oracle's range(4096) cap exactly
+    return textops.chunk_tokens_overlap(
+        docs, "doc_id", "text", chunk_size=32, stride=24, max_chunks=4096
+    )
 
 
 TEXT_CHUNK_SQL = r"""
@@ -641,16 +644,17 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pii_scrub_sql() -> str:
+    # mirrors textops.pii_hit_counts: SEQUENTIAL counts — kind i counted
+    # on the text with kinds 0..i-1 already scrubbed
     from ..operators.textops import PII_PATTERNS
 
     expr = "text"
-    for _, pattern, token in PII_PATTERNS:
+    count_exprs = []
+    for kind, pattern, token in PII_PATTERNS:
         p = pattern.replace("'", "''")
+        count_exprs.append(f"len(regexp_extract_all({expr}, '{p}')) AS {kind}_hits")
         expr = f"regexp_replace({expr}, '{p}', '{token}', 'g')"
-    counts = ",\n       ".join(
-        f"len(regexp_extract_all(text, '{pattern}')) AS {kind}_hits"
-        for kind, pattern, _ in PII_PATTERNS
-    )
+    counts = ",\n       ".join(count_exprs)
     return f"""
 SELECT doc_id,
        md5({expr}) AS scrubbed_md5,

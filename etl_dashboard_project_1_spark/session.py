@@ -89,6 +89,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # Self-heal the runtime confs the engine's semantics depend on, so a
+    # caller-built session (the correctness driver's own SparkSession)
+    # behaves like get_spark's: UTC rendering for timestamp/date exprs —
+    # on a non-UTC box, date_format/window.start/to_date would otherwise
+    # shift by the JVM TZ offset while the DuckDB oracle floors epochs.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects outright. `nanosAsLong` is a RUNTIME SQL conf, so

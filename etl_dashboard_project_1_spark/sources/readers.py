@@ -54,8 +54,15 @@ def acquire_with_fallback(
         return fallback(), "fallback"
 
 
-_ANCHOR_RE = r"""<[^>]*\bid\s*=\s*["']{id}["'][^>]*\bhref\s*=\s*["']([^"']+)["']"""
-_ANCHOR_RE_HREF_FIRST = r"""<[^>]*\bhref\s*=\s*["']([^"']+)["'][^>]*\bid\s*=\s*["']{id}["']"""
+# (?<![\w-]) rejects hyphen-prefixed lookalikes (data-id, data-href):
+# '\b' alone treats '-' as a boundary, so '\bid' would match inside
+# 'data-id' and return the wrong element's link
+_ANCHOR_RE = (
+    r"""<[^>]*(?<![\w-])id\s*=\s*["']{id}["'][^>]*(?<![\w-])href\s*=\s*["']([^"']+)["']"""
+)
+_ANCHOR_RE_HREF_FIRST = (
+    r"""<[^>]*(?<![\w-])href\s*=\s*["']([^"']+)["'][^>]*(?<![\w-])id\s*=\s*["']{id}["']"""
+)
 
 
 def find_download_link(html: str, element_id: str) -> str:

@@ -201,20 +201,38 @@ def error_purchase_interval_join(
     )
 
 
-def foreach_batch_upsert(stream_df: DataFrame, target_dir: str, key: str):
+def foreach_batch_upsert(
+    stream_df: DataFrame, target_dir: str, key: str, order_col: str | None = None
+):
     """Incremental streaming sink: every micro-batch is MERGEd into a
     parquet target (new keys inserted, existing keys replaced) via
     ``foreachBatch`` — the standard pattern for idempotent incremental
     materialization on stores without native MERGE. Each batch rewrites
     the target from (previous ∪ batch); on a lakehouse table this becomes
-    a true keyed MERGE with no rewrite."""
+    a true keyed MERGE with no rewrite.
+
+    ``order_col`` makes within-batch conflict resolution DETERMINISTIC:
+    when one micro-batch carries several rows per key, the row with the
+    greatest ``order_col`` (a version/event-time column) wins. Without
+    it, ``dropDuplicates`` keeps an arbitrary row — fine for
+    at-most-once-per-key sources, wrong for rapid updates."""
     import os
 
     def do_upsert(batch_df: DataFrame, batch_id: int):
+        from pyspark.sql import Window
+
         spark = batch_df.sparkSession
         # a micro-batch can carry several rows per key (rapid updates);
         # keep exactly one so the merged target never holds duplicates
-        batch_df = batch_df.dropDuplicates([key])
+        if order_col is not None:
+            w = Window.partitionBy(key).orderBy(F.desc(order_col))
+            batch_df = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates([key])
         if os.path.exists(target_dir):
             current = spark.read.parquet(target_dir)
             merged = batch_df.unionByName(current.join(

@@ -123,3 +123,27 @@ def test_windowed_counts_stream_matches_batch(spark):
         assert _rows(got, cols) == _rows(batch, cols)
     finally:
         q.stop()
+
+
+def test_foreach_batch_upsert_latest_wins(spark, tmp_path):
+    """With order_col, within-batch conflicts resolve to the row with the
+    greatest version — not an arbitrary dropDuplicates survivor."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 1, "old"), (1, 2, "new"), (2, 7, "only")], ["k", "version", "payload"]
+    ).coalesce(1).write.parquet(src)  # one file -> one micro-batch
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("payload", T.StringType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(src)
+    target = str(tmp_path / "tgt")
+    q = jobs.foreach_batch_upsert(stream, target, key="k", order_col="version")
+    q.stop()
+    got = {r["k"]: (r["version"], r["payload"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: (2, "new"), 2: (7, "only")}
