@@ -152,6 +152,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "j1_fuzzy_difflib",
         "j2_mapping_application",
         "salted_join_events_customers",    # dim × salt_buckets literal replication
+        "text_tfidf_topk",                 # scalar corpus-count (1-row broadcast)
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
