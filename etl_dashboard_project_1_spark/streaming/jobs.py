@@ -282,3 +282,50 @@ def windowed_type_counts(
             "n_events",
         )
     )
+
+
+def foreach_batch_dedup_ingest(
+    stream_df: DataFrame, target_dir: str, id_col: str, fingerprint_col: str
+):
+    """Continuous-ingestion dedup: each micro-batch lands ONLY documents
+    whose content fingerprint has never been seen — in this batch or any
+    earlier one — by anti-joining against a persistent fingerprint store
+    and appending survivors (data + fingerprints) to the target.
+
+    This is the streaming face of exact dedup for a training corpus that
+    ingests forever: watermarked ``dropDuplicates`` state would grow
+    without bound across days of ingestion, so the seen-set lives in
+    storage, not executor state. Within a batch, the smallest id per
+    fingerprint wins (deterministic). At scale the store is partitioned
+    by a fingerprint prefix so the anti join prunes to matching buckets.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    data_dir = os.path.join(target_dir, "data")
+    fp_dir = os.path.join(target_dir, "fingerprints")
+
+    def do_ingest(batch_df: DataFrame, batch_id: int):
+        from pyspark.sql import functions as SF
+
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(fingerprint_col).orderBy(SF.asc(id_col))
+        fresh = (
+            batch_df.withColumn("_rn", SF.row_number().over(w))
+            .filter(SF.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.exists(fp_dir):
+            seen = spark.read.parquet(fp_dir)
+            fresh = fresh.join(seen, on=fingerprint_col, how="left_anti")
+        # data first, fingerprints second: a crash between the writes can
+        # leave a doc whose fingerprint is unrecorded (re-ingested next
+        # time, then dropped by the id tie-break downstream) — never a
+        # fingerprint that blocks a doc that was never written
+        fresh.write.mode("append").parquet(data_dir)
+        fresh.select(fingerprint_col).write.mode("append").parquet(fp_dir)
+
+    q = stream_df.writeStream.outputMode("append").foreachBatch(do_ingest).start()
+    q.processAllAvailable()
+    return q

@@ -147,3 +147,36 @@ def test_foreach_batch_upsert_latest_wins(spark, tmp_path):
     got = {r["k"]: (r["version"], r["payload"])
            for r in spark.read.parquet(target).collect()}
     assert got == {1: (2, "new"), 2: (7, "only")}
+
+
+def test_foreach_batch_dedup_ingest_across_batches(spark, tmp_path):
+    """Cross-batch dedup: a fingerprint admitted in batch 1 blocks every
+    later duplicate; within a batch the smallest id wins."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "src")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp", T.StringType()),
+    ])
+    # two files -> two micro-batches
+    spark.createDataFrame([(3, "A"), (1, "A"), (2, "B")], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([(9, "A"), (5, "C")], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    target = str(tmp_path / "corpus")
+    q = jobs.foreach_batch_dedup_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        target, id_col="doc_id", fingerprint_col="fp",
+    )
+    q.stop()
+    import os
+    got = {r["fp"]: r["doc_id"]
+           for r in spark.read.parquet(os.path.join(target, "data")).collect()}
+    # A admitted once (min id of its first batch), 9 blocked cross-batch
+    assert got["A"] in (1, 3) and got["B"] == 2 and got["C"] == 5
+    assert len(got) == 3
+    n_fp = spark.read.parquet(os.path.join(target, "fingerprints")).count()
+    assert n_fp == 3
