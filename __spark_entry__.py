@@ -193,6 +193,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.decontaminate_report,
         extension_queries.DECONTAMINATE_SQL,
     ),
+    "text_unigram_logprob": (
+        extension_queries.text_unigram_logprob,
+        extension_queries.UNIGRAM_LOGPROB_SQL,
+    ),
     # r1-green, implementation tweaked but semantics unchanged (guard off
     # by default / plan-only caching change / build-probe split)
     "dedup_ngram_jaccard": (extension_queries.dedup_ngram_jaccard, extension_queries.DEDUP_NGRAM_SQL),

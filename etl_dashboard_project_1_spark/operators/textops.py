@@ -175,6 +175,32 @@ def chunk_tokens_overlap(
     )
 
 
+def unigram_logprob(df, id_col: str, text_col: str):
+    """Corpus-LM quality score (the unigram cousin of the CCNet-style
+    perplexity filter): per-doc mean log-probability of its tokens under
+    the corpus's own unigram distribution. Very negative means rare/noisy
+    vocabulary; near zero means stopword soup — both tails are what
+    corpus filters cut.
+
+    Shape: token table (no shuffle) → vocab counts (one vocab-sized
+    shuffle, broadcast back) → per-doc mean (one doc-keyed shuffle). The
+    corpus total joins lazily as a 1-row broadcast.
+    """
+    tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    return (
+        tok.join(F.broadcast(freq), "_tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(F.log(F.col("_c") / F.col("_total"))).alias("mean_logprob"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "mean_logprob")
+    )
+
+
 def tfidf_topk(df, id_col: str, text_col: str, k: int = 3):
     """Top-k characteristic terms per document by tf·idf.
 

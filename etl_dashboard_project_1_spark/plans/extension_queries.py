@@ -1002,3 +1002,27 @@ FROM fp
 WHERE EXISTS (SELECT 1 FROM bench b WHERE b.fp = fp.fp)
 GROUP BY source
 """
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram corpus-LM quality score per document (mean token
+    log-probability under the corpus's own unigram distribution)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    out = textops.unigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens",
+        derive.portable_round(F.col("mean_logprob"), 4).alias("mean_logprob"),
+    )
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+n AS (SELECT count(*)::DOUBLE AS total FROM tok)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       floor(avg(ln(c / total)) * 10000 + 0.5) / 10000 AS mean_logprob
+FROM tok JOIN freq USING (tok), n
+GROUP BY doc_id
+"""

@@ -168,3 +168,17 @@ def test_acquire_fallback_ordering(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ZeroDivisionError):
         readers.acquire_with_fallback(boom, lambda: 1 / 0)
+
+
+def test_cli_list_and_validation(capsys):
+    """CLI `list` enumerates the registry without building a SparkSession;
+    unknown query names fail fast."""
+    from etl_dashboard_project_1_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary  [oracle]" in out
+    assert "sim_ann_ivf  [rows-only]" in out
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["run", "not_a_query"])
