@@ -153,6 +153,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "j2_mapping_application",
         "salted_join_events_customers",    # dim × salt_buckets literal replication
         "text_tfidf_topk",                 # scalar corpus-count (1-row broadcast)
+        "text_unigram_logprob",            # scalar corpus-total (1-row broadcast)
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
