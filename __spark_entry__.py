@@ -197,6 +197,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.text_unigram_logprob,
         extension_queries.UNIGRAM_LOGPROB_SQL,
     ),
+    "event_funnel_conversion": (
+        timeseries_queries.event_funnel_conversion,
+        timeseries_queries.FUNNEL_SQL,
+    ),
+    "retention_cohorts": (timeseries_queries.retention_cohorts, timeseries_queries.RETENTION_SQL),
     # r1-green, implementation tweaked but semantics unchanged (guard off
     # by default / plan-only caching change / build-probe split)
     "dedup_ngram_jaccard": (extension_queries.dedup_ngram_jaccard, extension_queries.DEDUP_NGRAM_SQL),

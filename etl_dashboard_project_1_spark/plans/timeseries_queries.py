@@ -361,3 +361,125 @@ SELECT user_id,
 FROM filled
 GROUP BY user_id
 """
+
+
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): one row per
+    stage with the number of users who reached it IN ORDER (each stage's
+    first occurrence strictly after the previous stage's).
+
+    Scale shape: one shuffle on user_id — the per-user stage timestamps
+    are conditional min aggregates of a single groupBy; the funnel logic
+    is then pure row arithmetic on one row per user, and the final stage
+    explode is constant-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.unix_micros("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.unix_micros("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias("t_buy"),
+    )
+    # strict event-time ordering: a click counts only after the first
+    # view, a purchase only after that click
+    reached = per_user.select(
+        F.col("t_view").isNotNull().alias("s1"),
+        (F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))).alias("s2"),
+        (
+            F.col("t_view").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_buy") > F.col("t_click"))
+        ).alias("s3"),
+    )
+    agg = reached.agg(
+        F.sum(F.when(F.col("s1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("s2"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("s3"), 1).otherwise(0)).cast("long").alias("n3"),
+    )
+    stages = [("view", "n1"), ("view_click", "n2"), ("view_click_purchase", "n3")]
+    return agg.select(
+        F.posexplode(
+            F.array(
+                *[F.struct(F.lit(s).alias("stage"), F.col(c).alias("n_users")) for s, c in stages]
+            )
+        ).alias("stage_no", "_s")
+    ).select(
+        F.col("stage_no").cast("int").alias("stage_no"),
+        F.col("_s.stage").alias("stage"),
+        F.col("_s.n_users").alias("n_users"),
+    )
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)     AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)    AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+  FROM events GROUP BY user_id
+),
+reached AS (
+  SELECT t_view IS NOT NULL AS s1,
+         t_view IS NOT NULL AND t_click > t_view AS s2,
+         t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click AS s3
+  FROM per_user
+),
+agg AS (
+  SELECT sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+         sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS n3
+  FROM reached
+)
+SELECT t.stage_no, t.stage, t.n_users
+FROM agg, LATERAL (VALUES
+  (0, 'view', n1), (1, 'view_click', n2), (2, 'view_click_purchase', n3)
+) t(stage_no, stage, n_users)
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by signup week; for each
+    (cohort week, weeks-since-signup offset) the count of cohort members
+    active in that week. The canonical dashboard retention triangle.
+
+    Scale shape: signup table is one filtered aggregate (shuffle on
+    user); the activity join shuffles on user_id once; the final
+    (cohort, offset) aggregate is triangle-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    joined = signup.join(activity, "user_id").filter(
+        F.col("active_week") >= F.col("cohort_week")
+    )
+    return (
+        joined.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            ((F.unix_micros(F.col("active_week")) - F.unix_micros(F.col("cohort_week")))
+             / F.lit(7 * 24 * 3600 * 1_000_000)).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+RETENTION_SQL = """
+WITH signup AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT strftime(s.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch_us(a.active_week) - epoch_us(s.cohort_week))
+            // 604800000000::BIGINT AS INT) AS week_offset,
+       count(DISTINCT s.user_id)::BIGINT AS n_active
+FROM signup s JOIN activity a USING (user_id)
+WHERE a.active_week >= s.cohort_week
+GROUP BY 1, 2
+"""
