@@ -202,6 +202,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.FUNNEL_SQL,
     ),
     "retention_cohorts": (timeseries_queries.retention_cohorts, timeseries_queries.RETENTION_SQL),
+    "event_transition_matrix": (
+        timeseries_queries.event_transition_matrix,
+        timeseries_queries.TRANSITION_SQL,
+    ),
     # r1-green, implementation tweaked but semantics unchanged (guard off
     # by default / plan-only caching change / build-probe split)
     "dedup_ngram_jaccard": (extension_queries.dedup_ngram_jaccard, extension_queries.DEDUP_NGRAM_SQL),

@@ -483,3 +483,34 @@ FROM signup s JOIN activity a USING (user_id)
 WHERE a.active_week >= s.cohort_week
 GROUP BY 1, 2
 """
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: counts of consecutive (event_type → next_event_type)
+    transitions within each user's event stream — the Markov-chain view
+    behind 'what do users do after X' dashboards.
+
+    One shuffle on user_id (the lead window); the final aggregate is
+    |event_types|² rows. Deterministic ordering via the event_id tiebreak.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+
+
+TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+FROM pairs WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
