@@ -24,6 +24,7 @@ from etl_dashboard_project_1_spark.plans import (
     extension_queries,
     fuzzy_queries,
     header_queries,
+    mart_queries,
     streaming_queries,
     timeseries_queries,
 )
@@ -205,6 +206,29 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_transition_matrix": (
         timeseries_queries.event_transition_matrix,
         timeseries_queries.TRANSITION_SQL,
+    ),
+    # deep analytics mart: remaining TPC-H shapes (adapted to the narrow schema)
+    "q8_market_share": (mart_queries.q8_market_share, mart_queries.Q8_SQL),
+    "q9_product_profit": (mart_queries.q9_product_profit, mart_queries.Q9_SQL),
+    "q11_important_value": (mart_queries.q11_important_value, mart_queries.Q11_SQL),
+    "q13_order_count_distribution": (
+        mart_queries.q13_order_count_distribution,
+        mart_queries.Q13_SQL,
+    ),
+    "q15_top_supplier": (mart_queries.q15_top_supplier, mart_queries.Q15_SQL),
+    "q16_supplier_diversity": (mart_queries.q16_supplier_diversity, mart_queries.Q16_SQL),
+    "q18_large_volume_customers": (
+        mart_queries.q18_large_volume_customers,
+        mart_queries.Q18_SQL,
+    ),
+    "q19_disjunctive_revenue": (mart_queries.q19_disjunctive_revenue, mart_queries.Q19_SQL),
+    "q20_part_promotion_suppliers": (
+        mart_queries.q20_part_promotion_suppliers,
+        mart_queries.Q20_SQL,
+    ),
+    "q22_dormant_rich_customers": (
+        mart_queries.q22_dormant_rich_customers,
+        mart_queries.Q22_SQL,
     ),
     # r1-green, implementation tweaked but semantics unchanged (guard off
     # by default / plan-only caching change / build-probe split)

@@ -154,6 +154,9 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "salted_join_events_customers",    # dim × salt_buckets literal replication
         "text_tfidf_topk",                 # scalar corpus-count (1-row broadcast)
         "text_unigram_logprob",            # scalar corpus-total (1-row broadcast)
+        "q11_important_value",             # scalar grand-total (1-row broadcast)
+        "q15_top_supplier",                # scalar max-revenue (1-row broadcast)
+        "q22_dormant_rich_customers",      # scalar avg-balance (1-row broadcast)
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
