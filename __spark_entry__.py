@@ -19,12 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_dashboard_project_1_spark.plans import (
     analytics,
     cdc_queries,
+    curation_queries,
     dashboard_queries,
     etl_queries,
     extension_queries,
     fuzzy_queries,
     header_queries,
     mart_queries,
+    profile_queries,
     streaming_queries,
     timeseries_queries,
 )
@@ -230,6 +232,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         mart_queries.q22_dormant_rich_customers,
         mart_queries.Q22_SQL,
     ),
+    # second-wave curation ops + SCD2
+    "span_dedup_repeated": (curation_queries.span_dedup_repeated, curation_queries.SPAN_DEDUP_SQL),
+    "dedup_keep_best": (curation_queries.dedup_keep_best, curation_queries.KEEP_BEST_SQL),
+    "emb_quantize_error": (curation_queries.emb_quantize_error, curation_queries.EMB_QUANTIZE_SQL),
+    "vocab_zipf_curve": (curation_queries.vocab_zipf_curve, curation_queries.VOCAB_ZIPF_SQL),
+    "scd2_user_value": (cdc_queries.scd2_user_value, cdc_queries.SCD2_SQL),
+    # profiling & correlation analytics
+    "profile_lineitem_stats": (
+        profile_queries.profile_lineitem_stats,
+        profile_queries.PROFILE_SQL,
+    ),
+    "trend_revenue_by_nation": (
+        profile_queries.trend_revenue_by_nation,
+        profile_queries.TREND_SQL,
+    ),
+    "event_type_lift": (profile_queries.event_type_lift, profile_queries.EVENT_LIFT_SQL),
+    "activity_heatmap": (profile_queries.activity_heatmap, profile_queries.HEATMAP_SQL),
+    "shard_manifest": (profile_queries.shard_manifest, profile_queries.SHARD_MANIFEST_SQL),
     # r1-green, implementation tweaked but semantics unchanged (guard off
     # by default / plan-only caching change / build-probe split)
     "dedup_ngram_jaccard": (extension_queries.dedup_ngram_jaccard, extension_queries.DEDUP_NGRAM_SQL),

@@ -74,3 +74,35 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
       FROM events)
 WHERE rn = 1
 """
+
+
+def scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a changelog: each event opens a
+    validity interval [ts, next_ts) per user; the latest record is the
+    current one. One partitioned lead() window — a single shuffle on
+    user_id, the canonical distributed SCD2 formulation (no driver
+    loop, no per-key collect)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"), F.lit("current")).alias(
+            "valid_to"
+        ),
+        nxt.isNull().alias("is_current"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+SCD2_SQL = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current,
+       round(value, 2) AS value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

@@ -1,0 +1,227 @@
+"""Second-wave training-data curation operators:
+
+- cross-document repeated-span detection (the approximate form of
+  suffix-array substring dedup: hash non-overlapping token windows,
+  find windows shared across documents),
+- keep-best canonical selection per near-dup cluster (longest-doc-wins,
+  the policy a dedup pass actually applies),
+- int8 embedding quantization with reconstruction-error stats (the
+  compression step before shipping vectors to an ANN index),
+- Zipf rank-frequency curve of the corpus vocabulary.
+
+All pure DataFrame plans; scalar totals are broadcast 1-row aggregates
+(whitelisted in the cartesian guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..session import fan_out, load_table
+from .extension_queries import DEDUP_CLUSTERS_SQL
+
+SPAN_K = 4  # tokens per non-overlapping span window
+
+
+def span_dedup_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated spans: hash every non-overlapping
+    SPAN_K-token window, keep hashes seen in ≥2 distinct documents.
+
+    This is the scalable skeleton of substring dedup (Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" uses
+    suffix arrays; the distributed approximation hashes fixed windows):
+    explode → one groupBy on the span hash — shuffle volume is
+    n_tokens/SPAN_K rows, not quadratic in documents.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    w = dedup.tokens("text")
+    n = F.size(w)
+    starts = F.sequence(F.lit(1), n - (SPAN_K - 1), F.lit(SPAN_K))
+    spans = (
+        docs.filter(n >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, SPAN_K)))
+            ).alias("span"),
+        )
+        .select("doc_id", F.md5("span").alias("span_hash"))
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+SPAN_DEDUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents
+),
+spans AS (
+  SELECT doc_id, md5(array_to_string(w[i : i + {SPAN_K - 1}], ' ')) AS span_hash
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {SPAN_K - 1}, {SPAN_K})) AS i
+        FROM toks WHERE len(w) >= {SPAN_K})
+)
+SELECT span_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM spans
+GROUP BY span_hash
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection per near-dup cluster: within each connected
+    component of the n-gram-Jaccard pair graph, keep the LONGEST document
+    (ties → lowest doc_id) — longest-doc-wins is the usual curation
+    policy (the shortest member is most often the truncated copy).
+
+    Plan: pairs → min-label components (driver loops over O(diameter)
+    rounds) → one partitioned window argmax. No driver-side data.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    members = cc.join(
+        docs.select("doc_id", "n_chars"), cc["node"] == F.col("doc_id")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster")))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("doc_id").alias("keep_doc_id"), "n_members")
+    )
+
+
+# splice the recursive-components oracle: reuse its CTE chain, swap the
+# final per-node select for the per-cluster keep-best argmax
+KEEP_BEST_SQL = (
+    DEDUP_CLUSTERS_SQL.rsplit("SELECT node AS doc_id", 1)[0]
+    + """,
+clusters AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+SELECT cluster, doc_id AS keep_doc_id, n_members
+FROM (
+  SELECT c.cluster, d.doc_id,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster) AS n_members
+  FROM clusters c JOIN documents d ON c.node = d.doc_id
+)
+WHERE rn = 1
+"""
+)
+
+
+def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127) with
+    reconstruction-error stats per label. Codes are exact small integers,
+    so sum_codes is an order-independent exact check; avg_mse / max_err
+    quantify the information loss. Pure array expressions — zero UDFs,
+    one aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    maxabs = F.greatest(F.array_max(F.transform(x, F.abs)), F.lit(1e-30))
+    code = lambda v: F.floor(v * 127 / F.col("maxabs") + F.lit(0.5))  # noqa: E731
+    dequant = lambda v: code(v) * F.col("maxabs") / 127  # noqa: E731
+    per_row = (
+        emb.withColumn("xs", x)
+        .withColumn("maxabs", maxabs)
+        .select(
+            "label",
+            F.aggregate("xs", F.lit(0.0), lambda acc, v: acc + code(v))
+            .cast("long")
+            .alias("row_codes"),
+            (
+                F.aggregate(
+                    "xs", F.lit(0.0), lambda acc, v: acc + F.pow(v - dequant(v), F.lit(2.0))
+                )
+                / F.size("xs")
+            ).alias("row_mse"),
+            F.array_max(F.transform("xs", lambda v: F.abs(v - dequant(v)))).alias("row_maxerr"),
+        )
+    )
+    return per_row.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("row_codes").alias("sum_codes"),
+        F.round(F.avg("row_mse"), 8).alias("avg_mse"),
+        F.round(F.max("row_maxerr"), 8).alias("max_err"),
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH scaled AS (
+  SELECT label,
+         list_transform(embedding, v -> v::DOUBLE) AS xs,
+         greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 1e-30) AS maxabs
+  FROM embeddings
+),
+per_row AS (
+  SELECT label,
+         CAST(list_sum(list_transform(xs, v -> floor(v * 127 / maxabs + 0.5))) AS BIGINT)
+           AS row_codes,
+         list_sum(list_transform(xs,
+             v -> pow(v - floor(v * 127 / maxabs + 0.5) * maxabs / 127, 2))) / len(xs)
+           AS row_mse,
+         list_max(list_transform(xs,
+             v -> abs(v - floor(v * 127 / maxabs + 0.5) * maxabs / 127)))
+           AS row_maxerr
+  FROM scaled
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(row_codes) AS BIGINT) AS sum_codes,
+       round(avg(row_mse), 8) AS avg_mse,
+       round(max(row_maxerr), 8) AS max_err
+FROM per_row
+GROUP BY label
+"""
+
+
+def vocab_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency curve: the 30 most frequent tokens with rank
+    and cumulative share of ALL token occurrences. The heavy aggregation
+    is distributed; the rank/cumulative window runs on the 30-row
+    reduced set (driver-sized by construction), and the corpus total is
+    a broadcast 1-row aggregate."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(dedup.tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = counts.agg(F.sum("freq").alias("total_tokens"))
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(30)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        top.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("total_tokens"),
+                6,
+            ),
+        )
+        .select("rank", "token", "freq", "cum_share")
+    )
+
+
+VOCAB_ZIPF_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents
+),
+counts AS (SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY token),
+top AS (SELECT token, freq FROM counts ORDER BY freq DESC, token ASC LIMIT 30)
+SELECT CAST(row_number() OVER w AS BIGINT) AS rank,
+       token, freq,
+       round((sum(freq) OVER (ORDER BY freq DESC, token ASC
+                              ROWS UNBOUNDED PRECEDING))
+             / (SELECT CAST(sum(freq) AS BIGINT) FROM counts), 6) AS cum_share
+FROM top
+WINDOW w AS (ORDER BY freq DESC, token ASC)
+"""

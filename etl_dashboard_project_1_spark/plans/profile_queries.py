@@ -1,0 +1,218 @@
+"""Dataset profiling & correlation analytics:
+
+- one-pass numeric column profiler (the DQ summary a pipeline runs
+  before trusting a new drop),
+- per-nation revenue trend via built-in linear regression aggregates,
+- event-type co-occurrence lift (market-basket association on user
+  behavior),
+- day-of-week × hour activity heatmap,
+- deterministic training-shard manifest (md5-bucketed, rerun-stable).
+
+All single-pass Catalyst aggregations; the profiler computes every
+column's stats in ONE scan (stack/unpivot after the aggregate, never
+one scan per column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sampling import hash_bucket
+from ..session import fan_out, load_table
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def profile_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric profile of lineitem in ONE scan: per column n, nulls,
+    min/max, mean, sample stddev. The aggregate produces a single wide
+    row; `stack` unpivots it to long form driver-side-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+            F.round(F.stddev_samp(c), 4).alias(f"{c}__std"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__min, {c}__max, {c}__mean, {c}__std"
+        for c in PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n, n_nulls, min_val, max_val, mean_val, std_val)"
+        )
+    )
+
+
+PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, count({c}) AS n,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       round(min({c}), 4) AS min_val, round(max({c}), 4) AS max_val,
+       round(avg({c}), 4) AS mean_val, round(stddev_samp({c}), 4) AS std_val
+FROM lineitem"""
+    for c in PROFILE_COLS
+)
+
+
+def trend_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue per customer nation, then the linear trend
+    (slope + intercept over year) with Spark's built-in regression
+    aggregates — two distributed aggregations, no driver math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    yearly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("double").alias("yr"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    return yearly.groupBy("nation").agg(
+        F.round(F.regr_slope("revenue", "yr"), 2).alias("slope"),
+        F.round(F.regr_intercept("revenue", "yr"), 2).alias("intercept"),
+        F.regr_count("revenue", "yr").alias("n_years"),
+    )
+
+
+TREND_SQL = """
+WITH yearly AS (
+  SELECT n_name AS nation, year(o_orderdate)::DOUBLE AS yr,
+         sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation,
+       round(regr_slope(revenue, yr), 2) AS slope,
+       round(regr_intercept(revenue, yr), 2) AS intercept,
+       regr_count(revenue, yr) AS n_years
+FROM yearly
+GROUP BY nation
+"""
+
+
+def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types: for each type pair (a, b),
+    lift = P(a∧b) / (P(a)·P(b)) over users. Distinct (user, type) first
+    (collapses the fact table to ≤ users × |types| rows), then a
+    self-join on user — the join explodes only per-user type pairs
+    (|types|² ≤ 36 per user), never document pairs. All counts are
+    integers, so the ratio is cross-engine exact."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_single"))
+    total = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n_single").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n_single").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * F.col("n_users") / (F.col("n_a") * F.col("n_b")), 4
+            ).alias("lift"),
+        )
+    )
+
+
+EVENT_LIFT_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+singles AS (SELECT event_type, count(*) AS n_single FROM ut GROUP BY event_type),
+total AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       round(n_both * n_users / (sa.n_single * sb.n_single)::DOUBLE, 4) AS lift
+FROM pairs
+JOIN singles sa ON type_a = sa.event_type
+JOIN singles sb ON type_b = sb.event_type
+CROSS JOIN total
+"""
+
+
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (1 = Sunday, matching both
+    engines after normalization): counts + value totals in one
+    aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+HEATMAP_SQL = """
+SELECT (dayofweek(ts) + 1)::BIGINT AS dow, hour(ts)::BIGINT AS hour,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+SHARD_BUCKETS = 32
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest: every document lands in an
+    md5 bucket (rerun-stable, layout-independent); the manifest reports
+    per-shard doc and char totals — what a training loader reads to plan
+    epoch scheduling. Bucket assignment is map-only; one groupBy."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.withColumn(
+            "shard_id", hash_bucket(F.col("doc_id"), "shard", SHARD_BUCKETS).cast("long")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+SHARD_MANIFEST_SQL = f"""
+SELECT ('0x' || substr(md5(doc_id::VARCHAR || 'shard'), 1, 8))::BIGINT % {SHARD_BUCKETS}
+         AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+"""

@@ -157,6 +157,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "q11_important_value",             # scalar grand-total (1-row broadcast)
         "q15_top_supplier",                # scalar max-revenue (1-row broadcast)
         "q22_dormant_rich_customers",      # scalar avg-balance (1-row broadcast)
+        "vocab_zipf_curve",                # scalar corpus-total (1-row broadcast)
+        "event_type_lift",                 # scalar user-count (1-row broadcast)
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -43,8 +43,8 @@ def main() -> int:
         t0 = time.time()
         try:
             if name in o:
-                ok = compare(spark, q[name], o[name], sf)
-                results[name] = "MATCH" if ok else "MISMATCH"
+                ok, msg = compare(spark, q[name], o[name], sf)
+                results[name] = "MATCH" if ok else f"MISMATCH: {msg[:150]}"
             else:
                 n = q[name](spark, sf).count()
                 results[name] = f"rows_only({n})"
