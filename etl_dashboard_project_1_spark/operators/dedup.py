@@ -200,7 +200,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.2,
-    reuse: str = "checkpoint",
+    reuse: str = "recompute",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signature → bands → bucket join
     → candidate pairs → verify with true Jaccard ≥ threshold.
@@ -216,13 +216,20 @@ def minhash_lsh_pairs(
     """
     # The shingle sets are read twice (signatures + candidate verify);
     # ``reuse`` picks how, because each strategy fails differently:
-    # - 'checkpoint' (default): localCheckpoint — freed by the
-    #   ContextCleaner when unreferenced (no session-lifetime cache leak),
-    #   but blocks are NOT recomputable after executor loss.
+    # - 'recompute' (default): no caching — the shingle projection runs
+    #   again on the verify branch. This is the 100 TB default on purpose:
+    #   the shingle-set table is ~k× LARGER than the raw corpus, so
+    #   materializing it (persist or checkpoint) needs more storage than
+    #   the dataset itself, while recomputing is an embarrassingly
+    #   parallel scan+projection. Measured FASTER than both caching modes
+    #   at local SFs too (storage write + block-manager reads cost more
+    #   than the recompute; localCheckpoint additionally races the
+    #   ContextCleaner into accumulator-warning spam).
+    # - 'checkpoint': localCheckpoint — freed by the ContextCleaner when
+    #   unreferenced (no session-lifetime cache leak), but blocks are NOT
+    #   recomputable after executor loss.
     # - 'persist': lineage kept (executor-loss safe) but lives until the
     #   caller unpersists — leak-prone across repeated invocations.
-    # - 'recompute': no caching — the projection runs twice; measured
-    #   equal-cost at local SFs, doubles the corpus scan at 100 TB.
     ss = shingle_sets(df, id_col, text_col, k)
     if reuse == "checkpoint":
         ss = ss.localCheckpoint(eager=False)
