@@ -250,6 +250,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_type_lift": (profile_queries.event_type_lift, profile_queries.EVENT_LIFT_SQL),
     "activity_heatmap": (profile_queries.activity_heatmap, profile_queries.HEATMAP_SQL),
     "shard_manifest": (profile_queries.shard_manifest, profile_queries.SHARD_MANIFEST_SQL),
+    "stream_enrich_static": (
+        streaming_queries.stream_enrich_static,
+        streaming_queries.STREAM_ENRICH_SQL,
+    ),
     # r1-green, implementation tweaked but semantics unchanged (guard off
     # by default / plan-only caching change / build-probe split)
     "dedup_ngram_jaccard": (extension_queries.dedup_ngram_jaccard, extension_queries.DEDUP_NGRAM_SQL),

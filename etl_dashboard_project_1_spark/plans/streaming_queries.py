@@ -140,3 +140,24 @@ SELECT window_start,
 FROM counts
 QUALIFY rank <= 3
 """
+
+
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the stream-static broadcast enrichment (the
+    streaming mode — readStream events ⋈ broadcast static dims, append
+    output, zero state — is exercised in tests/test_streaming.py)."""
+    return jobs.enriched_events(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+STREAM_ENRICH_SQL = """
+SELECT event_id, user_id, event_type,
+       round(value, 2) AS value,
+       c_mktsegment, n_name AS nation
+FROM events
+LEFT JOIN customer ON user_id = c_custkey
+LEFT JOIN nation   ON c_nationkey = n_nationkey
+"""

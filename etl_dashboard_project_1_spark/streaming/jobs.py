@@ -153,11 +153,15 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str):
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str | None = None):
     """Drive a streaming query to completion against the file source and
-    land results in an in-memory table (test harness)."""
+    land results in an in-memory table (test harness). Aggregating queries
+    default to ``complete``; stateless (map/join-only) streams must use
+    ``append`` — pass it explicitly."""
+    if output_mode is None:
+        output_mode = "complete" if stream_df.isStreaming else "append"
     q = (
-        stream_df.writeStream.outputMode("complete" if stream_df.isStreaming else "append")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -329,3 +333,26 @@ def foreach_batch_dedup_ingest(
     q = stream_df.writeStream.outputMode("append").foreachBatch(do_ingest).start()
     q.processAllAvailable()
     return q
+
+
+def enriched_events(events: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment: each event picks up its
+    customer's segment and nation. In streaming mode this is the
+    zero-state append pattern — the static side broadcasts once per
+    micro-batch, no watermark, no state store; the canonical way to
+    decorate a 100 TB/day stream with dimension attributes."""
+    from pyspark.sql import functions as F
+
+    dim = customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+    ).select("c_custkey", "c_mktsegment", F.col("n_name").alias("nation"))
+    return events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"], "left"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "c_mktsegment",
+        "nation",
+    )

@@ -173,3 +173,30 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
             offenders[name] = "BroadcastNestedLoopJoin (not whitelisted)"
     assert not offenders, offenders
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned parquet sink + partition-pruned re-read: a filter
+    on the partition column must become a PartitionFilter (directory
+    pruning — zero data files of other partitions opened), not a data
+    filter. This is the layout that turns a 100 TB table scan into a
+    single-partition read."""
+    from etl_dashboard_project_1_spark.sources import writers
+
+    ev = load_table(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "events_by_day")
+    writers.write_parquet(ev, out, partition_by=["day"])
+
+    back = spark.read.parquet(out)
+    one_day = ev.select(F.min("day")).first()[0]
+    plan = (
+        back.filter(F.col("day") == F.lit(one_day))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert f"(day = {one_day})" in plan or "isnotnull(day" in plan, plan
+    got = back.filter(F.col("day") == F.lit(one_day)).count()
+    want = ev.filter(F.col("day") == F.lit(one_day)).count()
+    assert got == want > 0

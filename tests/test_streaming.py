@@ -180,3 +180,21 @@ def test_foreach_batch_dedup_ingest_across_batches(spark, tmp_path):
     assert len(got) == 3
     n_fp = spark.read.parquet(os.path.join(target, "fingerprints")).count()
     assert n_fp == 3
+
+
+def test_enrich_static_stream_matches_batch(spark):
+    """Stream-static broadcast join: streaming events decorated with the
+    static customer/nation dims must equal the batch shape, with no
+    watermark or state required (append mode)."""
+    cust = load_table(spark, SF, "customer")
+    nat = load_table(spark, SF, "nation")
+    batch = jobs.enriched_events(load_table(spark, SF, "events"), cust, nat)
+    stream = jobs.enriched_events(jobs.read_events_stream(spark, SF), cust, nat)
+    assert stream.isStreaming
+    q = jobs.run_stream_to_memory(stream, "t_enrich", output_mode="append")
+    try:
+        got = spark.sql("SELECT * FROM t_enrich")
+        cols = ["event_id", "user_id", "event_type", "value", "c_mktsegment", "nation"]
+        assert _rows(got, cols) == _rows(batch, cols)
+    finally:
+        q.stop()
