@@ -24,6 +24,7 @@ from etl_dashboard_project_1_spark.plans import (
     etl_queries,
     extension_queries,
     fuzzy_queries,
+    graph_queries,
     header_queries,
     mart_queries,
     profile_queries,
@@ -253,6 +254,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "stream_enrich_static": (
         streaming_queries.stream_enrich_static,
         streaming_queries.STREAM_ENRICH_SQL,
+    ),
+    "pagerank_supplier_part": (
+        graph_queries.pagerank_supplier_part,
+        graph_queries.PAGERANK_SQL,
     ),
     # r1-green, implementation tweaked but semantics unchanged (guard off
     # by default / plan-only caching change / build-probe split)

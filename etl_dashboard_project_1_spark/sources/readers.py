@@ -31,6 +31,41 @@ def read_importer_catalog(spark: SparkSession, path: str) -> DataFrame:
     return read_csv(spark, path, header=True)
 
 
+def read_csv_with_quarantine(
+    spark: SparkSession, path: str, schema, header: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """S5 hardened: PERMISSIVE CSV scan that splits clean rows from
+    malformed ones instead of dropping (DROPMALFORMED) or dying
+    (FAILFAST). Returns (good, quarantine) — quarantine carries the raw
+    offending line for triage, the same contract as the fuzzy-header
+    ``not_found`` quarantine. At 100 TB a bad-rows side channel is the
+    difference between a re-run and a patch-up: both outputs come from
+    ONE scan (the corrupt-record column is populated by the parser).
+
+    The schema must be explicit (corrupt-record capture needs a
+    known-good shape to diverge from) and gets the capture column
+    appended here.
+    """
+    from pyspark.sql import types as T
+
+    capture = "_corrupt_record"
+    full = T.StructType(list(schema.fields) + [T.StructField(capture, T.StringType())])
+    df = (
+        spark.read.option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", capture)
+        .schema(full)
+        .csv(path)
+        # Spark's parser materializes corrupt capture lazily; a filter on
+        # the capture column alone is unreliable without caching the raw
+        # parse — project it through an intermediate to force it.
+        .cache()
+    )
+    good = df.filter(F.col(capture).isNull()).drop(capture)
+    bad = df.filter(F.col(capture).isNotNull()).select(F.col(capture).alias("raw_line"))
+    return good, bad
+
+
 def read_json_catalog(path: str | Path) -> dict:
     """S6: driver-side JSON catalog scan (metadata-scale)."""
     with open(path, encoding="utf-8") as f:

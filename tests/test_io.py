@@ -182,3 +182,26 @@ def test_cli_list_and_validation(capsys):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         main(["run", "not_a_query"])
+
+
+def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
+    """PERMISSIVE scan with corrupt-record capture: clean rows parse,
+    malformed rows land in the quarantine with their raw line — one scan,
+    no dropped data, no failed job."""
+    from pyspark.sql import types as T
+
+    from etl_dashboard_project_1_spark.sources import readers
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,qty,name\n1,10,ok\n2,notanint,bad\n3,30,ok\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    good, bad = readers.read_csv_with_quarantine(spark, str(p), schema)
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    lines = [r["raw_line"] for r in bad.collect()]
+    assert len(lines) == 1 and "notanint" in lines[0]
