@@ -259,6 +259,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         graph_queries.pagerank_supplier_part,
         graph_queries.PAGERANK_SQL,
     ),
+    "sample_priority_weighted": (
+        curation_queries.sample_priority_weighted,
+        curation_queries.SAMPLE_PRIORITY_SQL,
+    ),
+    "kmv_distinct_users_daily": (
+        curation_queries.kmv_distinct_users_daily,
+        curation_queries.KMV_DISTINCT_SQL,
+    ),
     # r1-green, implementation tweaked but semantics unchanged (guard off
     # by default / plan-only caching change / build-probe split)
     "dedup_ngram_jaccard": (extension_queries.dedup_ngram_jaccard, extension_queries.DEDUP_NGRAM_SQL),

@@ -151,3 +151,55 @@ def mixture_sample(
     )
     keep = hash_bucket(F.col(key_col), salt) < F.round(F.col("_rate") * WHEEL).cast("bigint")
     return joined.filter(keep).drop("_rate")
+
+
+def priority_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int, salt: str = "priority"
+) -> DataFrame:
+    """Weighted-without-replacement sample via priority sampling
+    (Duffield/Lund/Thorup): each row gets priority = weight / u with
+    u ~ Uniform(0,1]; the k highest priorities are the sample.
+
+    u comes from the md5 wheel — (bucket + 0.5) / WHEEL — so the
+    "randomness" is deterministic, rerun-stable, and reproduces exactly
+    in any engine. Priority is one division (no transcendentals: pow/log
+    differ by ULPs across libm implementations, division is IEEE-exact),
+    so the selected SET is cross-engine identical. Selection is a global
+    top-k: TakeOrdered at scale, never a full sort."""
+    u = (hash_bucket(F.col(key_col), salt) + F.lit(0.5)) / F.lit(float(WHEEL))
+    return (
+        df.withColumn("priority", F.col(weight_col) / u)
+        .orderBy(F.desc("priority"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int = 32
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group — the PORTABLE
+    alternative to HLL (engine HLLs never agree bit-for-bit; KMV over the
+    md5 wheel reproduces exactly in any engine).
+
+    Estimate: with h(1..k) the k smallest normalized hashes of the
+    group's distinct keys, D ≈ (k-1) / h_k; groups with fewer than k
+    distinct keys report their exact count. One shuffle for the distinct,
+    one partitioned window to rank hashes — per-group state is k scalars,
+    the same bound a production sketch keeps."""
+    h = (md5_int(F.col(key_col).cast("string")) + F.lit(0.5)) / F.lit(float(2**32))
+    dist = df.select(*group_cols, F.col(key_col)).distinct().withColumn("_h", h)
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
+    ranked = dist.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n_distinct"),
+            F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_hk"),
+        )
+        .select(
+            *group_cols,
+            F.when(F.col("_n_distinct") < k, F.col("_n_distinct").cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.col("_hk"))
+            .alias("est_distinct"),
+        )
+    )

@@ -225,3 +225,58 @@ SELECT CAST(row_number() OVER w AS BIGINT) AS rank,
 FROM top
 WINDOW w AS (ORDER BY freq DESC, token ASC)
 """
+
+
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-without-replacement sample: 25 documents drawn with
+    probability ∝ length via deterministic priority sampling (weight/u
+    over the md5 wheel — no transcendentals, so the selected set is
+    cross-engine exact)."""
+    from ..operators import sampling
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    picked = sampling.priority_sample(docs, "doc_id", "n_chars", 25)
+    return picked.select("doc_id", "n_chars", F.round("priority", 6).alias("priority"))
+
+
+SAMPLE_PRIORITY_SQL = """
+WITH p AS (
+  SELECT doc_id, n_chars,
+         n_chars / ((('0x' || substr(md5(doc_id::VARCHAR || 'priority'), 1, 8))::BIGINT
+                     % 10000 + 0.5) / 10000.0) AS priority
+  FROM documents
+)
+SELECT doc_id, n_chars, round(priority, 6) AS priority
+FROM p
+ORDER BY p.priority DESC, doc_id ASC
+LIMIT 25
+"""
+
+
+def kmv_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable distinct-count sketch: per-day distinct users estimated
+    with a k-minimum-values sketch over the md5 wheel. Unlike HLL (whose
+    registers are engine-private), KMV's estimate is a pure function of
+    the hashed key set — identical in any engine, hence a full value
+    oracle for an APPROXIMATE aggregate."""
+    from ..operators import sampling
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    est = sampling.kmv_distinct(ev, ["day"], "user_id", k=32)
+    return est.select("day", F.round("est_distinct", 4).alias("est_distinct"))
+
+
+KMV_DISTINCT_SQL = """
+WITH dist AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+h AS (
+  SELECT day,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT + 0.5) / 4294967296.0 AS _h
+  FROM dist
+),
+ranked AS (SELECT day, _h, row_number() OVER (PARTITION BY day ORDER BY _h) AS rn FROM h)
+SELECT day,
+       round(CASE WHEN count(*) < 32 THEN count(*)::DOUBLE
+                  ELSE 31.0 / max(CASE WHEN rn = 32 THEN _h END) END, 4) AS est_distinct
+FROM ranked
+GROUP BY day
+"""

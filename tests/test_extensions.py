@@ -431,3 +431,39 @@ def test_dq_orphan_count_planted(spark):
     fact = spark.createDataFrame([(1,), (2,), (99,)], ["k"])
     dim = spark.createDataFrame([(1,), (2,)], ["k"])
     assert quality.orphan_count(fact, "k", dim, "k").first()["orphans"] == 1
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """KMV(k=32) expected relative error is ~1/sqrt(k-1) ≈ 18%; pin a 2σ
+    envelope against the exact distinct count per day."""
+    from pyspark.sql import functions as F
+
+    from etl_dashboard_project_1_spark.operators import sampling
+
+    ev = load_table(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    est = {r["day"]: r["est_distinct"] for r in sampling.kmv_distinct(ev, ["day"], "user_id", k=32).collect()}
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy("day").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        if n < 32:
+            assert est[day] == n, (day, est[day], n)
+        else:
+            assert abs(est[day] - n) / n < 0.36, (day, est[day], n)
+
+
+def test_priority_sample_prefers_heavy_rows(spark):
+    """Weighted sampling must overrepresent heavy rows: the sampled mean
+    n_chars should exceed the corpus mean."""
+    from pyspark.sql import functions as F
+
+    from etl_dashboard_project_1_spark.operators import sampling
+
+    docs = load_table(spark, SF, "documents")
+    picked = sampling.priority_sample(docs, "doc_id", "n_chars", 25)
+    assert picked.count() == 25
+    sample_mean = picked.agg(F.avg("n_chars")).first()[0]
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean
