@@ -100,7 +100,7 @@ WITH yearly AS (
 SELECT nation,
        round(regr_slope(revenue, yr), 2) AS slope,
        round(regr_intercept(revenue, yr), 2) AS intercept,
-       regr_count(revenue, yr) AS n_years
+       regr_count(revenue, yr)::BIGINT AS n_years
 FROM yearly
 GROUP BY nation
 """
