@@ -26,6 +26,7 @@ from etl_dashboard_project_1_spark.plans import (
     fuzzy_queries,
     graph_queries,
     header_queries,
+    incremental_queries,
     mart_queries,
     profile_queries,
     streaming_queries,
@@ -266,6 +267,23 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "kmv_distinct_users_daily": (
         curation_queries.kmv_distinct_users_daily,
         curation_queries.KMV_DISTINCT_SQL,
+    ),
+    # incremental-maintenance / operational patterns
+    "incremental_daily_counts": (
+        incremental_queries.incremental_daily_counts,
+        incremental_queries.INCREMENTAL_SQL,
+    ),
+    "snapshot_diff_orders": (
+        incremental_queries.snapshot_diff_orders,
+        incremental_queries.SNAPSHOT_DIFF_SQL,
+    ),
+    "dedup_rapid_fire_events": (
+        incremental_queries.dedup_rapid_fire_events,
+        incremental_queries.RAPID_FIRE_SQL,
+    ),
+    "rolling_zscore_anomalies": (
+        incremental_queries.rolling_zscore_anomalies,
+        incremental_queries.ZSCORE_SQL,
     ),
     # r1-green, implementation tweaked but semantics unchanged (guard off
     # by default / plan-only caching change / build-probe split)

@@ -1,0 +1,192 @@
+"""Incremental-maintenance & operational-analytics patterns:
+
+- partial-aggregate merge (incremental refresh ≡ full recompute),
+- snapshot reconciliation diff (full-outer classify add/remove/change),
+- rapid-fire event dedup (keep the first event of each burst),
+- trailing-window z-score anomaly detection.
+
+Each demonstrates a pattern a production pipeline leans on daily; all
+stay pure Catalyst (windows + joins + aggregates), every one oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import derive
+from ..session import load_table
+
+CUTOFF = "2000-01-01"
+
+
+def incremental_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: yesterday's materialized
+    partials (events before CUTOFF) merged with the fresh delta — the
+    union re-aggregates to EXACTLY the full recompute, because count/sum
+    are mergeable partial aggregates. The oracle IS the full recompute;
+    matching it proves the merge identity. At 100 TB this is the
+    difference between scanning one day and scanning three years."""
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    partial = lambda df: df.groupBy("day", "event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    base = partial(ev.filter(F.col("day") < F.lit(CUTOFF)))
+    delta = partial(ev.filter(F.col("day") >= F.lit(CUTOFF)))
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+    )
+
+
+INCREMENTAL_SQL = """
+SELECT ts::DATE AS day, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: two versions of the orders table (the
+    old snapshot misses post-1999 orders; the new one reprices 1998+)
+    full-outer-joined on the key and classified added / removed /
+    changed / same — the audit report a CDC pipeline emits per sync.
+    One shuffle on the key; classification is a projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    snap_a = orders.filter(F.year("o_orderdate") < 2000).select(
+        F.col("o_orderkey").alias("key_a"), F.round("o_totalprice", 2).alias("price_a")
+    )
+    # portable_round: 2-dec prices × 1.05 land on exact .xx5 half
+    # boundaries where engine round() semantics diverge
+    snap_b = orders.filter(F.year("o_orderdate") >= 1996).select(
+        F.col("o_orderkey").alias("key_b"),
+        derive.portable_round(
+            F.when(
+                F.year("o_orderdate") >= 1998, F.col("o_totalprice") * 1.05
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("price_b"),
+    )
+    diff = snap_a.join(snap_b, F.col("key_a") == F.col("key_b"), "full_outer").withColumn(
+        "status",
+        F.when(F.col("key_a").isNull(), "added")
+        .when(F.col("key_b").isNull(), "removed")
+        .when(F.col("price_a") != F.col("price_b"), "changed")
+        .otherwise("same"),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.coalesce("price_b", F.lit(0.0)) - F.coalesce("price_a", F.lit(0.0))), 2).alias(
+            "value_delta"
+        ),
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH snap_a AS (
+  SELECT o_orderkey AS key_a, round(o_totalprice, 2) AS price_a
+  FROM orders WHERE year(o_orderdate) < 2000
+),
+snap_b AS (
+  SELECT o_orderkey AS key_b,
+         floor((CASE WHEN year(o_orderdate) >= 1998 THEN o_totalprice * 1.05
+                     ELSE o_totalprice END) * 100 + 0.5) / 100 AS price_b
+  FROM orders WHERE year(o_orderdate) >= 1996
+),
+diff AS (
+  SELECT CASE WHEN key_a IS NULL THEN 'added'
+              WHEN key_b IS NULL THEN 'removed'
+              WHEN price_a <> price_b THEN 'changed'
+              ELSE 'same' END AS status,
+         coalesce(price_b, 0.0) - coalesce(price_a, 0.0) AS delta
+  FROM snap_a FULL OUTER JOIN snap_b ON key_a = key_b
+)
+SELECT status, count(*) AS n_orders, round(sum(delta), 2) AS value_delta
+FROM diff
+GROUP BY status
+"""
+
+
+def dedup_rapid_fire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst dedup: within each (user, event_type), events arriving
+    within 60 s of the previous one are retries/double-clicks — keep
+    only the first of each burst. The chained-gap flag (gap > 60 s opens
+    a burst) is one lag() over one partitioned sort; integer-microsecond
+    arithmetic avoids float/interval ambiguity (same convention as
+    lead_gap_to_next_event)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    is_burst_start = prev_us.isNull() | (F.unix_micros("ts") - prev_us > 60 * 1_000_000)
+    return (
+        ev.withColumn("_keep", is_burst_start)
+        .filter(F.col("_keep"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+RAPID_FIRE_SQL = """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+       round(value, 2) AS value
+FROM (
+  SELECT *,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                                ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+WHERE gap_us IS NULL OR gap_us > 60 * 1000000
+"""
+
+
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each event's value scored
+    against the user's previous 20 events (mean, sample stddev); |z| >
+    2.5 with ≥ 10 history points flags an anomaly. One partitioned sort
+    feeds all three frame aggregates — a single shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-20, -1)
+    )
+    hist_n = F.count("value").over(w)
+    hist_avg = F.avg("value").over(w)
+    hist_std = F.stddev_samp("value").over(w)
+    z = (F.col("value") - hist_avg) / hist_std
+    return (
+        ev.withColumn("_n", hist_n)
+        .withColumn("_z", z)
+        .filter((F.col("_n") >= 10) & (F.abs(F.col("_z")) > 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.round("_z", 3).alias("zscore"),
+        )
+    )
+
+
+ZSCORE_SQL = """
+SELECT event_id, user_id, round(value, 2) AS value, round(z, 3) AS zscore
+FROM (
+  SELECT event_id, user_id, value,
+         count(value)  OVER w AS n,
+         (value - avg(value) OVER w) / stddev_samp(value) OVER w AS z
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+WHERE n >= 10 AND abs(z) > 2.5
+"""
