@@ -285,6 +285,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         incremental_queries.rolling_zscore_anomalies,
         incremental_queries.ZSCORE_SQL,
     ),
+    "q2_min_cost_supplier": (mart_queries.q2_min_cost_supplier, mart_queries.Q2_SQL),
+    "pivot_multi_agg": (dashboard_queries.pivot_multi_agg, dashboard_queries.PIVOT_MULTI_SQL),
+    "quantile_normalize_balances": (
+        dashboard_queries.quantile_normalize_balances,
+        dashboard_queries.QUANTILE_NORM_SQL,
+    ),
+    "interpolate_daily_values": (
+        timeseries_queries.interpolate_daily_values,
+        timeseries_queries.INTERPOLATE_SQL,
+    ),
     # r1-green, implementation tweaked but semantics unchanged (guard off
     # by default / plan-only caching change / build-probe split)
     "dedup_ngram_jaccard": (extension_queries.dedup_ngram_jaccard, extension_queries.DEDUP_NGRAM_SQL),

@@ -612,3 +612,62 @@ SELECT count(*)::BIGINT AS orphans
 FROM orders o
 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 """
+
+
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per cell (count + revenue per
+    status): one Expand+aggregate pass, explicit value list as always."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "anio", F.year("o_orderdate").cast("long")
+    )
+    piv = (
+        orders.groupBy("anio")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return piv.na.fill(0, [c for c in piv.columns if c.endswith("_n")])
+
+
+PIVOT_MULTI_SQL = """
+SELECT year(o_orderdate) AS anio,
+       count(*)    FILTER (o_orderstatus = 'O')            AS "O_n",
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS "O_total",
+       count(*)    FILTER (o_orderstatus = 'F')            AS "F_n",
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS "F_total",
+       count(*)    FILTER (o_orderstatus = 'P')            AS "P_n",
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS "P_total"
+FROM orders
+GROUP BY 1
+"""
+
+
+def quantile_normalize_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based normalization: percent_rank + cume_dist of each
+    customer's balance WITHIN its nation — the distribution-free feature
+    transform. One partitioned sort feeds both rank functions."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "n_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
+
+
+QUANTILE_NORM_SQL = """
+SELECT c_custkey, n_name, round(c_acctbal, 2) AS c_acctbal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
+"""

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import derive
 from ..session import load_table
 
 
@@ -438,4 +439,64 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
       WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
   )
 GROUP BY n_name
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part): for parts shipped by
+    EUROPE-region suppliers, the supplier(s) achieving the minimum unit
+    price. Adaptation: unit cost comes from lineitem
+    (min extendedprice/quantity — no partsupp table); the correlated min
+    subquery becomes a per-part aggregate joined back on (part, cost) —
+    min is order-independent, so the equality survives engines.
+    """
+    nation, region = _dims(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    euro_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    costs = (
+        li.join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("cost").alias("best_cost"))
+    return (
+        costs.join(best, "l_partkey")
+        .filter(F.col("cost") == F.col("best_cost"))
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            # portable_round: price/qty quotients land on half boundaries
+            derive.portable_round(F.col("cost"), 4).alias("unit_cost"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH euro_supp AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+costs AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem
+  JOIN euro_supp ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+)
+SELECT l_partkey, l_suppkey AS s_suppkey, s_name, n_name,
+       floor(cost * 10000 + 0.5) / 10000 AS unit_cost
+FROM costs
+JOIN euro_supp ON l_suppkey = s_suppkey
+WHERE cost = (SELECT min(cost) FROM costs c2 WHERE c2.l_partkey = costs.l_partkey)
 """

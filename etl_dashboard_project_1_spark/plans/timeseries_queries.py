@@ -514,3 +514,87 @@ SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
 FROM pairs WHERE to_type IS NOT NULL
 GROUP BY from_type, to_type
 """
+
+
+def interpolate_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over each user's daily value series: days
+    with no events get the straight line between the nearest known
+    days (ends stay null). The classic time-series repair pass.
+
+    Plan: daily sums (one shuffle on user+day), per-user calendar spine
+    (sequence explode of the user's own bounds), then TWO ignore-null
+    window carries (last-known-before, first-known-after) over ONE
+    partitioned sort each direction — never a self-join against the
+    known-points set. Integer day arithmetic; float only in the final
+    lerp."""
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = ev.groupBy("user_id", "day").agg(F.sum("value").alias("v"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    grid = spine.join(daily, ["user_id", "day"], "left")
+    w_past = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_future = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v", ignorenulls=True).over(w_past)
+    prev_d = F.last(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True).over(w_past)
+    next_v = F.first("v", ignorenulls=True).over(w_future)
+    next_d = F.first(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True).over(
+        w_future
+    )
+    frac = F.datediff(F.col("day"), prev_d) / F.datediff(next_d, prev_d)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return grid.select(
+        "user_id",
+        "day",
+        F.col("v").isNotNull().alias("observed"),
+        F.round(interp, 4).alias("value"),
+    )
+
+
+INTERPOLATE_SQL = """
+WITH daily AS (
+  SELECT user_id, ts::DATE AS day, sum(value) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+grid AS (
+  SELECT s.user_id, s.day, d.v
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+),
+carried AS (
+  SELECT user_id, day, v,
+         last_value(v IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS prev_d,
+         first_value(v IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS next_d
+  FROM grid
+  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day, v IS NOT NULL AS observed,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  ELSE prev_v + (next_v - prev_v)
+                       * (date_diff('day', prev_d, day)::DOUBLE
+                          / date_diff('day', prev_d, next_d))
+             END, 4) AS value
+FROM carried
+"""
