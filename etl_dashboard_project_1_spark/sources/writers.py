@@ -80,3 +80,35 @@ def write_catalog_audit_csv(rows: list[tuple[str, str, str]], path: str | Path) 
         w = csv.writer(f)
         w.writerow(["standard_name", "original_name", "hash"])
         w.writerows(rows)
+
+
+def compact_parquet(
+    spark, path: str, target_files: int, out_path: str | None = None
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (repartition — a full shuffle — so output
+    files are evenly sized regardless of input skew; use coalesce only
+    when input files are already balanced). In-place by default via an
+    atomic-rename staging dir; returns the number of data files written.
+
+    The operational fix for streaming/incremental sinks: a foreachBatch
+    upsert or append-mode stream leaves one file per micro-batch per
+    partition, and a 100 TB table read slows down linearly with file
+    count until compacted."""
+    import glob
+    import os
+    import shutil
+
+    dest = out_path or path
+    staging = dest.rstrip("/") + "__compact"
+    spark.read.parquet(path).repartition(target_files).write.mode("overwrite").parquet(
+        staging
+    )
+    if os.path.exists(dest):
+        old = dest.rstrip("/") + "__old"
+        os.rename(dest, old)
+        os.rename(staging, dest)
+        shutil.rmtree(old)
+    else:
+        os.rename(staging, dest)
+    return len(glob.glob(os.path.join(dest, "part-*")))

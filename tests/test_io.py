@@ -205,3 +205,38 @@ def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
     assert sorted(r["id"] for r in good.collect()) == [1, 3]
     lines = [r["raw_line"] for r in bad.collect()]
     assert len(lines) == 1 and "notanint" in lines[0]
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """Compaction: a fragmented directory (32 shuffle partitions → 32
+    files) rewrites to the target file count with identical data."""
+    from etl_dashboard_project_1_spark.sources import writers
+
+    out = str(tmp_path / "frag")
+    docs = load_table(spark, SF, "documents")
+    docs.repartition(32).write.parquet(out)
+    import glob
+
+    assert len(glob.glob(out + "/part-*")) == 32
+    n_files = writers.compact_parquet(spark, out, target_files=2)
+    assert n_files == 2
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution: files written before a column existed read
+    together with new files under mergeSchema — old rows surface the new
+    column as null, pruning still works."""
+    out = str(tmp_path / "evolving")
+    docs = load_table(spark, SF, "documents")
+    docs.select("doc_id", "lang").write.parquet(out + "/batch=1")
+    docs.select("doc_id", "lang", "n_chars").write.parquet(out + "/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"doc_id", "lang", "n_chars", "batch"}
+    n = docs.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("n_chars").isNull()).count() == n
