@@ -64,8 +64,18 @@ FROM lineitem"""
 
 def trend_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yearly revenue per customer nation, then the linear trend
-    (slope + intercept over year) with Spark's built-in regression
-    aggregates — two distributed aggregations, no driver math."""
+    (slope + intercept over year) — two distributed aggregations, no
+    driver math.
+
+    The regression is computed from exact integer partial sums (revenue
+    in cents via portable half-up rounding, years as ints) and a fixed
+    scalar formula, NOT `regr_slope`/`regr_intercept`. The built-ins
+    accumulate double partial sums whose order differs across engines;
+    at ~1e9 magnitudes that noise reaches the 2nd decimal's rounding
+    boundary and flips a 2dp round (seen live: intercept .66 vs .65).
+    Integer sums are order-independent and exact, and the final few
+    double ops are written identically on both sides, so the result is
+    bit-identical across Spark and the oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -76,33 +86,64 @@ def trend_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("double").alias("yr"),
+            F.year("o_orderdate").alias("yr"),
         )
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("rev_cents")
+        )
     )
-    return yearly.groupBy("nation").agg(
-        F.round(F.regr_slope("revenue", "yr"), 2).alias("slope"),
-        F.round(F.regr_intercept("revenue", "yr"), 2).alias("intercept"),
-        F.regr_count("revenue", "yr").alias("n_years"),
+    sums = yearly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("yr").cast("double").alias("sx"),
+        F.sum("rev_cents").cast("double").alias("sy"),
+        F.sum(F.col("yr").cast("long") * F.col("rev_cents")).cast("double").alias("sxy"),
+        F.sum(F.col("yr") * F.col("yr")).cast("double").alias("sxx"),
+        F.count(F.lit(1)).alias("n_years"),
+    )
+    slope_raw = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "nation",
+        (F.floor(slope_raw + F.lit(0.5)) / F.lit(100)).alias("slope"),
+        (
+            F.floor((F.col("sy") - slope_raw * F.col("sx")) / F.col("n") + F.lit(0.5))
+            / F.lit(100)
+        ).alias("intercept"),
+        "n_years",
     )
 
 
 TREND_SQL = """
 WITH yearly AS (
-  SELECT n_name AS nation, year(o_orderdate)::DOUBLE AS yr,
-         sum(l_extendedprice * (1 - l_discount)) AS revenue
+  SELECT n_name AS nation, year(o_orderdate) AS yr,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS rev_cents
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   JOIN nation   ON c_nationkey = n_nationkey
   GROUP BY 1, 2
+), sums AS (
+  SELECT nation,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(yr) AS DOUBLE) AS sx,
+         CAST(sum(rev_cents) AS DOUBLE) AS sy,
+         CAST(sum(yr * rev_cents) AS DOUBLE) AS sxy,
+         CAST(sum(yr * yr) AS DOUBLE) AS sxx,
+         CAST(count(*) AS BIGINT) AS n_years
+  FROM yearly
+  GROUP BY nation
 )
 SELECT nation,
-       round(regr_slope(revenue, yr), 2) AS slope,
-       round(regr_intercept(revenue, yr), 2) AS intercept,
-       regr_count(revenue, yr)::BIGINT AS n_years
-FROM yearly
-GROUP BY nation
+       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) + 0.5) / 100 AS slope,
+       floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n + 0.5) / 100 AS intercept,
+       n_years
+FROM sums
 """
 
 
