@@ -286,3 +286,57 @@ def pii_hit_counts(text: Column | str) -> dict[str, Column]:
         out[kind] = F.coalesce(F.regexp_count(col, F.lit(pattern)), F.lit(0)).cast("long")
         col = F.regexp_replace(col, pattern, token)
     return out
+
+
+def boilerplate_strip(
+    df,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 2,
+    max_df_frac: float = 0.05,
+):
+    """Corpus-level boilerplate removal (the C4/CCNet line-dedup shape,
+    re-expressed for whitespace corpora): segment every document into
+    non-overlapping ``seg_words``-token windows, find segments whose
+    document frequency exceeds ``max_df_frac`` of the corpus (headers,
+    footers, nav text — anything repeated verbatim across many pages),
+    strip those segments from every document, and reassemble the
+    remaining text in order.
+
+    Scale shape: one explode + one segment-keyed groupBy for document
+    frequencies; the boilerplate SET is then inherently tiny — a segment
+    needs df ≥ max_df_frac·N, so at most (segments-per-doc / max_df_frac)
+    segments can qualify REGARDLESS of corpus size — and broadcasts as a
+    one-row array. The rebuild is a map-only ``filter``/``concat_ws``
+    over each doc's own segment array: no second shuffle, no sort, order
+    preserved by construction (never ``collect_list`` + re-sort).
+
+    Returns (id_col, text_clean, n_segments, n_removed).
+    """
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    starts = F.sequence(F.lit(1), n, F.lit(seg_words))
+    segs = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, seg_words)))
+    base = df.filter(F.col(text_col).isNotNull() & (F.col(text_col) != "")).select(
+        F.col(id_col).alias("_id"), segs.alias("_segs")
+    )
+    occ = base.select("_id", F.explode("_segs").alias("_seg"))
+    seg_df = occ.groupBy("_seg").agg(F.countDistinct("_id").alias("_df"))
+    total = base.agg(F.count(F.lit(1)).alias("_n_docs"))
+    boiler = (
+        seg_df.crossJoin(F.broadcast(total))
+        .filter(F.col("_df") >= F.lit(max_df_frac) * F.col("_n_docs"))
+        .agg(F.sort_array(F.collect_list("_seg")).alias("_boiler"))
+    )
+    kept = F.filter(
+        F.col("_segs"), lambda s: ~F.array_contains(F.col("_boiler"), s)
+    )
+    return (
+        base.crossJoin(F.broadcast(boiler))
+        .select(
+            F.col("_id").alias(id_col),
+            F.concat_ws(" ", kept).alias("text_clean"),
+            F.size("_segs").cast("long").alias("n_segments"),
+            (F.size("_segs") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )

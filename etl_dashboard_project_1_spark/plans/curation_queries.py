@@ -280,3 +280,45 @@ SELECT day,
 FROM ranked
 GROUP BY day
 """
+
+
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate segment removal over the documents corpus: 2-token
+    segments appearing in ≥5% of documents are stripped from every doc
+    and the remaining text reassembled in order (C4-style line dedup for
+    a whitespace corpus). The boilerplate set is corpus-size-independent
+    (≤ segments-per-doc / 0.05 entries) and broadcasts as one row; the
+    rebuild is map-only. See operators.textops.boilerplate_strip."""
+    from ..operators import textops
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    out = textops.boilerplate_strip(docs, "doc_id", "text", seg_words=2, max_df_frac=0.05)
+    return out.orderBy("doc_id")
+
+
+BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+),
+seg AS (
+  SELECT doc_id, i, array_to_string(w[i : i + 1], ' ') AS seg_text
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), 2)) AS i FROM toks)
+),
+boiler AS (
+  SELECT seg_text FROM seg GROUP BY seg_text
+  HAVING count(DISTINCT doc_id) >= 0.05 * (SELECT count(*) FROM toks)
+),
+clean AS (
+  SELECT doc_id,
+         string_agg(seg_text, ' ' ORDER BY i)
+           FILTER (WHERE seg_text NOT IN (SELECT seg_text FROM boiler)) AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(count(*) FILTER (WHERE seg_text IN (SELECT seg_text FROM boiler)) AS BIGINT)
+           AS n_removed
+  FROM seg GROUP BY doc_id
+)
+SELECT doc_id, coalesce(text_clean, '') AS text_clean, n_segments, n_removed
+FROM clean
+ORDER BY doc_id
+"""

@@ -467,3 +467,31 @@ def test_priority_sample_prefers_heavy_rows(spark):
     sample_mean = picked.agg(F.avg("n_chars")).first()[0]
     corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
     assert sample_mean > corpus_mean
+
+
+def test_boilerplate_strip_removes_common_segments_in_order(spark):
+    """Hand-built corpus: the 'ad banner' 2-token segment sits in 3/4
+    docs (df=75% ≥ 50% threshold) and must vanish from each, with the
+    surviving words reassembled in original order; the rare segment
+    stays. Docs reduced to nothing come back as '' (not dropped)."""
+    from etl_dashboard_project_1_spark.operators import textops
+
+    rows = [
+        (1, "ad banner alpha beta gamma delta"),
+        (2, "ad banner epsilon zeta"),
+        (3, "ad banner"),
+        (4, "unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in textops.boilerplate_strip(
+            df, "doc_id", "text", seg_words=2, max_df_frac=0.5
+        ).collect()
+    }
+    assert out[1]["text_clean"] == "alpha beta gamma delta"
+    assert out[1]["n_segments"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["text_clean"] == "epsilon zeta"
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["text_clean"] == "unique words only here"
+    assert out[4]["n_removed"] == 0
