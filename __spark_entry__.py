@@ -234,6 +234,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         mart_queries.q22_dormant_rich_customers,
         mart_queries.Q22_SQL,
     ),
+    # join-strategy patterns
+    "bloom_filtered_events_join": (
+        timeseries_queries.bloom_filtered_events_join,
+        timeseries_queries.BLOOM_JOIN_SQL,
+    ),
     # second-wave curation ops + SCD2
     "text_boilerplate_strip": (
         curation_queries.text_boilerplate_strip,

@@ -598,3 +598,42 @@ SELECT user_id, day, v IS NOT NULL AS observed,
              END, 4) AS value
 FROM carried
 """
+
+
+def bloom_filtered_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: events ⋈ a selective customer slice
+    (one market segment), with a broadcast Bloom bitmap of the dim keys
+    pre-filtering events map-side BEFORE the join. Result ≡ the plain
+    join (the exact join removes Bloom false positives), which is
+    exactly what the oracle checks; the payoff at 100 TB is that the
+    fact's shuffle input shrinks to ~the dim's selectivity instead of
+    materializing every event row into the exchange.
+    See operators.bloom (sizing math in the module docstring)."""
+    from ..operators import bloom
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    pre = bloom.bloom_prefilter(ev, "user_id", dim, "user_id")
+    return (
+        pre.join(dim, "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            derive.portable_round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+BLOOM_JOIN_SQL = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+FROM events
+JOIN customer ON user_id = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY c_nationkey
+"""

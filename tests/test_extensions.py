@@ -495,3 +495,33 @@ def test_boilerplate_strip_removes_common_segments_in_order(spark):
     assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 1
     assert out[4]["text_clean"] == "unique words only here"
     assert out[4]["n_removed"] == 0
+
+
+def test_bloom_prefilter_is_exact_safe_and_prunes(spark):
+    """The Bloom pre-filter must (a) keep EVERY fact row whose key joins
+    the dim — no false negatives, so filtered⋈dim ≡ plain⋈dim — and
+    (b) actually prune: rows surviving the filter should be close to the
+    true semi-join count (false positives bounded by the sizing math)."""
+    from pyspark.sql import functions as F
+
+    from etl_dashboard_project_1_spark.operators import bloom
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    dim = (
+        load_table(spark, SF, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    pre = bloom.bloom_prefilter(ev, "user_id", dim, "user_id")
+
+    plain = ev.join(dim, "user_id").count()
+    filtered_join = pre.join(dim, "user_id").count()
+    assert filtered_join == plain  # exact-safe
+
+    semi = ev.join(dim, "user_id", "left_semi").count()
+    survivors = pre.count()
+    total = ev.count()
+    assert survivors >= semi  # no false negatives
+    # 2^16 bits vs ~few hundred keys → fp rate ≪ 1%; allow 1% of the
+    # non-matching rows through before calling the filter broken
+    assert survivors - semi <= max(1, (total - semi) * 0.01), (survivors, semi, total)

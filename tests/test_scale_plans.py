@@ -159,6 +159,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "q22_dormant_rich_customers",      # scalar avg-balance (1-row broadcast)
         "vocab_zipf_curve",                # scalar corpus-total (1-row broadcast)
         "text_boilerplate_strip",          # scalar doc-count + 1-row boiler array broadcast
+        "bloom_filtered_events_join",      # 1-row Bloom bitmap broadcast
         "event_type_lift",                 # scalar user-count (1-row broadcast)
     }
     sf = "/root/testdata/sf0.001"
