@@ -244,6 +244,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         curation_queries.text_boilerplate_strip,
         curation_queries.BOILERPLATE_SQL,
     ),
+    "sample_top_p_by_source": (
+        curation_queries.sample_top_p_by_source,
+        curation_queries.TOP_P_SQL,
+    ),
     "span_dedup_repeated": (curation_queries.span_dedup_repeated, curation_queries.SPAN_DEDUP_SQL),
     "dedup_keep_best": (curation_queries.dedup_keep_best, curation_queries.KEEP_BEST_SQL),
     "emb_quantize_error": (curation_queries.emb_quantize_error, curation_queries.EMB_QUANTIZE_SQL),

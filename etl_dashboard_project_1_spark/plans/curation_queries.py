@@ -322,3 +322,48 @@ SELECT doc_id, coalesce(text_clean, '') AS text_clean, n_segments, n_removed
 FROM clean
 ORDER BY doc_id
 """
+
+
+def sample_top_p_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) document selection per source: within each
+    source, rank documents by score (n_chars here — any per-doc quality
+    scalar slots in) and keep the smallest prefix covering 80% of the
+    source's total score mass. The LLM-curation analogue of top-p token
+    sampling: spend the token budget on the best docs of every domain
+    without a hard per-domain count.
+
+    One shuffle (window + aggregate share the source partitioning);
+    integer score sums keep the mass boundary cross-engine exact. A doc
+    is kept iff the mass BEFORE it is < p·total, so the boundary doc is
+    included and every source keeps ≥1 doc."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    cum = F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    total = F.sum("n_chars").over(Window.partitionBy("source"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (cum - F.col("n_chars")).alias("mass_before"),
+            total.alias("source_total"),
+        )
+        .filter(F.col("mass_before") < 0.8 * F.col("source_total"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", F.desc("n_chars"), F.asc("doc_id"))
+    )
+
+
+TOP_P_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS mass_before,
+         sum(n_chars) OVER (PARTITION BY source) AS source_total
+  FROM documents
+)
+SELECT doc_id, source, n_chars
+FROM ranked
+WHERE mass_before < 0.8 * source_total
+ORDER BY source, n_chars DESC, doc_id
+"""
