@@ -234,7 +234,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         mart_queries.q22_dormant_rich_customers,
         mart_queries.Q22_SQL,
     ),
-    # join-strategy patterns
+    # layout / join-strategy patterns
+    "layout_zorder_locality": (
+        profile_queries.layout_zorder_locality,
+        profile_queries.ZORDER_SQL,
+    ),
     "bloom_filtered_events_join": (
         timeseries_queries.bloom_filtered_events_join,
         timeseries_queries.BLOOM_JOIN_SQL,

@@ -257,3 +257,73 @@ SELECT ('0x' || substr(md5(doc_id::VARCHAR || 'shard'), 1, 8))::BIGINT % {SHARD_
 FROM documents
 GROUP BY 1
 """
+
+
+def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit over orders: interleave (custkey, order-day)
+    into a Morton key, cut the key space into 256 range buckets (the
+    files a z-ordered write would produce), and report each bucket's row
+    count plus min/span of BOTH dimensions. Tight per-bucket spans in
+    both columns at once are the property that makes parquet min/max
+    stats prune files for predicates on EITHER column.
+    The same generated integer formula runs on both engines — see
+    operators.layout.zorder_sql."""
+    from ..operators.layout import zorder_sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+        .cast("long")
+        .alias("dy"),
+    )
+    # data-driven [0, 256) quantization: scale-independent (works at any
+    # SF's key range), bounds are a 1-row broadcast, arithmetic integer
+    bounds = base.agg(
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("dy").alias("dy_lo"),
+        F.max("dy").alias("dy_hi"),
+    )
+    xq = "(((ck - ck_lo) * 256) DIV (ck_hi - ck_lo + 1))"
+    yq = "(((dy - dy_lo) * 256) DIV (dy_hi - dy_lo + 1))"
+    bucket = F.expr(f"({zorder_sql(xq, yq, 8, 'DIV')}) DIV 256")
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ck").alias("ck_min"),
+            (F.max("ck") - F.min("ck")).alias("ck_span"),
+            F.min("dy").alias("dy_min"),
+            (F.max("dy") - F.min("dy")).alias("dy_span"),
+        )
+        .orderBy("bucket")
+    )
+
+
+from ..operators.layout import zorder_sql as _zsql  # noqa: E402
+
+ZORDER_SQL = f"""
+WITH base AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS dy
+  FROM orders
+),
+bounds AS (
+  SELECT min(ck) AS ck_lo, max(ck) AS ck_hi, min(dy) AS dy_lo, max(dy) AS dy_hi
+  FROM base
+),
+zb AS (
+  SELECT ck, dy,
+         ({_zsql('(((ck - ck_lo) * 256) // (ck_hi - ck_lo + 1))',
+                 '(((dy - dy_lo) * 256) // (dy_hi - dy_lo + 1))', 8, '//')}) // 256 AS bucket
+  FROM base CROSS JOIN bounds
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(ck) AS ck_min, max(ck) - min(ck) AS ck_span,
+       min(dy) AS dy_min, max(dy) - min(dy) AS dy_span
+FROM zb
+GROUP BY bucket
+ORDER BY bucket
+"""

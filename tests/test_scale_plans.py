@@ -161,6 +161,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "text_boilerplate_strip",          # scalar doc-count + 1-row boiler array broadcast
         "bloom_filtered_events_join",      # 1-row Bloom bitmap broadcast
         "event_type_lift",                 # scalar user-count (1-row broadcast)
+        "layout_zorder_locality",          # 1-row quantization-bounds broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
@@ -202,3 +203,22 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     got = back.filter(F.col("day") == F.lit(one_day)).count()
     want = ev.filter(F.col("day") == F.lit(one_day)).count()
     assert got == want > 0
+
+
+def test_zorder_buckets_are_tight_in_both_dimensions(spark):
+    """The property z-order layout exists to deliver: every range bucket
+    of the Morton key covers a small span of BOTH interleaved dimensions
+    at once (so parquet min/max stats prune files on predicates against
+    either column). A plain sort on one column would leave the other
+    column's per-bucket span ~ the full domain."""
+    from etl_dashboard_project_1_spark.plans import profile_queries as pq
+
+    rows = pq.layout_zorder_locality(spark, SF).collect()
+    assert len(rows) > 64  # key space genuinely cut into many buckets
+    ck_domain = max(r.ck_min + r.ck_span for r in rows) - min(r.ck_min for r in rows)
+    dy_domain = max(r.dy_min + r.dy_span for r in rows) - min(r.dy_min for r in rows)
+    # with 8-bit interleave cut into 256 buckets, each bucket covers a
+    # 16x16 quantization cell => span <= ~1/16 of domain (+1 cell slack)
+    for r in rows:
+        assert r.ck_span <= ck_domain / 8, (r.bucket, r.ck_span, ck_domain)
+        assert r.dy_span <= dy_domain / 8, (r.bucket, r.dy_span, dy_domain)
