@@ -118,6 +118,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # (~1.7e18) exceeds double's 53-bit mantissa — the rounded
             # quotient lands ±1µs off. `div` stays exact on longs.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field, T.TimestampNTZType):
+            # Spark 4.1 reads parquet TIMESTAMP(NANOS) natively as
+            # TIMESTAMP_NTZ (micros truncation) and ignores nanosAsLong.
+            # Cast to session-TZ TimestampType (session TZ forced to UTC
+            # above, so wall-clock values are unchanged) — the engine and
+            # every oracle comparison assume plain TimestampType.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

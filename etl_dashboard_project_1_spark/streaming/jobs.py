@@ -22,7 +22,11 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch (nanosAsLong)
+        # parquet TIMESTAMP(NANOS): Spark 4.1 reads it as TIMESTAMP_NTZ
+        # (micros truncation) — declare NTZ and normalize to TimestampType
+        # below. (A LongType declaration yields MICROS under 4.1, not the
+        # nanos the old nanosAsLong shim assumed — silently 1000x off.)
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -32,11 +36,15 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """ns-long → microsecond timestamp (mirrors session.load_table)."""
-    if dict(df.dtypes).get("ts") == "bigint":
-        # `div` (integer division) — `/` is double division and ns-epoch
-        # magnitudes exceed double precision, skewing timestamps ±1µs
+    """nanos-parquet ts → session-TZ microsecond timestamp (mirrors
+    session.load_table): ns-longs divide exactly (`div`, not `/` — double
+    division skews ±1µs at ns magnitudes); NTZ casts in the session TZ
+    (UTC everywhere in this engine)."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
