@@ -221,10 +221,11 @@ def minhash_lsh_pairs(
     #   the shingle-set table is ~k× LARGER than the raw corpus, so
     #   materializing it (persist or checkpoint) needs more storage than
     #   the dataset itself, while recomputing is an embarrassingly
-    #   parallel scan+projection. Measured FASTER than both caching modes
-    #   at local SFs too (storage write + block-manager reads cost more
-    #   than the recompute; localCheckpoint additionally races the
-    #   ContextCleaner into accumulator-warning spam).
+    #   parallel scan+projection. (Local-SF timings are version-dependent:
+    #   Spark 4.0 measured recompute fastest; 4.1 measures localCheckpoint
+    #   ~25% faster — call sites that know the data fits executor storage
+    #   may pass 'checkpoint'. localCheckpoint races the ContextCleaner
+    #   into harmless accumulator-warning log spam.)
     # - 'checkpoint': localCheckpoint — freed by the ContextCleaner when
     #   unreferenced (no session-lifetime cache leak), but blocks are NOT
     #   recomputable after executor loss.
