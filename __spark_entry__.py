@@ -174,6 +174,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     # LSH ANN: deterministic bucket filter mirrored in SQL (+ recall test)
     "sim_ann_lsh": (extension_queries.sim_ann_lsh, extension_queries.SIM_ANN_LSH_SQL),
+    # batched exact ANN: one corpus scan for a broadcast query batch,
+    # two-phase windowed top-k (no global-window shuffle)
+    "sim_batch_topk": (extension_queries.sim_batch_topk, extension_queries.SIM_BATCH_TOPK_SQL),
     "h9_llm_headers": (header_queries.h9_llm_headers, header_queries.H9_SQL),
     "text_repetition": (extension_queries.text_repetition, extension_queries.TEXT_REPETITION_SQL),
     "text_chunk_overlap": (extension_queries.text_chunk_overlap, extension_queries.TEXT_CHUNK_SQL),

@@ -337,3 +337,67 @@ def ivf_topk(
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
     return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def cosine_topk_batch(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 10,
+    coarse_buckets: int = 16,
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in ONE corpus scan.
+
+    The serving-realistic ANN shape: similarity search is almost never one
+    query vector — it's a batch (a retrieval request, an eval set, a
+    dedup-against-seed-set pass). Joining the batch per-query would scan
+    the corpus |Q| times; this scans once.
+
+    Plan shape (scale path):
+      1. broadcast the query batch (metadata-sized by definition) and
+         cross-score against the corpus — still one corpus scan, no
+         corpus shuffle;
+      2. per-(query, corpus-hash-bucket) partial top-k via a window —
+         sort-based and spillable (never an in-memory ``collect_list``),
+         partitioned on (qid, bucket) so parallelism is |Q|·buckets and
+         no single task sorts more than ~n/buckets rows;
+      3. final per-query top-k over the surviving |Q|·buckets·k rows —
+         a metadata-sized second window.
+
+    Both phases are exact, so the result equals the naive global top-k.
+    Returns (qid, rank, <id_col>, cosine) with ties broken by id
+    ascending — the query key is always emitted as ``qid`` because query
+    and corpus commonly share an id column name.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(qid_col).alias("_qid"), as_double_vec(qvec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("_cid"), as_double_vec(vec_col).alias("_cv"))
+    scored = c.join(F.broadcast(q), F.col("_cid") != F.col("_qid")).select(
+        "_qid", "_cid", cosine(F.col("_cv"), F.col("_qv")).alias("_cos")
+    )
+    bucketed = scored.withColumn(
+        "_b", F.pmod(F.hash(F.col("_cid")), F.lit(coarse_buckets))
+    )
+    w_part = Window.partitionBy("_qid", "_b").orderBy(F.desc("_cos"), F.asc("_cid"))
+    survivors = (
+        bucketed.withColumn("_pr", F.row_number().over(w_part))
+        .filter(F.col("_pr") <= k)
+        .drop("_pr", "_b")
+    )
+    w_final = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("qid"),
+            "rank",
+            F.col("_cid").alias(id_col),
+            F.col("_cos").alias("cosine"),
+        )
+    )

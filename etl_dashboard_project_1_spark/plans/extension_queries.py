@@ -385,6 +385,36 @@ LIMIT 10
 """
 
 
+def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 neighbors for a BATCH of 8 query vectors in one corpus
+    scan (broadcast queries + two-phase windowed top-k — the
+    serving-realistic shape; see vector.cosine_topk_batch)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    top = vector.cosine_topk_batch(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k=10
+    )
+    return top.select(
+        "qid", "rank", "vec_id", derive.portable_round(F.col("cosine"), 4).alias("cosine")
+    )
+
+
+SIM_BATCH_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.qid, e.vec_id, {_COS_SQL.format(a='e.embedding', b='q.qv')} AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != q.qid
+)
+SELECT qid,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank,
+       vec_id,
+       floor(cos * 10000 + 0.5) / 10000 AS cosine
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup candidates ≥ 0.4 cosine via banded sign-LSH
     blocking (equi-join on the block key — the quadratic

@@ -525,3 +525,39 @@ def test_bloom_prefilter_is_exact_safe_and_prunes(spark):
     # 2^16 bits vs ~few hundred keys → fp rate ≪ 1%; allow 1% of the
     # non-matching rows through before calling the filter broken
     assert survivors - semi <= max(1, (total - semi) * 0.01), (survivors, semi, total)
+
+
+def test_batch_topk_matches_naive_global_topk(spark):
+    """Two-phase windowed batch top-k must be EXACT: equal to running the
+    single-query brute-force cosine_topk per query vector."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    batch = vector.cosine_topk_batch(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k=7, coarse_buckets=4
+    ).collect()
+    got = {(r["qid"], r["rank"]): (r["vec_id"], round(r["cosine"], 9)) for r in batch}
+    for q in queries.collect():
+        naive = vector.cosine_topk(
+            emb, "vec_id", "embedding", q["embedding"], k=7, exclude_id=q["vec_id"]
+        ).collect()
+        for rank, row in enumerate(naive, start=1):
+            assert got[(q["vec_id"], rank)] == (row["vec_id"], round(row["cosine"], 9))
+    assert len(got) == queries.count() * 7
+
+
+def test_batch_topk_plan_broadcasts_queries_not_corpus(spark):
+    """The corpus side must reach the scorer without a shuffle: query batch
+    broadcast, corpus scan direct; the only shuffle exchanges are the two
+    top-k windows."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    df = vector.cosine_topk_batch(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k=7
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    shuffles = re.findall(r"Exchange (hashpartitioning|rangepartitioning)", plan)
+    assert len(shuffles) <= 2, shuffles
