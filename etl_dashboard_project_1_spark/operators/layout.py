@@ -40,3 +40,30 @@ def zorder_sql(x: str, y: str, bits: int, div_op: str) -> str:
         terms.append(f"((({x}) {div_op} {1 << i}) % 2) * {1 << (2 * i)}")
         terms.append(f"((({y}) {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)}")
     return " + ".join(terms)
+
+
+def write_bucketed(
+    df,
+    table: str,
+    key: str,
+    buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+
+    Bucketing pre-pays the shuffle ONCE at write time: both sides of a
+    recurring equi-join stored with the same (key, bucket-count) spec
+    join with ZERO runtime exchange — at 100 TB the difference between
+    re-shuffling the fact table on every query and never shuffling it.
+    ``sort`` additionally orders rows by the key inside each bucket file,
+    which lets the join skip its sort phase too.
+
+    Uses the session catalog (in-memory by default: bucket METADATA is
+    session-scoped; on a cluster back it with a real metastore —
+    warehouse files themselves are plain parquet either way).
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

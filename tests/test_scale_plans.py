@@ -222,3 +222,58 @@ def test_zorder_buckets_are_tight_in_both_dimensions(spark):
     for r in rows:
         assert r.ck_span <= ck_domain / 8, (r.bucket, r.ck_span, ck_domain)
         assert r.dy_span <= dy_domain / 8, (r.bucket, r.dy_span, dy_domain)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _conf(spark, key, value):
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key/count must join with zero
+    runtime Exchange (the shuffle was pre-paid at write): the core
+    recurring-join layout for 100 TB fact tables."""
+    import re
+
+    from etl_dashboard_project_1_spark.operators import layout
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    lineitem = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    layout.write_bucketed(orders, "b_orders", "o_orderkey", 4)
+    layout.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 4
+    )
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        # forbid broadcast so the test proves BUCKETING removed the
+        # shuffle, not a small-SF broadcast conversion
+        with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+            joined = bo.join(bl, "o_orderkey")
+            joined.write.format("noop").mode("overwrite").save()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert not re.search(r"Exchange (hash|range|RoundRobin|Single)", plan), plan
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            # sorted buckets: the join's sort phase is satisfied by layout
+            expected = (
+                load_table(spark, SF, "orders")
+                .join(
+                    load_table(spark, SF, "lineitem"),
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                )
+                .count()
+            )
+            assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
