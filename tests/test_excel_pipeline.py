@@ -138,3 +138,47 @@ def test_ffill_global_matches_window(spark):
     ]
     got_vals = [r["v"] for r in got]
     assert got_vals == expected
+
+
+def _write_sheet_csv(pdf, path):
+    import csv as _csv
+
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = _csv.writer(f)
+        for row in pdf.itertuples(index=False):
+            w.writerow(["" if v is None else v for v in row])
+
+
+def test_sheetgrid_datasource_partition_per_sheet(spark, tmp_path):
+    """Spark-4 Python DataSource scan: one partition per sheet file, raw
+    all-string grids, blank cells as None, load order preserved."""
+    from etl_dashboard_project_1_spark.sources import sheet_datasource
+
+    _write_sheet_csv(messy_frame(), tmp_path / "sheet_a.csv")
+    _write_sheet_csv(messy_frame(), tmp_path / "sheet_b.csv")
+    grids = sheet_datasource.read_sheet_grids(spark, str(tmp_path))
+    assert grids.rdd.getNumPartitions() == 2
+    rows = grids.filter("file = 'sheet_a.csv'").orderBy("row_idx").collect()
+    assert [r["row_idx"] for r in rows] == list(range(8))
+    assert rows[0]["cells"][0] == "Marca"
+    assert rows[3]["cells"][0] is None  # spacer row blank -> None
+
+
+def test_grids_to_long_matches_driver_side_ingest(spark, tmp_path):
+    """Distributed per-sheet inference must agree cell-for-cell with the
+    driver-side ingest_messy_frame path on the same sheet."""
+    from etl_dashboard_project_1_spark.sources import sheet_datasource
+
+    _write_sheet_csv(messy_frame(), tmp_path / "s.csv")
+    grids = sheet_datasource.read_sheet_grids(spark, str(tmp_path))
+    long = sheet_datasource.grids_to_long(grids).collect()
+    got = {(r["row_id"], r["column"]): r["value"] for r in long}
+
+    wide = ingest_messy_frame(spark, messy_frame(), HeaderCanonicalizer())
+    expect = {}
+    for r in wide.collect():
+        d = r.asDict()
+        rid = d.pop("_row_id")
+        for col, v in d.items():
+            expect[(rid, col)] = None if v is None or str(v) == "<NA>" else str(v)
+    assert got == expect
