@@ -79,6 +79,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Per-session DataFrame memo: a parquet load costs ~100ms of footer/schema
+# reads, and registry sweeps / bench runs re-load the same tables hundreds
+# of times. DataFrames are immutable plans, so handing back the same object
+# is semantically free. Keyed weakly by session so a stopped session's
+# plans are collectable (and a fresh session — e.g. the driver's — never
+# sees another session's plans).
+import weakref
+
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — columnar, filter/column pushdown handled by Catalyst.
 
@@ -88,6 +99,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    try:
+        memo = _TABLE_MEMO.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable on some builds
+        memo = {}
+    key = (os.path.abspath(sf_dir), name)
+    if key in memo:
+        return memo[key]
 
     # Self-heal the runtime confs the engine's semantics depend on, so a
     # caller-built session (the correctness driver's own SparkSession)
@@ -125,6 +144,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # above, so wall-clock values are unchanged) — the engine and
             # every oracle comparison assume plain TimestampType.
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    memo[key] = df
     return df
 
 

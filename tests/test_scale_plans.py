@@ -159,6 +159,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "q22_dormant_rich_customers",      # scalar avg-balance (1-row broadcast)
         "vocab_zipf_curve",                # scalar corpus-total (1-row broadcast)
         "text_boilerplate_strip",          # scalar doc-count + 1-row boiler array broadcast
+        "sim_batch_topk",                  # broadcast query BATCH (request-sized) cross-score
         "bloom_filtered_events_join",      # 1-row Bloom bitmap broadcast
         "event_type_lift",                 # scalar user-count (1-row broadcast)
         "layout_zorder_locality",          # 1-row quantization-bounds broadcast
