@@ -561,3 +561,23 @@ def test_batch_topk_plan_broadcasts_queries_not_corpus(spark):
 
     shuffles = re.findall(r"Exchange (hashpartitioning|rangepartitioning)", plan)
     assert len(shuffles) <= 2, shuffles
+
+
+def test_prefix_filter_jaccard_is_lossless(spark):
+    """PPJoin prefix filtering must be EXACT: identical pair set and
+    jaccard values to the naive inverted-index join, at two thresholds."""
+    docs = load_table(spark, SF, "documents")
+    for t in (0.2, 0.5):
+        naive = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=t, method="allpairs"
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=t, method="prefix"
+            ).collect()
+        }
+        assert pref == naive and naive
