@@ -185,6 +185,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # pii scrub/audit semantics changed this round (sequential counts,
     # ipv4-before-phone) — must re-earn its driver row
     "text_pii_scrub": (extension_queries.text_pii_scrub, extension_queries.TEXT_PII_SQL),
+    # OHLC time bars: one-shuffle groupBy, portable string order key
+    "ohlc_hourly_bars": (timeseries_queries.ohlc_hourly_bars, timeseries_queries.OHLC_SQL),
+    # degree-of-contamination decontamination (gram-overlap fraction)
+    "decontaminate_ngram_overlap": (
+        extension_queries.decontaminate_ngram_overlap,
+        extension_queries.DECONTAMINATE_NGRAM_SQL,
+    ),
     "emb_label_centroid_stats": (
         extension_queries.emb_label_centroid_stats,
         extension_queries.EMB_LABEL_STATS_SQL,

@@ -1063,3 +1063,57 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM tok JOIN freq USING (tok), n
 GROUP BY doc_id
 """
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, n-gram-overlap form (the method actually
+    used for LLM training corpora): a training doc is contaminated in
+    DEGREE — the fraction of its distinct word 3-grams that appear
+    anywhere in the held-out set — not just by whole-document fingerprint
+    collision. Reports docs with overlap ≥ 0.1, excluding the held-out
+    docs themselves.
+
+    Scale shape: the benchmark GRAM set is eval-sized (eval corpora are
+    small by definition) — broadcast semi-join per exploded corpus gram,
+    then one groupBy on doc_id. One corpus scan, no corpus-side shuffle
+    before the per-doc count."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    held_out = sampling.hash_bucket(F.col("doc_id"), "sample") < int(0.05 * sampling.WHEEL)
+    grams = docs.select(
+        "doc_id", "source", held_out.alias("_held"),
+        F.explode(dedup.word_shingles("text", 3)).alias("_g"),
+    )
+    bench_grams = grams.filter(F.col("_held")).select("_g").distinct()
+    train = grams.filter(~F.col("_held"))
+    hit = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+    overlap = (
+        train.join(
+            F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "_g", "left"
+        )
+        .groupBy("doc_id", "source")
+        .agg((F.sum(hit) / F.count(F.lit(1))).alias("_ov"))
+    )
+    return (
+        overlap.filter(F.col("_ov") >= 0.1)
+        .select("doc_id", "source", derive.portable_round(F.col("_ov"), 4).alias("overlap"))
+    )
+
+
+DECONTAMINATE_NGRAM_SQL = r"""
+WITH g AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'sample'), 1, 8))::BIGINT % 10000 < 500 AS held,
+         unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]
+                ELSE [] END)) AS gram
+  FROM (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS w FROM documents)
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE held)
+SELECT doc_id, source,
+       floor(avg(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) * 10000 + 0.5) / 10000 AS overlap
+FROM g LEFT JOIN bench USING (gram)
+WHERE NOT held
+GROUP BY doc_id, source
+HAVING avg(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) >= 0.1
+"""

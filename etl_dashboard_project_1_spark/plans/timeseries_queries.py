@@ -637,3 +637,50 @@ JOIN customer ON user_id = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY c_nationkey
 """
+
+
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: per event_type per hour, open/high/low/close of
+    ``value`` plus count and sum — the canonical time-bar rollup.
+
+    One shuffle (the groupBy), open/close via ``min_by``/``max_by`` on a
+    zero-padded (epoch-micros, event_id) STRING order key: struct ordering
+    isn't portable to every engine's arg_min, a fixed-width string is —
+    and the tie-break on event_id makes the bars deterministic even with
+    colliding timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    okey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.withColumn("_ok", okey)
+        .groupBy(
+            F.col("event_type"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+        )
+        .agg(
+            F.min_by("value", F.col("_ok")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("_ok")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            derive.portable_round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+OHLC_SQL = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
+       arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+       count(*) AS n_events,
+       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
