@@ -1,0 +1,138 @@
+"""Property-based (hypothesis) tests for the semantics-rich operators:
+random inputs, pure-Python reference models, exact agreement required.
+
+These pin behaviors example tests can miss — exact-boundary session gaps,
+all-null ffill prefixes, chunk boundaries landing exactly on document
+edges — with shrinking when they fail. Example counts are kept small
+because every example round-trips through Spark.
+"""
+
+import datetime
+import os
+import sys
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_dashboard_project_1_spark.operators import cleaning, sampling, sessionize
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+# --- sessionize: gap semantics incl. EXACT boundaries -----------------------
+
+EPOCH = datetime.datetime(2024, 1, 1)
+
+# offsets in whole seconds, deliberately dense around the 30s gap boundary
+offsets = st.lists(
+    st.integers(min_value=0, max_value=120).flatmap(
+        lambda base: st.sampled_from([base, 29, 30, 31, 60])
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(groups=st.lists(offsets, min_size=1, max_size=3))
+@settings(**SETTINGS)
+def test_sessionize_matches_reference_model(spark, groups):
+    gap = 30
+    rows = []
+    for uid, offs in enumerate(groups):
+        t = 0
+        for i, step in enumerate(sorted(offs)):
+            t = step if i == 0 else t + step
+            rows.append((uid, len(rows), EPOCH + datetime.timedelta(seconds=t)))
+    sdf = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    got = {
+        (r["user_id"], r["event_id"]): r["session_seq"]
+        for r in sessionize.sessionize(
+            sdf, "ts", ["user_id"], gap_seconds=gap, tiebreak=["event_id"]
+        ).collect()
+    }
+    # reference model: strict > gap starts a new session
+    by_user: dict[int, list] = {}
+    for uid, eid, ts in rows:
+        by_user.setdefault(uid, []).append((ts, eid))
+    for uid, evs in by_user.items():
+        seq = 0
+        prev = None
+        for ts, eid in sorted(evs):
+            if prev is None or (ts - prev).total_seconds() > gap:
+                seq += 1
+            prev = ts
+            assert got[(uid, eid)] == seq, (uid, eid, ts)
+
+
+# --- pack_chunks: concat-then-chunk reference -------------------------------
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=7), min_size=1, max_size=20),
+    chunk=st.integers(min_value=1, max_value=10),
+)
+@settings(**SETTINGS)
+def test_pack_chunks_matches_reference_model(spark, tokens, chunk):
+    rows = [(0, i, n) for i, n in enumerate(tokens)]
+    sdf = spark.createDataFrame(rows, "grp int, doc_id int, n_tokens int")
+    got = {
+        r["doc_id"]: r["chunk_id"]
+        for r in sampling.pack_chunks(
+            sdf, "n_tokens", chunk, by=["grp"], order_cols=["doc_id"]
+        ).collect()
+    }
+    running = 0
+    for i, n in enumerate(tokens):
+        assert got[i] == running // chunk, (i, n, running, chunk)
+        running += n
+
+
+# --- ffill: pandas reference, partitioned and global paths ------------------
+
+values = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50).map(float)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(vals=values, n_groups=st.integers(min_value=1, max_value=3))
+@settings(**SETTINGS)
+def test_ffill_matches_pandas_reference(spark, vals, n_groups):
+    rows = [(i % n_groups, i, v) for i, v in enumerate(vals)]
+    schema = T.StructType(
+        [
+            T.StructField("g", T.IntegerType()),
+            T.StructField("ord", T.IntegerType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    sdf = spark.createDataFrame(rows, schema)
+    pdf = pd.DataFrame(rows, columns=["g", "ord", "x"]).sort_values("ord")
+
+    part = {
+        (r["g"], r["ord"]): r["x"]
+        for r in cleaning.ffill(sdf, ["x"], ["ord"], partition_cols=["g"]).collect()
+    }
+    expect_part = pdf.assign(x=pdf.groupby("g")["x"].ffill())
+    for _, row in expect_part.iterrows():
+        want = None if pd.isna(row["x"]) else row["x"]
+        assert part[(row["g"], row["ord"])] == want
+
+    glob = {
+        r["ord"]: r["x"]
+        for r in cleaning.ffill_global(sdf, ["x"], ["ord"], num_partitions=3).collect()
+    }
+    expect_glob = pdf.assign(x=pdf["x"].ffill())
+    for _, row in expect_glob.iterrows():
+        want = None if pd.isna(row["x"]) else row["x"]
+        assert glob[row["ord"]] == want, (row["ord"], glob[row["ord"]], want)
