@@ -192,6 +192,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.decontaminate_ngram_overlap,
         extension_queries.DECONTAMINATE_NGRAM_SQL,
     ),
+    # z-normalized sliding-window subsequence match, linear in events
+    "ts_pattern_topk": (timeseries_queries.ts_pattern_topk, timeseries_queries.TS_PATTERN_SQL),
     "emb_label_centroid_stats": (
         extension_queries.emb_label_centroid_stats,
         extension_queries.EMB_LABEL_STATS_SQL,

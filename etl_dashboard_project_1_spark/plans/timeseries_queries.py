@@ -684,3 +684,83 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+
+def ts_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (EDBT'19-style): find the 20 user
+    subsequences of length 8 whose z-normalized shape best matches a
+    literal query pattern (a spike: low-low-low-high-high-low-low-low).
+
+    Plan shape: ONE shuffle (user_id window) builds each position's
+    next-8 value array via a frame-bounded collect_list; the distance is
+    a pure array expression (normalize window, squared distance to the
+    normalized pattern); global top-k is a sort-limit (partial per
+    partition). No self-join, no per-candidate pass — cost is linear in
+    the event count.
+    """
+    pattern = [1.0, 1.0, 1.0, 8.0, 8.0, 1.0, 1.0, 1.0]
+    p_mean = sum(pattern) / len(pattern)
+    p_var = sum((x - p_mean) ** 2 for x in pattern) / len(pattern)
+    p_norm = [(x - p_mean) / (p_var ** 0.5) for x in pattern]
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(0, 7)
+    )
+    win = F.collect_list(F.col("value")).over(w)
+    df = ev.select("user_id", "event_id", win.alias("_w")).filter(F.size("_w") == 8)
+    n = F.lit(8.0)
+    mean = F.aggregate("_w", F.lit(0.0), lambda a, x: a + x) / n
+    var = F.aggregate("_w", F.lit(0.0), lambda a, x: a + (x - mean) * (x - mean)) / n
+    # constant series carry no shape: exclude zero-variance windows
+    df = df.withColumn("_m", mean).withColumn("_v", var).filter(F.col("_v") > 0)
+    znorm = F.transform("_w", lambda x: (x - F.col("_m")) / F.sqrt(F.col("_v")))
+    pat = F.array(*[F.lit(x) for x in p_norm])
+    dist = F.aggregate(
+        F.zip_with(znorm, pat, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            derive.portable_round(dist, 4).alias("dist"),
+            dist.alias("_d"),
+        )
+        .orderBy(F.asc("_d"), F.asc("user_id"), F.asc("start_event_id"))
+        .limit(20)
+        .drop("_d")
+    )
+
+
+TS_PATTERN_SQL = """
+WITH pat AS (
+  SELECT [(x - 2.75) / sqrt(list_sum(list_transform([1.0,1.0,1.0,8.0,8.0,1.0,1.0,1.0],
+            y -> (y - 2.75) * (y - 2.75))) / 8.0) FOR x IN [1.0,1.0,1.0,8.0,8.0,1.0,1.0,1.0]] AS p
+),
+win AS (
+  SELECT user_id, event_id AS start_event_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+  FROM events
+),
+stats AS (
+  SELECT user_id, start_event_id, w,
+         list_sum(w) / 8.0 AS m,
+         list_sum(list_transform(w, x -> (x - list_sum(w) / 8.0) * (x - list_sum(w) / 8.0))) / 8.0 AS v
+  FROM win WHERE len(w) = 8
+),
+scored AS (
+  SELECT user_id, start_event_id,
+         list_sum(list_transform(range(1, 9),
+           i -> ((w[i] - m) / sqrt(v) - p[i]) * ((w[i] - m) / sqrt(v) - p[i]))) AS d
+  FROM stats, pat WHERE v > 0
+)
+SELECT user_id, start_event_id, floor(d * 10000 + 0.5) / 10000 AS dist
+FROM scored
+ORDER BY d ASC, user_id ASC, start_event_id ASC
+LIMIT 20
+"""
