@@ -194,6 +194,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     # z-normalized sliding-window subsequence match, linear in events
     "ts_pattern_topk": (timeseries_queries.ts_pattern_topk, timeseries_queries.TS_PATTERN_SQL),
+    # fused pure-expression ML inference (logit emitted for bit-stability)
+    "quality_logit_inference": (
+        extension_queries.quality_logit_inference,
+        extension_queries.QUALITY_LOGIT_SQL,
+    ),
     "emb_label_centroid_stats": (
         extension_queries.emb_label_centroid_stats,
         extension_queries.EMB_LABEL_STATS_SQL,

@@ -1117,3 +1117,58 @@ WHERE NOT held
 GROUP BY doc_id, source
 HAVING avg(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) >= 0.1
 """
+
+
+def quality_logit_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused in-engine ML inference (ICDE'25 operator-fusion style): a
+    trained-offline logistic quality classifier executed as ONE fused
+    projection over the corpus scan — features (token count, punctuation
+    ratio, stopword ratio, mean word length) and the linear model fold
+    into a single whole-stage-codegen'd expression; the keep decision is
+    the logit's sign.
+
+    Emits the LOGIT, not the sigmoid: +,*,/ are correctly-rounded IEEE in
+    every engine, exp() is not — so the score (and the hash comparison)
+    is bit-stable cross-engine while preserving the classifier's ranking
+    and decision (sigmoid is monotone).
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # weights "trained offline": length saturation, punctuation penalty,
+    # stopword-presence evidence, word-length prior, bias
+    logit = (
+        2.0 * F.least(textops.token_count("text") / 200.0, F.lit(1.0))
+        - 6.0 * textops.punct_ratio("text")
+        + 10.0 * textops.stopword_ratio("text")
+        - 0.2 * textops.mean_word_length("text")
+        - 0.3
+    )
+    return docs.select(
+        "doc_id",
+        derive.portable_round(logit, 4).alias("logit"),
+        (logit > 0).alias("keep"),
+    )
+
+
+QUALITY_LOGIT_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+         length(regexp_replace(regexp_replace(text, '\s', '', 'g'), '[^a-zA-Z0-9]', '', 'g')) AS n_alnum,
+         list_sum(list_transform(regexp_split_to_array(lower(text), '\s+'), w -> length(w))) AS sum_wlen,
+         len(regexp_split_to_array(lower(text), '\s+')) AS n_tok_raw,
+         {{stop_r}} AS stop_r
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         2.0 * least(n_tokens / 200.0, 1.0)
+         - 6.0 * ((n_nonws - n_alnum) / greatest(n_nonws, 1)::DOUBLE)
+         + 10.0 * stop_r
+         - 0.2 * (sum_wlen / greatest(n_tok_raw, 1)::DOUBLE)
+         - 0.3 AS logit
+  FROM t
+)
+SELECT doc_id, floor(logit * 10000 + 0.5) / 10000 AS logit, logit > 0 AS keep
+FROM s
+""".format(stop_r=_ratio_sql(textops.LANG_PROFILES["en"]))
