@@ -181,3 +181,54 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(
         run, schema="doc_id bigint, features array<double>"
     )
+
+
+def audio_energy_stub(
+    payload: bytes, window_bytes: int = 32, hop_bytes: int = 16, max_windows: int = 8
+) -> list[int]:
+    """STUB audio decode — per-window energies over OVERLAPPED windows
+    (50% hop), the standard audio segmentation shape. A real
+    implementation would RMS PCM samples::
+
+        import numpy as np                  # real path
+        pcm = np.frombuffer(payload, dtype=np.int16)
+        ...
+
+    The fake derives each window's energy from the md5 of its byte slice
+    so schema, batching and the oracle comparison are exercised with
+    stable values.
+    """
+    n = max(1, min(max_windows, len(payload) // hop_bytes - 1))
+    out = []
+    for w in range(n):
+        seg = payload[w * hop_bytes : w * hop_bytes + window_bytes]
+        out.append(int(hashlib.md5(seg).hexdigest()[:4], 16))
+    return out
+
+
+def audio_window_peaks(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Audio-shaped pipeline: Python-side windowed energy extraction
+    (Arrow batches, bounded ≤8-window fan-out per payload) feeding
+    JVM-side neighbor analytics — each window flagged as a local energy
+    peak via lag/lead over the per-doc window sequence. The shuffle is on
+    (doc) for the window ordering only; payload bytes never shuffle (the
+    mapInPandas projects them away)."""
+    from pyspark.sql import Window as W
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                for wi, e in enumerate(audio_energy_stub(p)):
+                    rows.append((i, wi, e))
+            yield pd.DataFrame(rows, columns=["doc_id", "win_idx", "energy"])
+
+    wins = df.select(id_col, payload_col).mapInPandas(
+        run, schema="doc_id bigint, win_idx int, energy bigint"
+    )
+    w = W.partitionBy("doc_id").orderBy("win_idx")
+    prev = F.coalesce(F.lag("energy").over(w), F.lit(-1))
+    nxt = F.coalesce(F.lead("energy").over(w), F.lit(-1))
+    return wins.withColumn("is_peak", (F.col("energy") > prev) & (F.col("energy") > nxt))

@@ -1172,3 +1172,29 @@ s AS (
 SELECT doc_id, floor(logit * 10000 + 0.5) / 10000 AS logit, logit > 0 AS keep
 FROM s
 """.format(stop_r=_ratio_sql(textops.LANG_PROFILES["en"]))
+
+
+def mm_audio_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    with_bin = multimodal.attach_binary(docs, "text")
+    return multimodal.audio_window_peaks(with_bin)
+
+
+MM_AUDIO_PEAKS_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         greatest(1, least(8, octet_length(encode(text)) // 16 - 1)) AS nw
+  FROM documents
+),
+w AS (
+  SELECT doc_id, wi AS win_idx,
+         ('0x' || substr(md5(substr(text, wi * 16 + 1, 32)), 1, 4))::BIGINT AS energy
+  FROM n, range(8) t(wi)
+  WHERE wi < nw
+)
+SELECT doc_id, win_idx::INT AS win_idx, energy,
+       energy > coalesce(lag(energy) OVER win, -1)
+       AND energy > coalesce(lead(energy) OVER win, -1) AS is_peak
+FROM w
+WINDOW win AS (PARTITION BY doc_id ORDER BY win_idx)
+"""
