@@ -194,6 +194,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     # z-normalized sliding-window subsequence match, linear in events
     "ts_pattern_topk": (timeseries_queries.ts_pattern_topk, timeseries_queries.TS_PATTERN_SQL),
+    # rolling distinct actives: day-level set union (frames can't DISTINCT)
+    "rolling_7d_distinct_users": (
+        timeseries_queries.rolling_7d_distinct_users,
+        timeseries_queries.ROLLING_7D_DISTINCT_SQL,
+    ),
     # audio-shaped multimodal: overlapped window energies + peak flags
     "mm_audio_peaks": (extension_queries.mm_audio_peaks, extension_queries.MM_AUDIO_PEAKS_SQL),
     # fused pure-expression ML inference (logit emitted for bit-stability)

@@ -764,3 +764,45 @@ FROM scored
 ORDER BY d ASC, user_id ASC, start_event_id ASC
 LIMIT 20
 """
+
+
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day DISTINCT active users per day — the metric a plain
+    range-frame can't express (COUNT(DISTINCT) doesn't compose over
+    window frames).
+
+    Two-level plan: (1) one shuffle collapses events to one row per DAY
+    carrying that day's user SET (collect_set — bounded by daily actives);
+    (2) a 7-row window unions and re-distincts the sets. The window is
+    global-ordered but runs on a DAYS-sized table (three orders of
+    magnitude smaller than events at any corpus scale), so the single
+    task it serializes through holds days, never events. At extreme user
+    cardinality swap the exact sets for KMV sketches (operators/dedup.py)
+    — same two-level shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("_d")).agg(
+        F.collect_set("user_id").alias("_users")
+    )
+    w = Window.orderBy("_d").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        F.size("_users").alias("n_users_1d"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("_users").over(w)))).alias(
+            "n_users_7d"
+        ),
+    )
+
+
+ROLLING_7D_DISTINCT_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS dd, list(DISTINCT user_id) AS users
+  FROM events GROUP BY 1
+)
+SELECT strftime(dd, '%Y-%m-%d') AS day,
+       len(users) AS n_users_1d,
+       len(list_distinct(flatten(
+         list(users) OVER (ORDER BY dd ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       ))) AS n_users_7d
+FROM d
+"""
