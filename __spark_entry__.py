@@ -194,6 +194,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     # z-normalized sliding-window subsequence match, linear in events
     "ts_pattern_topk": (timeseries_queries.ts_pattern_topk, timeseries_queries.TS_PATTERN_SQL),
+    # robust MAD outliers: exact grouped percentiles, stats broadcast back
+    "mad_outlier_flags": (
+        incremental_queries.mad_outlier_flags,
+        incremental_queries.MAD_OUTLIER_SQL,
+    ),
     # rolling distinct actives: day-level set union (frames can't DISTINCT)
     "rolling_7d_distinct_users": (
         timeseries_queries.rolling_7d_distinct_users,

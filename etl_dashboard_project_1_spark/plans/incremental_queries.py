@@ -190,3 +190,50 @@ FROM (
 )
 WHERE n >= 10 AND abs(z) > 2.5
 """
+
+
+def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: modified z-score against the
+    group's MEDIAN and MAD (median absolute deviation) — immune to the
+    outliers polluting the baseline, which is exactly what mean/stddev
+    scoring (rolling_zscore_anomalies) suffers from.
+
+    Two grouped EXACT percentiles (one shuffle each, group-key
+    partitioned) with the group medians broadcast back between passes —
+    group stats are dimension-sized (one row per event_type), so no
+    events-side shuffle is added by either join."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - _med), 0.5)").alias("_mad")
+    )
+    mz = 0.6745 * F.abs(F.col("value") - F.col("_med")) / F.col("_mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("_mad") > 0) & (mz > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            derive.portable_round(mz, 4).alias("mod_zscore"),
+        )
+    )
+
+
+MAD_OUTLIER_SQL = """
+WITH m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+d AS (SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN m USING (event_type)),
+a AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad FROM d GROUP BY 1
+)
+SELECT event_id, d.event_type, round(value, 2) AS value,
+       floor(0.6745 * abs(value - med) / mad * 10000 + 0.5) / 10000 AS mod_zscore
+FROM d JOIN a USING (event_type)
+WHERE mad > 0 AND 0.6745 * abs(value - med) / mad > 3.5
+"""
