@@ -155,33 +155,59 @@ def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|types|² ≤ 36 per user), never document pairs. All counts are
     integers, so the ratio is cross-engine exact."""
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_single"))
-    total = ut.agg(F.countDistinct("user_id").alias("n_users"))
-    a = ut.alias("a")
-    b = ut.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
-               & (F.col("a.event_type") < F.col("b.event_type")))
-        .groupBy(
-            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_both"))
+    # ONE shuffle collapses the fact table to a sorted per-user type set;
+    # pair/single/total counts then come out of ONE more aggregation over
+    # marker rows generated by a pure array expression per user:
+    #   (a, b)      — per-user type pair (flatten ∘ indexed transform,
+    #                 ≤ |types|² elements per row)
+    #   (a, null)   — singles marker
+    #   (null,null) — one per user → distinct-user total
+    # The old formulation (distinct + self-join + three stat joins)
+    # recomputed the events scan on every branch (4 scans, 9 exchanges,
+    # no AQE exchange reuse because each branch prunes differently);
+    # this one is 1 scan and 2 exchanges. The counts table is
+    # |types|²-bounded — metadata-sized by construction — so the final
+    # lift arithmetic happens on collected rows, exactly like the
+    # k-means centroids and ffill partition-carry driver states.
+    sets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("_ts")
     )
-    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n_single").alias("n_a"))
-    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n_single").alias("n_b"))
-    return (
-        pairs.join(F.broadcast(sa), "type_a")
-        .join(F.broadcast(sb), "type_b")
-        .join(F.broadcast(total))
-        .select(
-            "type_a",
-            "type_b",
-            "n_both",
-            F.round(
-                F.col("n_both") * F.col("n_users") / (F.col("n_a") * F.col("n_b")), 4
-            ).alias("lift"),
+    null_s = F.lit(None).cast("string")
+    combos = F.flatten(
+        F.transform(
+            "_ts",
+            lambda x, i: F.transform(
+                F.slice("_ts", i + 2, F.greatest(F.size("_ts") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("ta"), y.alias("tb")),
+            ),
         )
+    )
+    markers = F.concat(
+        F.array(F.struct(null_s.alias("ta"), null_s.alias("tb"))),
+        F.transform("_ts", lambda x: F.struct(x.alias("ta"), null_s.alias("tb"))),
+        combos,
+    )
+    counts = (
+        sets.select(F.explode(markers).alias("_p"))
+        .groupBy(F.col("_p.ta").alias("ta"), F.col("_p.tb").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = counts.collect()
+    n_users = next(r["n"] for r in rows if r["ta"] is None)
+    n_single = {r["ta"]: r["n"] for r in rows if r["ta"] is not None and r["tb"] is None}
+    out = [
+        (
+            r["ta"],
+            r["tb"],
+            r["n"],
+            float(r["n"] * n_users) / (n_single[r["ta"]] * n_single[r["tb"]]),
+        )
+        for r in rows
+        if r["ta"] is not None and r["tb"] is not None
+    ]
+    return (
+        spark.createDataFrame(out, "type_a string, type_b string, n_both bigint, lift double")
+        .withColumn("lift", F.round("lift", 4))
     )
 
 
