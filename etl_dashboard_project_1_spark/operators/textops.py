@@ -201,13 +201,23 @@ def unigram_logprob(df, id_col: str, text_col: str):
     )
 
 
-def tfidf_topk(df, id_col: str, text_col: str, k: int = 3):
+def tfidf_topk(df, id_col: str, text_col: str, k: int = 3, reuse: str = "recompute"):
     """Top-k characteristic terms per document by tf·idf.
 
-    Two-phase, three-shuffle plan that scales: (1) token counts per
-    (doc, token) — ONE shuffle with map-side combine; (2) document
-    frequency per token — vocab-sized result, joined back via BROADCAST
-    (no fact-side shuffle); (3) per-doc top-k — window on the doc key.
+    Plan that scales: (1) token counts per (doc, token) — ONE shuffle
+    with map-side combine; (2) document frequency per token — vocab-sized
+    result, joined back via BROADCAST (no fact-side shuffle); (3) per-doc
+    top-k — window on the doc key.
+
+    The tf table feeds two branches (df counts + scoring) and Catalyst
+    prunes them differently, so AQE cannot reuse the exchange — by
+    default the tokenize+count runs twice (two corpus scans, skew-safe).
+    The rejected alternative, ``count(*) over (partition by token)``,
+    would be one scan but serializes every stopword token's corpus-sized
+    group through one task — a 100 TB skew bomb. ``reuse='checkpoint'``
+    materializes tf once via localCheckpoint instead of rescanning —
+    right when the (doc, token, tf) table fits executor storage (bench
+    SFs), wrong when it rivals the corpus.
 
     idf is the RATIONAL form ``(N + 1) / (df + 1)`` rather than its log:
     integer-product-then-divide is a single correctly-rounded IEEE op, so
@@ -220,6 +230,10 @@ def tfidf_topk(df, id_col: str, text_col: str, k: int = 3):
 
     tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
     tf = tok.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("tf"))
+    if reuse == "checkpoint":
+        tf = tf.localCheckpoint(eager=False)
+    elif reuse != "recompute":
+        raise ValueError(f"unknown reuse mode {reuse!r}")
     dfreq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("df"))
     # corpus size joins in LAZILY (broadcast 1-row cross) — a .first() here
     # would run a full corpus scan at plan-BUILD time, firing jobs from
