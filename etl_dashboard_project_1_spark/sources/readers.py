@@ -196,3 +196,17 @@ def add_load_order(df: DataFrame, col: str = "_row_id") -> DataFrame:
 
 def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan — the interchange format most raw LLM-corpus dumps
+    arrive in. An explicit schema skips Spark's inference pass (which
+    reads the data TWICE — never acceptable at corpus scale); corrupt
+    records land in ``_corrupt_record`` instead of failing the scan
+    (PERMISSIVE), mirroring the CSV quarantine reader."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)

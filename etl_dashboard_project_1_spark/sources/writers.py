@@ -112,3 +112,18 @@ def compact_parquet(
     else:
         os.rename(staging, dest)
     return len(glob.glob(os.path.join(dest, "part-*")))
+
+
+def write_jsonl(df: DataFrame, path: str | Path, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, splittable for re-ingestion)."""
+    df.write.mode(mode).json(str(path))
+
+
+def write_orc(df: DataFrame, path: str | Path, mode: str = "overwrite") -> None:
+    """ORC sink — second columnar format (Hive interchange); same pushdown
+    and pruning properties as parquet from Spark's side."""
+    df.write.mode(mode).orc(str(path))
+
+
+def read_orc(spark, path: str | Path) -> DataFrame:
+    return spark.read.orc(str(path))

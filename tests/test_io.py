@@ -240,3 +240,43 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     n = docs.count()
     assert merged.count() == 2 * n
     assert merged.filter(F.col("n_chars").isNull()).count() == n
+
+
+def test_jsonl_roundtrip_with_corrupt_quarantine(spark, tmp_path):
+    """JSONL sink/scan round-trip; a corrupt line lands in
+    _corrupt_record under PERMISSIVE instead of failing the scan."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = tmp_path / "docs.jsonl"
+    writers.write_jsonl(df, out)
+    back = readers.read_jsonl(spark, str(out), schema="id long, s string")
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+    bad = tmp_path / "bad.jsonl"
+    bad.mkdir()
+    (bad / "part-0.json").write_text('{"id": 1, "s": "ok"}\n{not json\n')
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    rows = readers.read_jsonl(spark, str(bad), schema=sch).collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and good[0]["id"] == 1
+    assert len(corrupt) == 1 and "{not json" in corrupt[0]["_corrupt_record"]
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip preserves values; a filter on the re-read reaches
+    the ORC reader as a pushed filter (same pruning story as parquet)."""
+    df = spark.createDataFrame([(i, float(i) * 1.5) for i in range(100)], "id long, v double")
+    out = tmp_path / "t.orc"
+    writers.write_orc(df, out)
+    back = writers.read_orc(spark, out).filter("id >= 90")
+    assert back.count() == 10
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(id,90)" in plan
