@@ -787,10 +787,10 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("_d").rowsBetween(-6, 0)
     return daily.select(
         F.date_format("_d", "yyyy-MM-dd").alias("day"),
-        F.size("_users").alias("n_users_1d"),
-        F.size(F.array_distinct(F.flatten(F.collect_list("_users").over(w)))).alias(
-            "n_users_7d"
-        ),
+        F.size("_users").cast("long").alias("n_users_1d"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("_users").over(w))))
+        .cast("long")
+        .alias("n_users_7d"),
     )
 
 
