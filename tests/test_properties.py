@@ -136,3 +136,40 @@ def test_ffill_matches_pandas_reference(spark, vals, n_groups):
     for _, row in expect_glob.iterrows():
         want = None if pd.isna(row["x"]) else row["x"]
         assert glob[row["ord"]] == want, (row["ord"], glob[row["ord"]], want)
+
+
+# --- as-of join: pandas merge_asof reference --------------------------------
+
+asof_times = st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=12)
+
+
+@given(lefts=asof_times, rights=asof_times, strict=st.booleans())
+@settings(**SETTINGS)
+def test_asof_join_matches_merge_asof(spark, lefts, rights, strict):
+    from etl_dashboard_project_1_spark.operators.asof import asof_join
+
+    lrows = [
+        (0, i, EPOCH + datetime.timedelta(seconds=int(t))) for i, t in enumerate(lefts)
+    ]
+    rrows = [
+        (0, EPOCH + datetime.timedelta(seconds=int(t)), float(j))
+        for j, t in enumerate(rights)
+    ]
+    left = spark.createDataFrame(lrows, "uid int, lid int, ts timestamp")
+    right = spark.createDataFrame(rrows, "uid int, ts timestamp, payload double")
+    got = {
+        r["lid"]: r["payload_asof"]
+        for r in asof_join(
+            left, right, on="ts", by=["uid"], right_payload=["payload"], strict=strict
+        ).collect()
+    }
+    # reference: latest right with ts <= (or <) left ts; ties among right
+    # rows at the same ts resolve to the LAST one in sort order (the
+    # window's last() sees them sequentially) — replicate by stable sort.
+    rsorted = sorted(enumerate(rights), key=lambda p: (p[1], p[0]))
+    for i, lt in enumerate(lefts):
+        best = None
+        for j, rt in rsorted:
+            if (rt < lt) if strict else (rt <= lt):
+                best = float(j)
+        assert got[i] == best, (i, lt, got[i], best, strict)

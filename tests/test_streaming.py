@@ -198,3 +198,51 @@ def test_enrich_static_stream_matches_batch(spark):
         assert _rows(got, cols) == _rows(batch, cols)
     finally:
         q.stop()
+
+
+def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
+    """Exactly-once across a QUERY RESTART: a checkpointed stream stopped
+    after file A and restarted after file B arrives must process B only
+    — the sink ends with each event exactly once (the cluster-crash /
+    redeploy story a 100 TB ingestion lives on)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    half_a.coalesce(1).write.parquet(str(src / "a.parquet"))
+
+    def start():
+        s = (
+            spark.readStream.schema(jobs.EVENTS_SCHEMA)
+            .format("parquet")
+            .load(str(src) + "/*")
+        )
+        return (
+            jobs.normalize_event_ts(s)
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    n_after_a = spark.read.parquet(str(sink)).count()
+    assert n_after_a == half_a.count()
+
+    half_b.coalesce(1).write.parquet(str(src / "b.parquet"))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(str(sink))
+    assert out.count() == ev.count()  # nothing reprocessed, nothing lost
+    assert out.select("event_id").distinct().count() == ev.count()
