@@ -236,16 +236,26 @@ def minhash_signatures(
         if shingle_sets_df is not None
         else shingle_sets(df, id_col, text_col, k)
     )
+    # md5 the shingles ONCE into an int array in a separate projection —
+    # the per-hash transforms then run on cheap integer arithmetic. With
+    # the md5 inlined per hash function, every shingle was digested
+    # num_hashes times (~40% of the whole pipeline's CPU at sf0.1);
+    # CollapseProject keeps the hashing projection separate because the
+    # expression is non-cheap and multiply-referenced.
+    hashed = ss.select(
+        "_id", F.transform(F.col("_sh"), lambda s: md5_int(s)).alias("_hs")
+    )
+
     def hash_i(i: int):
         a, b = 2 * i + 1, 7919 * i + 13
         # single-arg lambda: F.transform must NOT see an (element, index) arity
-        return lambda s: (F.lit(a) * md5_int(s) + F.lit(b)) % MINHASH_PRIME
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
 
     mins = [
-        F.array_min(F.transform(F.col("_sh"), hash_i(i))).alias(f"_m{i}")
+        F.array_min(F.transform(F.col("_hs"), hash_i(i))).alias(f"_m{i}")
         for i in range(num_hashes)
     ]
-    return ss.select("_id", *mins)
+    return hashed.select("_id", *mins)
 
 
 def minhash_lsh_pairs(
