@@ -657,16 +657,19 @@ def quantile_normalize_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "n_name",
             F.round("c_acctbal", 2).alias("c_acctbal"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            # floor-form half-up: percent_rank/cume_dist are exact small-n
+            # rationals that hit 1e-6 half boundaries (e.g. 41/640), where
+            # Spark HALF_UP and DuckDB half-even disagree (seen at sf0.1)
+            (F.floor(F.percent_rank().over(w) * 1000000 + 0.5) / 1000000).alias("pct_rank"),
+            (F.floor(F.cume_dist().over(w) * 1000000 + 0.5) / 1000000).alias("cume"),
         )
     )
 
 
 QUANTILE_NORM_SQL = """
 SELECT c_custkey, n_name, round(c_acctbal, 2) AS c_acctbal,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume
+       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)

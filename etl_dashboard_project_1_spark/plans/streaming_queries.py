@@ -43,7 +43,7 @@ WITH starts AS (
 )
 SELECT strftime(to_timestamp(win_start), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
-       round(avg(value), 4) AS avg_value,
+       floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value,
        count(*) AS n_events
 FROM starts
 GROUP BY 1, 2

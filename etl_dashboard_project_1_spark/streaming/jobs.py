@@ -89,7 +89,15 @@ def sliding_avg(
         events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(F.window("ts", width, slide), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+        # floor-form half-up rounding, NOT F.round: Spark rounds HALF_UP
+        # where DuckDB rounds half-even, and a window average of 2-decimal
+        # values lands exactly on a 1e-4 half boundary often enough to flip
+        # a digit between engines (seen at sf0.1). The floor form is the
+        # same IEEE arithmetic everywhere.
+        .agg(
+            (F.floor(F.avg("value") * 10000 + 0.5) / 10000).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
