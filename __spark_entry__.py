@@ -194,6 +194,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     # z-normalized sliding-window subsequence match, linear in events
     "ts_pattern_topk": (timeseries_queries.ts_pattern_topk, timeseries_queries.TS_PATTERN_SQL),
+    # hybrid retrieval: dense candidates + broadcast lexical rerank
+    "hybrid_retrieval_rerank": (
+        extension_queries.hybrid_retrieval_rerank,
+        extension_queries.HYBRID_RERANK_SQL,
+    ),
     # robust MAD outliers: exact grouped percentiles, stats broadcast back
     "mad_outlier_flags": (
         incremental_queries.mad_outlier_flags,

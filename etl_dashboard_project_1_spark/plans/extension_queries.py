@@ -1198,3 +1198,67 @@ SELECT doc_id, win_idx::INT AS win_idx, energy,
 FROM w
 WINDOW win AS (PARTITION BY doc_id ORDER BY win_idx)
 """
+
+
+def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: dense candidate generation + lexical rerank — the
+    two-stage shape production retrieval actually uses. Stage 1 takes each
+    query's exact top-5 by embedding cosine (one corpus scan via the
+    batched top-k); stage 2 re-scores the 20 surviving (query, candidate)
+    pairs by token-set Jaccard of the document TEXTS and blends
+    0.7·cosine + 0.3·jaccard.
+
+    Scale shape: the candidate set is (|Q|·k) — metadata-sized — so both
+    text joins BROADCAST it against documents; document text never
+    shuffles and the rerank never touches non-candidates."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    queries = emb.filter(F.col("vec_id") < 4)
+    cand = vector.cosine_topk_batch(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k=5
+    ).select("qid", "vec_id", "cosine")
+    toks = F.array_distinct(F.split(F.lower("text"), r"\s+"))
+    qt = docs.select(F.col("doc_id").alias("qid"), toks.alias("_qt"))
+    ct = docs.select(F.col("doc_id").alias("vec_id"), toks.alias("_ct"))
+    inter = F.size(F.array_intersect("_qt", "_ct")).cast("double")
+    union = (F.size("_qt") + F.size("_ct")).cast("double") - inter
+    hybrid = 0.7 * F.col("cosine") + 0.3 * (inter / union)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("_h"), F.asc("vec_id"))
+    return (
+        qt.join(F.broadcast(cand), "qid")
+        .join(ct, "vec_id")
+        .withColumn("_h", hybrid)
+        .withColumn("rank", F.row_number().over(w))
+        .select("qid", "rank", "vec_id", derive.portable_round(F.col("_h"), 4).alias("hybrid"))
+    )
+
+
+HYBRID_RERANK_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.qid, e.vec_id, {_COS_SQL.format(a='e.embedding', b='q.qv')} AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != q.qid
+),
+cand AS (
+  SELECT qid, vec_id, cos
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) <= 5
+),
+tok AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS t FROM documents
+),
+blend AS (
+  SELECT c.qid, c.vec_id,
+         0.7 * c.cos + 0.3 * (len(list_intersect(a.t, b.t))::DOUBLE
+           / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))::DOUBLE) AS h
+  FROM cand c JOIN tok a ON a.doc_id = c.qid JOIN tok b ON b.doc_id = c.vec_id
+)
+SELECT qid,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY h DESC, vec_id ASC) AS INT) AS rank,
+       vec_id,
+       floor(h * 10000 + 0.5) / 10000 AS hybrid
+FROM blend
+"""
