@@ -37,6 +37,21 @@ def main() -> int:
     entrymod = importlib.import_module("__spark_entry__")
     from tests.oracle_harness import compare
 
+    from tests.oracle_harness import duckdb_connect
+
+    # canonical dtype buckets: Spark result types must agree with what the
+    # DuckDB oracle yields (the external driver compares schemas — a bare
+    # `F.size` int32 vs DuckDB's BIGINT is a red even when values match)
+    canon_duck = {
+        "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "DOUBLE": "f64",
+        "FLOAT": "f32", "VARCHAR": "str", "DATE": "date", "BOOLEAN": "bool",
+    }
+    canon_spark = {
+        "bigint": "i64", "int": "i32", "smallint": "i16", "double": "f64",
+        "float": "f32", "string": "str", "date": "date", "boolean": "bool",
+    }
+    con = duckdb_connect(sf)
+
     q, o = entrymod.queries(), entrymod.oracle_sql()
     results = {}
     for i, name in enumerate(q):
@@ -45,6 +60,22 @@ def main() -> int:
             if name in o:
                 ok, msg = compare(spark, q[name], o[name], sf)
                 results[name] = "MATCH" if ok else f"MISMATCH: {msg[:150]}"
+                if ok:
+                    stypes = {
+                        c: canon_spark.get(t, t) for c, t in q[name](spark, sf).dtypes
+                    }
+                    rel = con.sql(o[name])
+                    dtypes = {
+                        c: canon_duck.get(str(t).upper(), str(t))
+                        for c, t in zip(rel.columns, rel.types)
+                    }
+                    bad = {
+                        c: (stypes.get(c), dtypes[c])
+                        for c in dtypes
+                        if stypes.get(c) != dtypes[c]
+                    }
+                    if bad:
+                        results[name] = f"DTYPE-MISMATCH: {bad}"
             else:
                 n = q[name](spark, sf).count()
                 results[name] = f"rows_only({n})"
