@@ -160,6 +160,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "vocab_zipf_curve",                # scalar corpus-total (1-row broadcast)
         "text_boilerplate_strip",          # scalar doc-count + 1-row boiler array broadcast
         "sim_batch_topk",                  # broadcast query BATCH (request-sized) cross-score
+        "hybrid_retrieval_rerank",         # same batched top-k core as sim_batch_topk
         "bloom_filtered_events_join",      # 1-row Bloom bitmap broadcast
         "event_type_lift",                 # scalar user-count (1-row broadcast)
         "layout_zorder_locality",          # 1-row quantization-bounds broadcast
