@@ -85,8 +85,15 @@ def main() -> int:
     for name in names:
         try:
             df = q[name](spark, sf)
-            df.write.format("noop").mode("overwrite").save()
+            # collect(), NOT a noop write: the write executes a CLONED
+            # QueryExecution, leaving df's own plan isFinalPlan=false —
+            # only collect() finalizes the plan object we can inspect.
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=false" not in plan, "plan not finalized"
+            # an adaptive plan prints BOTH '== Final Plan ==' and
+            # '== Initial Plan ==' sections — count only the final one
+            plan = plan.split("== Initial Plan ==")[0]
             m = plan_metrics(plan)
             bj = str(m["bhj"]) + (f" (+{m['bnlj']} nested-loop)" if m["bnlj"] else "")
             pushed = str(m["pushed"]) if m["pushed"] else "—"
