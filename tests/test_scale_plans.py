@@ -279,3 +279,39 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Hot-key resilience proof: a join whose left side is 80% one key
+    must trigger AQE's skew-join handling — the final plan's sort-merge
+    join carries skew=true and the skewed partition is split/replicated
+    (AQEShuffleRead ... skewed) instead of serializing through one task.
+    This is the runtime half of the salting story in operators/skew.py."""
+    left = spark.range(0, 300000).select(
+        F.when(F.col("id") < 250000, 0).otherwise(F.col("id") % 1000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 50000).select(
+        (F.col("id") % 1000).alias("k"), (F.col("id") * 2).alias("w")
+    )
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    from contextlib import ExitStack
+
+    with ExitStack() as stack:
+        for key, value in confs.items():
+            stack.enter_context(_conf(spark, key, value))
+        j = left.join(right, "k")
+        rows = j.count()
+        j.collect()
+        plan = (
+            j._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+        )
+    # 250k hot-key rows and 50k tail rows each match 50 right rows
+    assert rows == (250000 + 50000) * 50
+    assert "skew=true" in plan, plan
+    assert "skewed" in plan  # AQEShuffleRead split the hot partition
