@@ -194,6 +194,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     # z-normalized sliding-window subsequence match, linear in events
     "ts_pattern_topk": (timeseries_queries.ts_pattern_topk, timeseries_queries.TS_PATTERN_SQL),
+    # Lorenz/Pareto value-concentration deciles, no global window
+    "user_value_pareto": (profile_queries.user_value_pareto, profile_queries.PARETO_SQL),
     # hybrid retrieval: dense candidates + broadcast lexical rerank
     "hybrid_retrieval_rerank": (
         extension_queries.hybrid_retrieval_rerank,

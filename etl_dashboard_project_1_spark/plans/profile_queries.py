@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import derive
 from ..operators.sampling import hash_bucket
 from ..session import fan_out, load_table
 
@@ -352,4 +353,61 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
 FROM zb
 GROUP BY bucket
 ORDER BY bucket
+"""
+
+
+def user_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration (Lorenz/Pareto) report: bucket users into
+    deciles by exact total-value quantiles and report each decile's user
+    count, value sum, and share of corpus value.
+
+    Scale shape: NO global window anywhere — the naive formulation
+    (rank/ntile over all users) serializes the user table through one
+    task. Instead: (1) one shuffle builds per-user totals; (2) the nine
+    exact decile BOUNDS come from one percentile aggregate (a 1-row
+    broadcast); (3) users bucket by comparing against the broadcast
+    bounds — a map-side expression; (4) one dimension-sized groupBy on
+    the bucket id. The corpus total is a second 1-row broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.sum("value").alias("_t"))
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = totals.agg(
+        F.expr(f"percentile(_t, array({','.join(str(q) for q in qs)}))").alias("_b")
+    )
+    grand = totals.agg(F.sum("_t").alias("_g"))
+    bucket = (
+        F.aggregate(
+            F.col("_b"), F.lit(1), lambda acc, b: acc + F.when(F.col("_t") > b, 1).otherwise(0)
+        )
+    ).alias("decile")
+    return (
+        totals.crossJoin(F.broadcast(bounds))
+        .select("user_id", "_t", bucket)
+        .crossJoin(F.broadcast(grand))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            derive.portable_round(F.sum("_t"), 2).alias("sum_value"),
+            derive.portable_round(F.sum(F.col("_t") / F.col("_g")), 4).alias("share"),
+        )
+    )
+
+
+PARETO_SQL = """
+WITH totals AS (
+  SELECT user_id, sum(value) AS t FROM events GROUP BY 1
+),
+b AS (SELECT quantile_cont(t, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM totals),
+g AS (SELECT sum(t) AS gt FROM totals),
+bucketed AS (
+  SELECT user_id, t,
+         1 + len(list_filter(b.bs, x -> t > x)) AS decile
+  FROM totals, b
+)
+SELECT decile, count(*) AS n_users,
+       floor(sum(t) * 100 + 0.5) / 100 AS sum_value,
+       floor(sum(t / g.gt) * 10000 + 0.5) / 10000 AS share
+FROM bucketed, g
+GROUP BY decile
 """
