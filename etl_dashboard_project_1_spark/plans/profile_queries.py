@@ -380,7 +380,9 @@ def user_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             F.col("_b"), F.lit(1), lambda acc, b: acc + F.when(F.col("_t") > b, 1).otherwise(0)
         )
-    ).alias("decile")
+        .cast("long")  # DuckDB's 1 + len(...) is BIGINT; match it
+        .alias("decile")
+    )
     return (
         totals.crossJoin(F.broadcast(bounds))
         .select("user_id", "_t", bucket)
