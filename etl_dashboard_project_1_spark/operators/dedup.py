@@ -180,8 +180,14 @@ def ngram_jaccard_pairs(
         )
         .join(sizes, "_id")
     )
+    # epsilon before ceil: when t·n is an exact integer the binary product
+    # can land a hair ABOVE it (fl(t) > t), ceil then rounds up one too
+    # high and the prefix comes out one short — a silent false negative
+    # exactly at the Jaccard threshold boundary. 1e-9 is far below any
+    # meaningful threshold granularity at realistic |S|.
     prefix = ranked.filter(
-        F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        F.col("_rn")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
     ).select("_id", "_s")
     cand = (
         prefix.alias("a")
@@ -237,11 +243,15 @@ def minhash_signatures(
         else shingle_sets(df, id_col, text_col, k)
     )
     # md5 the shingles ONCE into an int array in a separate projection —
-    # the per-hash transforms then run on cheap integer arithmetic. With
-    # the md5 inlined per hash function, every shingle was digested
-    # num_hashes times (~40% of the whole pipeline's CPU at sf0.1);
-    # CollapseProject keeps the hashing projection separate because the
-    # expression is non-cheap and multiply-referenced.
+    # the per-hash transforms then run on cheap integer arithmetic
+    # instead of re-digesting every shingle num_hashes times.
+    # Measured honestly (tools/diag_minhash.py, sf0.1): the whole
+    # hashing+minhash slice is ~0.08 s of the 1.42 s pipeline (~5%), so
+    # hash-once vs inlined is a wash at this SF — the pipeline's real
+    # cost is shingle construction (~0.85 s) and the candidate
+    # join+verify (~0.49 s). Kept because the asymptotic argument
+    # (digest each shingle once, not num_hashes times) only grows with
+    # num_hashes and document length, and it costs nothing.
     hashed = ss.select(
         "_id", F.transform(F.col("_sh"), lambda s: md5_int(s)).alias("_hs")
     )

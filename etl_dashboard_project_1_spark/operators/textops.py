@@ -201,7 +201,7 @@ def unigram_logprob(df, id_col: str, text_col: str):
     )
 
 
-def tfidf_topk(df, id_col: str, text_col: str, k: int = 3, reuse: str = "recompute"):
+def tfidf_topk(df, id_col: str, text_col: str, k: int = 3, reuse: str = "checkpoint"):
     """Top-k characteristic terms per document by tf·idf.
 
     Plan that scales: (1) token counts per (doc, token) — ONE shuffle
@@ -210,14 +210,21 @@ def tfidf_topk(df, id_col: str, text_col: str, k: int = 3, reuse: str = "recompu
     top-k — window on the doc key.
 
     The tf table feeds two branches (df counts + scoring) and Catalyst
-    prunes them differently, so AQE cannot reuse the exchange — by
-    default the tokenize+count runs twice (two corpus scans, skew-safe).
-    The rejected alternative, ``count(*) over (partition by token)``,
-    would be one scan but serializes every stopword token's corpus-sized
-    group through one task — a 100 TB skew bomb. ``reuse='checkpoint'``
-    materializes tf once via localCheckpoint instead of rescanning —
-    right when the (doc, token, tf) table fits executor storage (bench
-    SFs), wrong when it rivals the corpus.
+    prunes them differently, so AQE cannot reuse the exchange. The
+    DEFAULT is ``reuse='checkpoint'``: materialize tf once via
+    localCheckpoint and feed both branches from it — one tokenize+count
+    instead of two corpus scans, dropping the plan from 9 exchanges to a
+    single-scan shape. Right whenever the (doc, token, tf) table fits
+    executor storage, which is every realistic deployment short of the
+    corpus itself being storage-bound. ``reuse='recompute'`` is the
+    escape hatch for exactly that regime (tf rivals the corpus in size:
+    re-scanning is an embarrassingly parallel projection, materializing
+    is a second copy of the dataset) and for when executor-loss
+    recomputability matters (localCheckpoint blocks are not rebuildable).
+    The rejected third form, ``count(*) over (partition by token)``,
+    would be one scan with no materialization but serializes every
+    stopword token's corpus-sized group through one task — a 100 TB skew
+    bomb.
 
     idf is the RATIONAL form ``(N + 1) / (df + 1)`` rather than its log:
     integer-product-then-divide is a single correctly-rounded IEEE op, so

@@ -217,7 +217,7 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round("value", 2).alias("value"),
+            derive.portable_round("value", 2).alias("value"),
             derive.portable_round(mz, 4).alias("mod_zscore"),
         )
     )
@@ -232,7 +232,7 @@ d AS (SELECT e.event_id, e.event_type, e.value, m.med
 a AS (
   SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad FROM d GROUP BY 1
 )
-SELECT event_id, d.event_type, round(value, 2) AS value,
+SELECT event_id, d.event_type, floor(value * 100 + 0.5) / 100 AS value,
        floor(0.6745 * abs(value - med) / mad * 10000 + 0.5) / 10000 AS mod_zscore
 FROM d JOIN a USING (event_type)
 WHERE mad > 0 AND 0.6745 * abs(value - med) / mad > 3.5

@@ -194,7 +194,11 @@ def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     rows = counts.collect()
-    n_users = next(r["n"] for r in rows if r["ta"] is None)
+    n_users = next((r["n"] for r in rows if r["ta"] is None), 0)
+    if n_users == 0:  # empty events table → empty result, declared schema
+        return spark.createDataFrame(
+            [], "type_a string, type_b string, n_both bigint, lift double"
+        )
     n_single = {r["ta"]: r["n"] for r in rows if r["ta"] is not None and r["tb"] is None}
     out = [
         (

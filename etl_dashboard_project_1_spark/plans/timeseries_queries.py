@@ -305,6 +305,37 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_users_daily_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable gate for the HLL operator: the sketch estimate
+    itself is engine-specific (no SQL oracle can reproduce it), so this
+    variant emits the EXACT per-day distinct count plus a boolean asserting
+    the HLL estimate lands within the pinned 5% bound — the oracle asserts
+    the exact columns and TRUE. The production operator remains
+    :func:`approx_distinct_users_daily` (no exact distinct — that is the
+    whole point at 100 TB); this gate exists to turn the sketch's accuracy
+    contract into a hard external CORRECTNESS row."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", 0.02).alias("_hll"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bound = F.greatest(F.lit(1.0), F.lit(0.05) * F.col("exact_users"))
+    return agg.select(
+        "day",
+        "exact_users",
+        "n_events",
+        (F.abs(F.col("_hll") - F.col("exact_users")) <= bound).alias("hll_within_5pct"),
+    )
+
+
+APPROX_DISTINCT_GATE_SQL = """
+SELECT ts::DATE AS day, count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events, TRUE AS hll_within_5pct
+FROM events GROUP BY 1
+"""
+
+
 def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-spine gap filling: per-user daily activity densified over
     each user's [first_day, last_day] span (missing days exist with zero

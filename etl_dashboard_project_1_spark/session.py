@@ -104,19 +104,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         memo = _TABLE_MEMO.setdefault(spark, {})
     except TypeError:  # session not weak-referenceable on some builds
         memo = {}
-    key = (os.path.abspath(sf_dir), name)
-    if key in memo:
-        return memo[key]
+    path = table_path(os.path.abspath(sf_dir), name)
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1  # missing/dir-listing-only path: let spark.read raise below
+    # mtime in the key invalidates stale plans if the parquet dir is
+    # rewritten mid-session (the captured file listing would otherwise
+    # reference deleted files).
+    key = (path, mtime)
 
-    # Self-heal the runtime confs the engine's semantics depend on, so a
-    # caller-built session (the correctness driver's own SparkSession)
-    # behaves like get_spark's: UTC rendering for timestamp/date exprs —
-    # on a non-UTC box, date_format/window.start/to_date would otherwise
-    # shift by the JVM TZ offset while the DuckDB oracle floors epochs.
+    # Self-heal the runtime confs the engine's semantics depend on — on
+    # EVERY call, memo hit or miss, so a caller resetting session confs
+    # between calls can't leak a non-UTC zone into a memoized plan's
+    # execution. Caller-built sessions (the correctness driver's own
+    # SparkSession) must behave like get_spark's: UTC rendering for
+    # timestamp/date exprs — on a non-UTC box, date_format/window.start/
+    # to_date would otherwise shift by the JVM TZ offset while the DuckDB
+    # oracle floors epochs.
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    if key in memo:
+        return memo[key]
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects outright. `nanosAsLong` is a RUNTIME SQL conf, so

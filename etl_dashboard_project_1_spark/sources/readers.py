@@ -161,19 +161,34 @@ def http_download(url: str, dest: str | Path) -> Path:  # pragma: no cover - env
     return dest
 
 
-def gcs_download(bucket: str, blob: str, dest: str | Path):  # pragma: no cover - env
-    """S3 stub: GCS blob download. Needs google-cloud-storage, absent here.
-    On a real cluster, prefer `spark.read` over gs:// (Hadoop GCS
-    connector) so the data path never touches the driver."""
-    try:
+def gcs_download(
+    bucket: str, blob: str, dest: str | Path, spark=None
+):
+    """S3: GCS blob download (reference extraction.py:100-177 uses the
+    google-cloud-storage client).
+
+    Spark-first path: with a live session, the bucket is just another
+    Hadoop filesystem — ``remote_fs.fs_download`` copies the object via
+    the gs:// connector, no Python GCS client needed, and the same code
+    path is contract-tested against ``file://`` URIs (tests/test_remote_fs.py).
+    For DATA (not metadata artifacts), skip the download entirely and
+    ``spark.read`` the gs:// URI so bytes never touch the driver.
+
+    Driver-only fallback (no session): the google-cloud-storage client,
+    import-gated — absent in this environment."""
+    if spark is not None:
+        from . import remote_fs
+
+        return remote_fs.fs_download(spark, f"gs://{bucket}/{blob}", dest)
+    try:  # pragma: no cover - env
         from google.cloud import storage  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError("google-cloud-storage not available") from exc
-    client = storage.Client()
-    b = client.bucket(bucket)
-    dest = Path(dest)
-    b.blob(blob).download_to_filename(dest)
-    return dest
+    client = storage.Client()  # pragma: no cover - env
+    b = client.bucket(bucket)  # pragma: no cover - env
+    dest = Path(dest)  # pragma: no cover - env
+    b.blob(blob).download_to_filename(dest)  # pragma: no cover - env
+    return dest  # pragma: no cover - env
 
 
 def union_sheets(frames: list[DataFrame]) -> DataFrame:

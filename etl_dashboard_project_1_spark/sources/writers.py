@@ -54,15 +54,27 @@ def write_parquet(
     w.parquet(path)
 
 
-def upload_to_gcs(local: str | Path, bucket: str, blob: str):  # pragma: no cover - env
-    """K4 stub: GCS upload (google-cloud-storage absent here). On a real
-    cluster, write directly to gs:// instead — the driver never holds data."""
-    try:
+def upload_to_gcs(local: str | Path, bucket: str, blob: str, spark=None):
+    """K4: GCS upload (reference load_to_gcp.py:90-92 uses the
+    google-cloud-storage client).
+
+    Spark-first path: with a live session, push through the Hadoop
+    filesystem layer (``remote_fs.fs_upload`` on a gs:// URI) — same code
+    path contract-tested against ``file://`` (tests/test_remote_fs.py).
+    For DATA sinks, skip the local hop entirely: ``df.write`` straight to
+    the gs:// URI keeps the write distributed (per-partition files, no
+    driver funnel). Driver-only fallback (no session): the
+    google-cloud-storage client, import-gated — absent here."""
+    if spark is not None:
+        from . import remote_fs
+
+        return remote_fs.fs_upload(spark, local, f"gs://{bucket}/{blob}")
+    try:  # pragma: no cover - env
         from google.cloud import storage
     except ImportError as exc:
         raise NotImplementedError("google-cloud-storage not available") from exc
-    client = storage.Client()
-    client.bucket(bucket).blob(blob).upload_from_filename(str(local))
+    client = storage.Client()  # pragma: no cover - env
+    client.bucket(bucket).blob(blob).upload_from_filename(str(local))  # pragma: no cover - env
 
 
 def write_json_catalog(catalog: dict, path: str | Path) -> None:
