@@ -52,7 +52,9 @@ def constant_fixup(
     return F.when(k == F.lit(class_value), F.lit(constant)).otherwise(v)
 
 
-def mean_impute(df: DataFrame, cols: Sequence[str], decimals: int = 2) -> DataFrame:
+def mean_impute(
+    df: DataFrame, cols: Sequence[str], decimals: int = 2, rounding: str = "bround"
+) -> DataFrame:
     """N4: null → round(avg(col), decimals).
 
     Computed as a separate aggregate (one tiny extra job) rather than an
@@ -60,11 +62,21 @@ def mean_impute(df: DataFrame, cols: Sequence[str], decimals: int = 2) -> DataFr
     every row through one partition. A global agg is a proper two-phase
     (partial/final) aggregation, then the scalar folds into the plan as a
     literal — scale-safe and broadcast-free.
+
+    ``rounding``: 'bround' (decimal-repr half-even — the oracle-parity
+    default) or 'rint' (scaled-binary half-even, bit-faithful to pandas
+    ``mean().round()`` — what the vehicle golden replay conforms to; see
+    ``derive.numpy_round``).
     """
-    means = df.agg(
-        # bround (HALF_EVEN) matches pandas Series.mean().round()
-        *[F.bround(F.avg(c), decimals).alias(c) for c in cols]
-    ).first()
+    from .derive import numpy_round
+
+    if rounding == "rint":
+        rounded = [numpy_round(F.avg(c), decimals).alias(c) for c in cols]
+    elif rounding == "bround":
+        rounded = [F.bround(F.avg(c), decimals).alias(c) for c in cols]
+    else:
+        raise ValueError(f"unknown rounding mode {rounding!r}")
+    means = df.agg(*rounded).first()
     out = df
     for c in cols:
         if means[c] is not None:

@@ -150,6 +150,28 @@ def portable_round(col: Column | str, decimals: int) -> Column:
     return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
 
 
+def numpy_round(col: Column | str, decimals: int) -> Column:
+    """numpy/pandas-faithful rounding: ``rint(x * 10^n) / 10^n`` —
+    half-even on the SCALED BINARY value, exactly what
+    ``np.round``/``Series.round`` compute.
+
+    Distinct from both of Spark's own modes on the boundary cases the
+    vehicle golden replay exposed:
+    - ``F.bround`` rounds the shortest-decimal REPR: 11.5*0.87 prints as
+      10.005 so bround yields 10.00, but the binary value is
+      10.0050000000000004… and numpy correctly rounds UP to 10.01
+      (37 golden rows).
+    - ``portable_round`` (floor half-up) breaks the other direction on
+      binary-EXACT halves: 10.125*100 = 1012.5 exactly, numpy half-evens
+      DOWN to 10.12 while floor-form forces 10.13.
+    Use when conforming to a pandas/numpy reference output; use
+    ``portable_round`` for cross-engine oracle parity.
+    """
+    c = _c(col)
+    scale = float(10**decimals)
+    return F.rint(c * F.lit(scale)) / F.lit(scale)
+
+
 def hash12(col: Column | str) -> Column:
     """D10: stable 12-hex id = first 12 chars of sha256 (lowercase hex)."""
     return F.lower(F.sha2(_c(col).cast("string"), 256)).substr(1, 12)

@@ -178,9 +178,11 @@ def derive_equivalent_efficiency(df: DataFrame) -> DataFrame:
     for src in {s for s, _ in table.values()}:
         cleaned = cleaned.withColumn(src, _numeric_measure(src))
     expr = derive.factor_product(["PROPULSION", "COMBUSTIBLE"], table, decimals=None)
-    # bround = HALF_EVEN, matching pandas/numpy round(2) in the reference
-    # (plain F.round is HALF_UP and diverges on exact .xx5 values)
-    return cleaned.withColumn("REND_EQUIV_KML", F.bround(expr, 2))
+    # numpy_round = half-even on the scaled BINARY value, matching the
+    # reference's pandas .round(2) bit-for-bit. bround (half-even on the
+    # shortest-decimal repr) diverged on 37 golden rows: 11.5*0.87 prints
+    # as 10.005 but is binary 10.005000000000000426 — numpy rounds UP.
+    return cleaned.withColumn("REND_EQUIV_KML", derive.numpy_round(expr, 2))
 
 
 def derive_co2_equivalent(df: DataFrame) -> DataFrame:
@@ -215,7 +217,9 @@ def impute_missing(df: DataFrame) -> DataFrame:
         "EMIS_CO2_EQUIV",
         cleaning.constant_fixup("EMIS_CO2_EQUIV", "CATEGORIA_PROPULSION", "bev", 0.0),
     )
-    return cleaning.mean_impute(df, ["EMIS_CO2_EQUIV", "REND_EQUIV_KML"], decimals=2)
+    return cleaning.mean_impute(
+        df, ["EMIS_CO2_EQUIV", "REND_EQUIV_KML"], decimals=2, rounding="rint"
+    )
 
 
 def standardize_importers(
