@@ -328,6 +328,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         curation_queries.kmv_distinct_users_daily,
         curation_queries.KMV_DISTINCT_SQL,
     ),
+    # r3 addition: GK quantile sketch accuracy gate (exact quantiles +
+    # in-band booleans, same design as the HLL gate)
+    "approx_quantiles_value_gate": (
+        curation_queries.approx_quantiles_value_gate,
+        curation_queries.APPROX_QUANTILES_GATE_SQL,
+    ),
     # incremental-maintenance / operational patterns
     "incremental_daily_counts": (
         incremental_queries.incremental_daily_counts,

@@ -58,6 +58,83 @@ class FakeSeq2Seq:
         return "_".join(w.upper() for w in words[: self.max_words])
 
 
+def build_prompt(header: str) -> str:
+    """The reference's few-shot prompt, verbatim contract
+    (header_standarizer_llm.py:107-121): simplify to 4-6 Spanish words,
+    snake_case, no accents, uppercase — four in-context examples then the
+    target header. Pure function so the prompt contract is testable
+    without the model stack."""
+    return (
+        "Simplifica este encabezado a 4-6 palabras en español, snake_case, "
+        "sin tildes y uppercase:\n"
+        '        Entrada: "Marca"\n'
+        '        Salida: "MARCA"\n\n'
+        '        Entrada: "Emisiones de CO2 combinado (g/km)"\n'
+        "        Salida: CO2_COMBINADO_GKM\n\n"
+        '        Entrada: "Artículo 4° Nonies Decreto Supremo"\n'
+        "        Salida: ARTICULO_4_DS\n\n"
+        '        Entrada: "Ciclo WLTC Híbrido Recarga Exterior CO2 CS"\n'
+        "        Salida: WLTC_HIB_RECARGAEXT_CO2_CS\n\n"
+        f'        Entrada: "{header}"\n'
+        "        Salida:"
+    )
+
+
+class Seq2SeqModel:
+    """The REAL model path, import-gated: a HuggingFace seq2seq pipeline
+    with the reference's exact setup — ``google/flan-t5-base``, cuda when
+    available, greedy decoding with ``max_new_tokens=20``
+    (header_standarizer_llm.py:49-141). A ``str -> str`` callable, so it
+    drops into :class:`LLMHeaderStandardizer`/``generate_names_spark``
+    exactly where :class:`FakeSeq2Seq` does; every downstream stage
+    (post-processing, hashing, catalog, collision suffixes, the pandas-UDF
+    batch plumbing) is identical and stays covered by the deterministic
+    fake in environments without torch — like this one, where
+    construction raises ``NotImplementedError``.
+
+    On executors, instantiate lazily per worker (pass
+    ``Seq2SeqModel(...)`` as ``model_fn`` only on a cluster with the model
+    weights available to every node; the object pickles its config, and
+    the heavy pipeline loads on first call)."""
+
+    def __init__(self, model_name: str = "google/flan-t5-base", max_new_tokens: int = 20):
+        try:
+            import torch  # noqa: F401
+            import transformers  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "transformers/torch not available; inject FakeSeq2Seq or any "
+                "str -> str callable instead"
+            ) from exc
+        self.model_name = model_name
+        self.max_new_tokens = max_new_tokens
+        self._pipe = None
+
+    def _load(self):  # pragma: no cover - needs model weights
+        import torch
+        from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
+
+        device = "cuda" if torch.cuda.is_available() else "cpu"
+        tok = AutoTokenizer.from_pretrained(self.model_name)
+        model = AutoModelForSeq2SeqLM.from_pretrained(self.model_name).to(device)
+        self._pipe = (tok, model, device)
+
+    def __call__(self, header: str) -> str:  # pragma: no cover - needs model weights
+        import torch
+
+        if self._pipe is None:
+            self._load()
+        tok, model, device = self._pipe
+        inputs = tok(
+            build_prompt(header), return_tensors="pt", max_length=512, truncation=True
+        ).to(device)
+        with torch.no_grad():
+            out = model.generate(
+                **inputs, max_new_tokens=self.max_new_tokens, num_beams=1, do_sample=False
+            )
+        return tok.decode(out[0], skip_special_tokens=True)
+
+
 class LLMHeaderStandardizer:
     """Model-backed standardizer behind the shared hash cache.
 

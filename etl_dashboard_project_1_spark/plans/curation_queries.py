@@ -367,3 +367,53 @@ FROM ranked
 WHERE mass_before < 0.8 * source_total
 ORDER BY source, n_chars DESC, doc_id
 """
+
+
+def approx_quantiles_value_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable gate for the approximate-quantile sketch
+    (Greenwald-Khanna via ``percentile_approx`` — THE 100 TB quantile
+    operator: mergeable constant-memory summaries, no sort, no global
+    shuffle of raw values). The sketch's outputs are engine-specific, so
+    the gate emits the EXACT per-type quantiles plus booleans asserting
+    each GK estimate lands within the accuracy the relative-error
+    parameter guarantees — rank error ≤ 1/accuracy, checked as a VALUE
+    tolerance derived from the exact p±ε quantiles. The oracle asserts
+    the exact columns and TRUE (same pattern as the HLL gate,
+    timeseries_queries.approx_distinct_users_daily_gate)."""
+    acc = 100  # rank error <= 1/100 of the group
+    # check band = exact p±2% quantiles: the GK guarantee is ±n/acc RANKS
+    # (±1% here), but at small groups the ±1 rank of interpolation
+    # discreteness is the same order, so the band doubles the guarantee —
+    # still a sharp gate at any realistic group size
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75], acc).alias("_gk"),
+        F.expr("percentile(value, array(0.23, 0.25, 0.27))").alias("_lo_q1"),
+        F.expr("percentile(value, array(0.48, 0.50, 0.52))").alias("_lo_med"),
+        F.expr("percentile(value, array(0.73, 0.75, 0.77))").alias("_lo_q3"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def within(gk, band):  # estimate inside the exact p±2% quantile band
+        return (gk >= band[0]) & (gk <= band[2])
+
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("_lo_q1")[1], 4).alias("exact_q1"),
+        F.round(F.col("_lo_med")[1], 4).alias("exact_median"),
+        F.round(F.col("_lo_q3")[1], 4).alias("exact_q3"),
+        within(F.col("_gk")[0], F.col("_lo_q1")).alias("gk_q1_ok"),
+        within(F.col("_gk")[1], F.col("_lo_med")).alias("gk_median_ok"),
+        within(F.col("_gk")[2], F.col("_lo_q3")).alias("gk_q3_ok"),
+    )
+
+
+APPROX_QUANTILES_GATE_SQL = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.25), 4) AS exact_q1,
+       round(quantile_cont(value, 0.50), 4) AS exact_median,
+       round(quantile_cont(value, 0.75), 4) AS exact_q3,
+       TRUE AS gk_q1_ok, TRUE AS gk_median_ok, TRUE AS gk_q3_ok
+FROM events GROUP BY 1
+"""

@@ -135,3 +135,26 @@ def test_llm_batch_spark_matches_driver_path(spark):
     spark_std = LLMHeaderStandardizer()
     got = batch_standardize_spark(spark, spark_std, list(SAMPLE_HEADERS))
     assert got == expected
+
+
+def test_llm_real_model_path_import_gated_and_prompt_contract():
+    """The real-model path (Seq2SeqModel) is import-gated: constructing it
+    without torch/transformers raises NotImplementedError (this sandbox),
+    and the few-shot prompt reproduces the reference's contract verbatim
+    (header_standarizer_llm.py:107-121) — 4 in-context examples, snake
+    case instruction, the target header quoted last."""
+    import pytest as _pytest
+
+    from etl_dashboard_project_1_spark.functions.llm_headers import (
+        Seq2SeqModel, build_prompt)
+
+    with _pytest.raises(NotImplementedError):
+        Seq2SeqModel()
+
+    p = build_prompt("Emisiones WLTC CO2")
+    assert p.count("Entrada:") == 5 and p.count("Salida:") == 5
+    assert "snake_case" in p and "uppercase" in p
+    assert p.rstrip().endswith("Salida:")
+    assert '"Emisiones WLTC CO2"' in p
+    for example_out in ("CO2_COMBINADO_GKM", "ARTICULO_4_DS", "WLTC_HIB_RECARGAEXT_CO2_CS"):
+        assert example_out in p
