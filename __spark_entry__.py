@@ -277,6 +277,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         mart_queries.q22_dormant_rich_customers,
         mart_queries.Q22_SQL,
     ),
+    # r3 addition: the exists/not-exists multi-supplier wait shape —
+    # completes the TPC-H join-shape sweep (q12's two-way conditional
+    # count is already covered by q4 + pivot_multi_agg; the narrow schema
+    # has no shipmode/commitdate to make it distinct)
+    "q21_suppliers_kept_waiting": (
+        mart_queries.q21_suppliers_kept_waiting,
+        mart_queries.Q21_SQL,
+    ),
     # layout / join-strategy patterns
     "layout_zorder_locality": (
         profile_queries.layout_zorder_locality,

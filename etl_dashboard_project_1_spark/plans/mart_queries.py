@@ -500,3 +500,65 @@ FROM costs
 JOIN euro_supp ON l_suppkey = s_suppkey
 WHERE cost = (SELECT min(cost) FROM costs c2 WHERE c2.l_partkey = costs.l_partkey)
 """
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): suppliers with
+    a LATE line in a multi-supplier order where every OTHER supplier
+    delivered on time — the classic EXISTS + NOT-EXISTS pair over the
+    same fact table. Adaptation to the narrow schema: no commit/receipt
+    dates, so "late" is the q4 convention (shipped > 60 days after the
+    order date); no s_name, so suppliers key the output.
+
+    Decorrelated the way Catalyst wants it: ONE lineitem⋈orders scan
+    reduced per (order, supplier) with the late flag aggregated — the
+    EXISTS and NOT-EXISTS both fall out of one per-order aggregate
+    (n_suppliers, n_late_suppliers) joined back, instead of two
+    correlated rescans of lineitem. Shuffles: orderkey (reduce),
+    orderkey (stats join — same key, co-partitioned), suppkey (final
+    count). The top-20 sorts the supplier-count table — dimension-sized
+    by construction.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.join(orders.select("o_orderkey", "o_orderdate"),
+                 li.l_orderkey == F.col("o_orderkey"))
+    per_os = lo.groupBy(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).agg(
+        F.max(
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+            .cast("int")
+        ).alias("late")
+    )
+    order_stats = per_os.groupBy("o").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    waiting = (
+        per_os.join(order_stats, "o")
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.groupBy(F.col("s").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH ls AS (
+  SELECT l_orderkey AS o, l_suppkey AS s,
+         max(CASE WHEN l.l_shipdate > ord.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+  GROUP BY 1, 2
+),
+os AS (SELECT o, count(*) AS n_supp, sum(late) AS n_late FROM ls GROUP BY 1)
+SELECT s AS s_suppkey, count(*) AS numwait
+FROM ls JOIN os USING (o)
+WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 20
+"""
