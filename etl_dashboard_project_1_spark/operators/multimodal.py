@@ -34,6 +34,36 @@ def attach_binary(df: DataFrame, text_col: str = "text", out_col: str = "payload
     return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
 
 
+def read_binary_files(
+    spark,
+    path: str,
+    glob: str | None = None,
+    id_from_name: bool = True,
+) -> DataFrame:
+    """The REAL media-ingestion path: Spark's ``binaryFile`` source reads
+    raw files (images/audio/video blobs) distributed — each executor
+    opens its own splits from local disk or any object store URI, emitting
+    ``(path, modificationTime, length, content: binary)``. Pairs with
+    every operator below (``content`` is the payload column); at 100 TB
+    this replaces :func:`attach_binary`, which exists only to fake
+    payloads out of the text corpus for oracle-checkable tests.
+
+    ``id_from_name=True`` adds a ``doc_id`` parsed from the file stem's
+    trailing digits (the layout convention ``<anything><id>.<ext>``),
+    aligning the files with the ``documents`` table's key so decode
+    results join back to metadata."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if id_from_name:
+        stem = F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"(\d+)\.[^.]+$", 1)
+        df = df.withColumn("doc_id", F.nullif(stem, F.lit("")).cast("bigint"))
+    return df.select(
+        "doc_id", "path", "length", F.col("content").alias("payload")
+    ) if id_from_name else df.select("path", "length", F.col("content").alias("payload"))
+
+
 def decode_image_stub(payload: bytes) -> dict:
     """STUB decoder — deterministic fake in place of a real image decode.
 

@@ -581,3 +581,40 @@ def test_prefix_filter_jaccard_is_lossless(spark):
             ).collect()
         }
         assert pref == naive and naive
+
+
+def test_binary_file_ingestion_end_to_end(spark, tmp_path):
+    """The real media-ingestion path: binaryFile source reads raw blobs
+    distributed, doc_id parses from the filename convention, and the
+    payloads flow straight into the decode/meta operator (same pipeline
+    the fake attach_binary payloads exercise)."""
+    blobs = {1: b"\x89PNG-ish-bytes-one", 2: b"\x89PNG-ish-bytes-two!", 7: b"x"}
+    for i, b in blobs.items():
+        (tmp_path / f"img_{i:04d}.bin").write_bytes(b)
+    (tmp_path / "notes.txt").write_text("skipped by glob")
+
+    df = multimodal.read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert set(rows) == {1, 2, 7}
+    assert rows[1]["payload"] == blobs[1]
+    assert rows[2]["length"] == len(blobs[2])
+
+    meta = {r["doc_id"]: r for r in multimodal.extract_image_meta(df).collect()}
+    assert set(meta) == {1, 2, 7}
+    assert meta[1]["n_bytes"] == len(blobs[1])
+
+
+def test_orc_format_roundtrip(spark, tmp_path):
+    """ORC sink/source round-trip (the second columnar format Spark ships
+    natively) — schema and values survive, predicate pushdown reaches the
+    ORC scan on re-read."""
+    df = load_table(spark, SF, "nation")
+    out = str(tmp_path / "nation_orc")
+    df.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    plan = (
+        back.filter(F.col("n_nationkey") == 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "searchArgument" in plan or "PushedFilters" in plan, plan
