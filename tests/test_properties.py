@@ -173,3 +173,38 @@ def test_asof_join_matches_merge_asof(spark, lefts, rights, strict):
             if (rt < lt) if strict else (rt <= lt):
                 best = float(j)
         assert got[i] == best, (i, lt, got[i], best, strict)
+
+
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            # adversarial: values that land ON or NEAR .xx5 boundaries,
+            # where decimal-repr rounding (bround) and binary half-even
+            # (numpy) disagree — 11.5*0.87 was a real golden miss
+            st.integers(min_value=-10**6, max_value=10**6).map(lambda k: k / 1000 + 0.005),
+            st.integers(min_value=-10**4, max_value=10**4).map(lambda k: k / 8),  # dyadic
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    decimals=st.integers(min_value=0, max_value=4),
+)
+@settings(**SETTINGS)
+def test_numpy_round_matches_numpy_bitwise(spark, xs, decimals):
+    """derive.numpy_round must equal np.round on the same doubles —
+    including the .xx5 boundary cases where Spark's own bround/round both
+    diverge from numpy (that divergence is why the helper exists; the
+    golden-replay artifact pins it end-to-end)."""
+    import numpy as np
+
+    from etl_dashboard_project_1_spark.operators import derive
+
+    df = spark.createDataFrame([(i, float(x)) for i, x in enumerate(xs)], "i int, x double")
+    got = {
+        r["i"]: r["y"]
+        for r in df.select("i", derive.numpy_round("x", decimals).alias("y")).collect()
+    }
+    for i, x in enumerate(xs):
+        want = float(np.round(np.float64(x), decimals))
+        assert got[i] == want or (got[i] != got[i] and want != want), (x, decimals, got[i], want)
