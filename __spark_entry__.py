@@ -208,6 +208,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.hybrid_retrieval_rerank,
         extension_queries.HYBRID_RERANK_SQL,
     ),
+    # r3 addition: BM25 sparse retrieval (rational Robertson idf) — the
+    # lexical counterpart of sim_batch_topk; query side fully broadcast
+    "bm25_retrieval_topk": (
+        extension_queries.bm25_retrieval_topk,
+        extension_queries.BM25_RETRIEVAL_SQL,
+    ),
+    # r3 addition: suffix-array-style substring dedup — maximal cross-doc
+    # repeated spans via positional 5-grams + gaps-and-islands merge
+    "dedup_repeated_spans": (
+        extension_queries.dedup_repeated_spans,
+        extension_queries.DEDUP_SPANS_SQL,
+    ),
+    # r3 addition: count-min sketch heavy hitters — md5-derived rows make
+    # the sketch itself bit-reproducible in DuckDB (exact hash match)
+    "heavy_hitters_cms": (
+        extension_queries.heavy_hitters_cms,
+        extension_queries.HEAVY_HITTERS_CMS_SQL,
+    ),
     # robust MAD outliers: exact grouped percentiles, stats broadcast back
     "mad_outlier_flags": (
         incremental_queries.mad_outlier_flags,

@@ -481,3 +481,63 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the substring-dedup
+    capability of Lee et al.'s suffix-array deduplication ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed in the
+    shape Spark executes well: every word ``k``-gram occurring in
+    ``min_docs``+ distinct documents seeds a duplicated position, and per
+    document, consecutive flagged positions merge into maximal spans
+    (an m-token verbatim overlap appears as one span of m-k+1 grams, the
+    distributed analog of a maximal repeated substring).
+
+    Scale shape: positional grams are one ``posexplode`` off the scan (no
+    shuffle); cross-doc grams come from ONE gram-keyed distinct-count agg
+    (map-side combined; no all-pairs self-join); flagged positions return
+    via a gram-keyed equi-join of the two derived tables; run-merging is
+    the classic gaps-and-islands window (``pos - row_number`` constant
+    within a run) on the doc key. Driver state: none.
+
+    Returns (id_col, span_start, span_end, span_tokens, n_grams).
+    """
+    from pyspark.sql import Window
+
+    w = tokens(text_col)
+    n = F.size(w)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_grams = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(grams).alias("_pos", "_gram")
+    )
+    dup = (
+        pos_grams.groupBy("_gram")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gram")
+    )
+    flagged = pos_grams.join(dup, "_gram").select("_id", "_pos")
+    run_w = Window.partitionBy("_id").orderBy("_pos")
+    runs = flagged.withColumn("_rid", F.col("_pos") - F.row_number().over(run_w))
+    return (
+        runs.groupBy("_id", "_rid")
+        .agg(
+            F.min("_pos").cast("long").alias("span_start"),
+            (F.max("_pos") + (k - 1)).cast("long").alias("span_end"),
+            (F.max("_pos") - F.min("_pos") + k).cast("long").alias("span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select(F.col("_id").alias(id_col), "span_start", "span_end", "span_tokens", "n_grams")
+    )

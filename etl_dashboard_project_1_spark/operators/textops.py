@@ -309,6 +309,90 @@ def pii_hit_counts(text: Column | str) -> dict[str, Column]:
     return out
 
 
+def bm25_topk(
+    df,
+    id_col: str,
+    text_col: str,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 lexical retrieval: score every document against each query
+    document's token set and return the top-k per query — the classic
+    (Robertson/Okapi) sparse-retrieval ranking that pairs with the dense
+    cosine top-k in ``operators/vector.py`` (hybrid retrieval uses both).
+
+    Scale shape: one (doc, token) count shuffle builds the tf table,
+    which is localCheckpointed and feeds THREE consumers (document
+    frequencies, corpus stats, query-term extraction) from one
+    tokenization pass. Everything query-sided is request-sized and
+    BROADCAST: query terms (|Q| docs' vocabularies), their document
+    frequencies (one row per query term — never the full vocabulary),
+    and the 1-row (N, avgdl) stats. The corpus-side tf table is probed
+    by that broadcast — document text never reshuffles — then one
+    (query, doc)-keyed aggregation sums per-term contributions and a
+    request-keyed window takes top-k. No all-pairs anything: a document
+    with zero query-term overlap never leaves its scan.
+
+    idf uses the RATIONAL Robertson form ``(N - df + 0.5) / (df + 0.5)``
+    rather than its log (same bit-stability rationale as ``tfidf_topk``:
+    pure IEEE arithmetic reproduces identically across engines; libm vs
+    JVM ``log`` can flip near-ties). Query term frequency is ignored
+    (standard for short queries; the k3 saturation term is ~1 there).
+
+    Returns (qid, rank, id_col, score, n_terms).
+    """
+    from pyspark.sql import Window
+
+    w = tokens(text_col)
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(w).alias("_dl"),
+        F.explode(w).alias("_tok"),
+    )
+    tf = tok.groupBy("_id", "_tok").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    tf = tf.localCheckpoint(eager=False)
+    dfreq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    stats = tf.groupBy().agg(
+        F.countDistinct("_id").cast("double").alias("_n"),
+        (F.sum("_tf") / F.countDistinct("_id")).alias("_avgdl"),
+    )
+    qterms = tf.filter(F.col("_id").isin(list(query_ids))).select(
+        F.col("_id").alias("_qid"), "_tok"
+    )
+    # enrich the request-sized query-term set with df + corpus stats;
+    # only query terms ever need an idf, so the broadcast stays |Q|-sized
+    qdf = dfreq.join(F.broadcast(qterms), "_tok").crossJoin(F.broadcast(stats))
+    idf = (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    tfnorm = (F.col("_tf") * (k1 + 1.0)) / (
+        F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), "_tok")
+        .filter(F.col("_id") != F.col("_qid"))
+        .groupBy("_qid", "_id")
+        .agg(
+            F.sum(idf * tfnorm).alias("_score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+    rank_w = Window.partitionBy("_qid").orderBy(F.desc("_score"), F.asc("_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("qid"),
+            "rank",
+            F.col("_id").alias(id_col),
+            F.col("_score").alias("score"),
+            "n_terms",
+        )
+    )
+
+
 def boilerplate_strip(
     df,
     id_col: str,

@@ -1314,3 +1314,175 @@ SELECT qid,
        floor(h * 10000 + 0.5) / 10000 AS hybrid
 FROM blend
 """
+
+
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval (Robertson/Okapi, rational idf): documents
+    0-3 act as queries against the whole corpus; top-5 each. The sparse
+    counterpart of sim_batch_topk — see operators/textops.bm25_topk for
+    the broadcast-probe scale shape (query side never exceeds |Q| rows,
+    corpus tokens never reshuffle beyond the one tf count)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    out = textops.bm25_topk(docs, "doc_id", "text", query_ids=(0, 1, 2, 3), k=5)
+    return out.withColumn("score", derive.portable_round(F.col("score"), 4))
+
+
+# Constant folding mirrors the Python-side float arithmetic exactly:
+# (1.2 + 1.0) folds in double arithmetic to the same bits F.lit(k1 + 1.0)
+# embeds, and 1.0 - 0.75 pre-folds to 0.25 in Python, so the oracle writes
+# 0.25 literally. All remaining ops are plain IEEE double arithmetic in
+# matching association order — bit-identical across engines (same design
+# as tfidf_topk's rational idf).
+BM25_RETRIEVAL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         len(regexp_split_to_array(lower(text), '\s+')) AS dl,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT id, tok, count(*) AS tf, any_value(dl) AS dl FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(DISTINCT id)::DOUBLE AS n,
+         sum(tf) / count(DISTINCT id) AS avgdl
+  FROM tf
+),
+q AS (SELECT id AS qid, tok FROM tf WHERE id < 4),
+scored AS (
+  SELECT q.qid, t.id,
+         sum(((s.n - d.df + 0.5) / (d.df + 0.5))
+             * ((t.tf * (1.2 + 1.0))
+                / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl)))) AS score,
+         count(*) AS n_terms
+  FROM tf t
+  JOIN q ON t.tok = q.tok
+  JOIN dfreq d ON t.tok = d.tok
+  CROSS JOIN stats s
+  WHERE t.id != q.qid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS INT) AS rank,
+         id AS doc_id,
+         floor(score * 10000 + 0.5) / 10000 AS score,
+         n_terms
+  FROM scored
+)
+SELECT qid, rank, doc_id, score, n_terms FROM ranked WHERE rank <= 5
+"""
+
+
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style substring dedup (Lee et al.), Spark shape:
+    maximal per-document spans whose every word 5-gram also occurs in
+    another document. See operators/dedup.duplicated_spans."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return dedup.duplicated_spans(docs, "doc_id", "text", k=5, min_docs=2)
+
+
+DEDUP_SPANS_SQL = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+g0 AS (
+  SELECT doc_id,
+         unnest([{'pos': i, 'gram': array_to_string(w[i+1:i+5], ' ')}
+                 FOR i IN range(0, greatest(len(w) - 4, 0))]) AS u
+  FROM w
+),
+g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0),
+dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+f AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+r AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+  FROM f
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + 4 AS span_end,
+       max(pos) - min(pos) + 5 AS span_tokens,
+       count(*) AS n_grams
+FROM r
+GROUP BY doc_id, rid
+"""
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation — the third sketch family
+    next to HLL (distinct) and GK (quantiles), and unlike those it is
+    reproduced BIT-FOR-BIT in the oracle: the d=4 × w=256 sketch uses
+    md5-derived row hashes, so DuckDB builds the identical sketch and the
+    estimates hash-match outright (no tolerance gate needed).
+
+    For the top-10 tokens by exact corpus count, emits the exact count,
+    the CMS estimate (min over rows of the probed bucket totals), and the
+    collision overcount (always ≥ 0: CMS never underestimates).
+
+    Scale shape: one token-keyed count (the same shuffle any exact count
+    pays); sketch cells build from that already-reduced vocab table —
+    identical totals to per-occurrence updates without re-shuffling
+    occurrences — into a fixed d·w = 1024-cell table that BROADCASTS to
+    the 40 probe rows. At 100 TB the sketch table is still 1024 rows;
+    that boundedness is the whole point of the operator."""
+    d_rows, width = 4, 256
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(dedup.tokens("text")).alias("_tok")).filter(
+        F.col("_tok") != ""
+    )
+    cnt = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    row_ids = F.explode(F.sequence(F.lit(0), F.lit(d_rows - 1))).alias("_r")
+
+    def bucket() -> F.Column:
+        return (
+            dedup.md5_int(F.concat(F.col("_r").cast("string"), F.lit(":"), F.col("_tok")))
+            % width
+        )
+
+    cells = (
+        cnt.select("_tok", "exact_count", row_ids)
+        .select("_r", bucket().alias("_b"), "exact_count")
+        .groupBy("_r", "_b")
+        .agg(F.sum("exact_count").alias("_cell"))
+    )
+    top = cnt.orderBy(F.desc("exact_count"), F.asc("_tok")).limit(10)
+    probes = top.select("_tok", "exact_count", row_ids).select(
+        "_tok", "exact_count", "_r", bucket().alias("_b")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["_r", "_b"])
+        .groupBy("_tok", "exact_count")
+        .agg(F.min("_cell").alias("cms_estimate"))
+        .select(
+            F.col("_tok").alias("token"),
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        )
+    )
+
+
+HEAVY_HITTERS_CMS_SQL = r"""
+WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS t FROM documents),
+cnt AS (SELECT t, count(*) AS exact_count FROM tok WHERE t <> '' GROUP BY 1),
+cells AS (
+  SELECT r,
+         ('0x' || substr(md5(r::VARCHAR || ':' || t), 1, 8))::BIGINT % 256 AS b,
+         sum(exact_count)::BIGINT AS cell
+  FROM cnt, range(4) rr(r)
+  GROUP BY 1, 2
+),
+top AS (SELECT t, exact_count FROM cnt ORDER BY exact_count DESC, t ASC LIMIT 10),
+probes AS (
+  SELECT t, exact_count, r,
+         ('0x' || substr(md5(r::VARCHAR || ':' || t), 1, 8))::BIGINT % 256 AS b
+  FROM top, range(4) rr(r)
+),
+est AS (
+  SELECT p.t, p.exact_count, min(c.cell) AS cms_estimate
+  FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+  GROUP BY 1, 2
+)
+SELECT t AS token, exact_count, cms_estimate,
+       cms_estimate - exact_count AS overcount
+FROM est
+"""
