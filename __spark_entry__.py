@@ -535,6 +535,9 @@ _ROUND3_FRONT: list[str] = [
     "quantile_normalize_balances",
     "interpolate_daily_values",
     "dedup_ngram_jaccard",
+    # changed in r3 (hashed gram sets + md5-mixed minhash coefficients) —
+    # must re-earn its driver row in round 4's window
+    "dedup_minhash_lsh",
 ]
 
 

@@ -31,6 +31,26 @@ from pyspark.sql import functions as F
 MINHASH_PRIME = 4294967311  # first prime > 2^32
 
 
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for the i-th universal hash.
+
+    a_i MUST be a large multiplier: with a small ``a`` (the old 2i+1
+    family), ``a*x + b`` wraps P at most a handful of times, so the
+    function is NEAR-MONOTONE on [0, P) and every "independent" hash
+    picks the same argmin — the set's smallest raw element — collapsing
+    the whole signature to one effective hash (found via a 0.956-Jaccard
+    pair whose signatures agreed 0/8). md5-deriving a_i gives a
+    well-mixed multiplier in [1, 2^30) (odd, so never 0); the 2^30 cap
+    keeps ``a*x`` ≤ 2^30·(2^32+14) ≈ 4.6e18 safely inside int64 for any
+    x < P — no overflow in Spark ANSI mode or DuckDB. b_i only shifts,
+    so the cheap linear form stays."""
+    import hashlib
+
+    a = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1073741824) | 1
+    b = 7919 * i + 13
+    return a, b
+
+
 def md5_int(col: Column) -> Column:
     """First 8 hex chars of md5 as a bigint — stable across engines."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
@@ -58,6 +78,39 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     full = F.slice(grams, 1, F.greatest(n - (k - 1), F.lit(0)))
     return F.array_distinct(
         F.when(n >= k, full).otherwise(F.array().cast("array<string>"))
+    )
+
+
+# rolling-polynomial base for composing token hashes into gram hashes;
+# small enough that (MINHASH_PRIME-1) * SHINGLE_BASE stays well inside
+# int64 (≈4.3e15), so the per-step mod never overflows in any engine
+SHINGLE_BASE = 1_000_003
+
+
+def hashed_word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram HASHES as a bigint array — the gram string is
+    never materialized. Tokens are md5-hashed ONCE each; gram hashes
+    compose by rolling polynomial ``g = (g * B + h_next) % P`` over the
+    same zip_with-shift fold ``word_shingles`` uses, swapping per-element
+    string concatenation + per-gram digests for integer arithmetic. Two
+    32-bit gram sets collide with probability ~2⁻³² per pair — the same
+    tolerance every md5-prefix step in this module already accepts.
+
+    Equality of hashes ≡ equality of grams (modulo that collision bound),
+    so Jaccard over hash sets is Jaccard over gram sets; DuckDB mirrors
+    the composition bit-for-bit."""
+    w = tokens(text)
+    h = F.transform(w, lambda t: md5_int(t))
+    n = F.size(h)
+    grams = h
+    for j in range(1, k):
+        shifted = F.slice(h, j + 1, F.greatest(n - j, F.lit(0)))
+        grams = F.zip_with(
+            grams, shifted, lambda g, nxt: (g * SHINGLE_BASE + nxt) % MINHASH_PRIME
+        )
+    full = F.slice(grams, 1, F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.when(n >= k, full).otherwise(F.array().cast("array<bigint>"))
     )
 
 
@@ -207,14 +260,17 @@ def ngram_jaccard_pairs(
     )
 
 
-def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, hashed: bool = False
+) -> DataFrame:
     """(_id, _sh, _n): the distinct word-k-gram set per doc as an ARRAY
     column plus its size. Pure projection — zero shuffle; the whole
     shingle set stays inside one row (docs are bounded, corpora are not,
     so this is the scale-safe orientation). Docs with fewer than k words
     are dropped (they have no shingles, mirroring the exploded form where
-    they simply contribute no rows)."""
-    sh = word_shingles(text_col, k)
+    they simply contribute no rows). ``hashed=True`` carries gram HASHES
+    (bigint) instead of gram strings — see ``hashed_word_shingles``."""
+    sh = hashed_word_shingles(text_col, k) if hashed else word_shingles(text_col, k)
     return (
         df.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
         .withColumn("_n", F.size("_sh"))
@@ -229,35 +285,36 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 8,
     shingle_sets_df: DataFrame | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """(id, _m0.._m{n-1}) — min over shingle hashes per universal hash
-    function, deterministic parameters a=2i+1, b=7919i+13.
+    function, deterministic parameters from ``minhash_coeffs`` (md5-mixed
+    large multipliers; see its docstring for why small ones break).
 
     Computed per-row as ``array_min(transform(shingles, h_i))`` over the
     shingle-set array: the signature needs NO shuffle at all (the exploded
     shingle→groupBy formulation shuffles the whole shingle table — strictly
-    worse at any scale)."""
+    worse at any scale). With ``hashed=True`` the shingle sets already
+    carry integer gram hashes (``hashed_word_shingles``) and feed the
+    universal-hash transforms directly; otherwise string grams are md5'd
+    ONCE here — either way no shingle is ever digested num_hashes times.
+    (Measured, tools/diag_minhash.py at sf0.1: the hashing+minhash slice
+    is ~5% of the pipeline; the real cost was always gram-STRING
+    construction, which hashed=True eliminates at the source.)"""
     ss = (
         shingle_sets_df
         if shingle_sets_df is not None
-        else shingle_sets(df, id_col, text_col, k)
+        else shingle_sets(df, id_col, text_col, k, hashed=hashed)
     )
-    # md5 the shingles ONCE into an int array in a separate projection —
-    # the per-hash transforms then run on cheap integer arithmetic
-    # instead of re-digesting every shingle num_hashes times.
-    # Measured honestly (tools/diag_minhash.py, sf0.1): the whole
-    # hashing+minhash slice is ~0.08 s of the 1.42 s pipeline (~5%), so
-    # hash-once vs inlined is a wash at this SF — the pipeline's real
-    # cost is shingle construction (~0.85 s) and the candidate
-    # join+verify (~0.49 s). Kept because the asymptotic argument
-    # (digest each shingle once, not num_hashes times) only grows with
-    # num_hashes and document length, and it costs nothing.
-    hashed = ss.select(
-        "_id", F.transform(F.col("_sh"), lambda s: md5_int(s)).alias("_hs")
-    )
+    if hashed:
+        hashed_df = ss.select("_id", F.col("_sh").alias("_hs"))
+    else:
+        hashed_df = ss.select(
+            "_id", F.transform(F.col("_sh"), lambda s: md5_int(s)).alias("_hs")
+        )
 
     def hash_i(i: int):
-        a, b = 2 * i + 1, 7919 * i + 13
+        a, b = minhash_coeffs(i)
         # single-arg lambda: F.transform must NOT see an (element, index) arity
         return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
 
@@ -265,7 +322,7 @@ def minhash_signatures(
         F.array_min(F.transform(F.col("_hs"), hash_i(i))).alias(f"_m{i}")
         for i in range(num_hashes)
     ]
-    return hashed.select("_id", *mins)
+    return hashed_df.select("_id", *mins)
 
 
 def minhash_lsh_pairs(
@@ -277,9 +334,23 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     threshold: float = 0.2,
     reuse: str = "recompute",
+    hashed: bool = True,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signature → bands → bucket join
     → candidate pairs → verify with true Jaccard ≥ threshold.
+
+    ``hashed=True`` (default) runs the whole pipeline on integer gram
+    hashes (``hashed_word_shingles``): signatures transform the int
+    arrays directly and verification intersects int sets — gram strings
+    are never built. Measured honestly (interleaved A/B at sf0.1):
+    wall-clock NEUTRAL at this SF (~0.75-0.8 s both forms — the local
+    cost is scan+explode+join scheduling, not string building). Kept as
+    default for the scale argument, which is about BYTES, not local CPU:
+    a gram set is 8 B/element instead of a ~25 B string, so the
+    checkpointed/persisted shingle table, the verify-side arrays, and
+    their comparisons shrink ~3× at any corpus size.
+    ``hashed=False`` keeps the original string-gram sets (exact gram
+    identity, zero collision tolerance).
 
     The candidate join keys on (band, md5-of-band-signature): its size is
     the number of truly-colliding pairs — this is the 100 TB path (Jaccard
@@ -307,14 +378,16 @@ def minhash_lsh_pairs(
     #   recomputable after executor loss.
     # - 'persist': lineage kept (executor-loss safe) but lives until the
     #   caller unpersists — leak-prone across repeated invocations.
-    ss = shingle_sets(df, id_col, text_col, k)
+    ss = shingle_sets(df, id_col, text_col, k, hashed=hashed)
     if reuse == "checkpoint":
         ss = ss.localCheckpoint(eager=False)
     elif reuse == "persist":
         ss = ss.persist()
     elif reuse != "recompute":
         raise ValueError(f"unknown reuse mode {reuse!r}")
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, shingle_sets_df=ss)
+    sig = minhash_signatures(
+        df, id_col, text_col, k, num_hashes, shingle_sets_df=ss, hashed=hashed
+    )
     # one row per (doc, band): band signature = md5 of the in-band minhashes
     # in hash-index order. Built by exploding a literal array of per-band
     # structs — pure projection, no extra shuffle.

@@ -618,3 +618,78 @@ def test_orc_format_roundtrip(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "searchArgument" in plan or "PushedFilters" in plan, plan
+
+
+def test_duplicated_spans_merges_maximal_run(spark):
+    """Two docs sharing one verbatim 8-token span (k=5 → 4 overlapping
+    grams) must yield exactly ONE maximal span per doc with exact
+    boundaries; a doc with no cross-doc 5-gram yields nothing."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"unique one two three {shared} tail1 tailx"),
+        (2, f"{shared} other words entirely distinct here"),
+        (3, "completely disjoint text with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.duplicated_spans(df, "doc_id", "text", k=5).collect()
+    }
+    assert set(out) == {1, 2}
+    # doc 1: shared span starts at token index 4 (0-based), 8 tokens long
+    assert out[1]["span_start"] == 4 and out[1]["span_end"] == 11
+    assert out[1]["span_tokens"] == 8 and out[1]["n_grams"] == 4
+    # doc 2: same span at position 0
+    assert out[2]["span_start"] == 0 and out[2]["span_end"] == 7
+    assert out[2]["span_tokens"] == 8 and out[2]["n_grams"] == 4
+
+
+def test_bm25_ranks_verbatim_copy_first(spark):
+    """A document that verbatim-contains the query document's text must
+    outrank unrelated documents; ranks are 1..k dense per query."""
+    from etl_dashboard_project_1_spark.operators import textops
+
+    rows = [
+        (0, "rare quantum flux capacitor calibration"),
+        (1, "rare quantum flux capacitor calibration plus trailing words"),
+        (2, "entirely unrelated prose about cooking pasta dinners"),
+        (3, "another unrelated document describing garden furniture"),
+        (4, "quantum mechanics textbook chapter on flux"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textops.bm25_topk(df, "doc_id", "text", query_ids=(0,), k=3).collect()
+    by_rank = {r["rank"]: r["doc_id"] for r in out}
+    assert by_rank[1] == 1  # the verbatim superset wins
+    # only docs sharing >= 1 query term are candidates: doc 4 (quantum,
+    # flux) ranks second; docs 2-3 (zero overlap) are never scored
+    assert sorted(by_rank) == [1, 2]
+    assert by_rank[2] == 4
+    # scores strictly ordered (no accidental ties among top docs)
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_cms_never_underestimates_any_token(spark):
+    """CMS property on real data: estimate >= exact for EVERY probed
+    token (not just the emitted top-10) — probe the full vocabulary."""
+    from etl_dashboard_project_1_spark.plans import extension_queries as eq
+
+    out = eq.heavy_hitters_cms(spark, SF).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["cms_estimate"] >= r["exact_count"]
+        assert r["overcount"] == r["cms_estimate"] - r["exact_count"]
+
+
+def test_minhash_signature_tracks_true_jaccard(spark):
+    """Regression for the near-monotone hash family: doc pair (229, 263)
+    has true 3-gram Jaccard 0.956, so a sound 8-hash signature must agree
+    on most components in BOTH shingle modes. The old a=2i+1 multipliers
+    were near-monotone on [0, P) — every hash picked the set's raw
+    minimum and this pair agreed 0/8 in hashed mode."""
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id").isin([229, 263]))
+    for hashed in (False, True):
+        sig = dedup.minhash_signatures(docs, "doc_id", "text", 3, 8, hashed=hashed).collect()
+        s = {r["_id"]: [r[f"_m{i}"] for i in range(8)] for r in sig}
+        agree = sum(int(s[229][i] == s[263][i]) for i in range(8))
+        assert agree >= 5, f"hashed={hashed}: only {agree}/8 components agree"

@@ -68,7 +68,7 @@ def main():
     def sig_inlined(s):
         ss = dedup.shingle_sets(docs(s), "doc_id", "text")
         def hash_i(i):
-            a, b = 2 * i + 1, 7919 * i + 13
+            a, b = dedup.minhash_coeffs(i)
             return lambda sh: (F.lit(a) * dedup.md5_int(sh) + F.lit(b)) % dedup.MINHASH_PRIME
         mins = [F.array_min(F.transform(F.col("_sh"), hash_i(i))).alias(f"_m{i}")
                 for i in range(8)]
