@@ -325,6 +325,48 @@ def minhash_signatures(
     return hashed_df.select("_id", *mins)
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_sets_df: DataFrame | None = None,
+    hashed: bool = True,
+) -> DataFrame:
+    """(_id, _band, _bh): one row per (doc, LSH band); band signature =
+    md5 of the in-band minhashes in hash-index order. Built by exploding
+    a literal array of per-band structs over the per-row signature — pure
+    projection, no shuffle. Shared by the batch pipeline
+    (``minhash_lsh_pairs``) and the streaming admission index
+    (``streaming.jobs.foreach_batch_lsh_ingest``)."""
+    sig = minhash_signatures(
+        df, id_col, text_col, k, num_hashes, shingle_sets_df=shingle_sets_df, hashed=hashed
+    )
+    num_bands = num_hashes // band_size
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("_band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"_m{band * band_size + j}").cast("string")
+                            for j in range(band_size)
+                        ],
+                    )
+                ).alias("_bh"),
+            )
+            for band in range(num_bands)
+        ]
+    )
+    return sig.select("_id", F.explode(band_structs).alias("_bs")).select(
+        "_id", F.col("_bs._band").alias("_band"), F.col("_bs._bh").alias("_bh")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -385,32 +427,8 @@ def minhash_lsh_pairs(
         ss = ss.persist()
     elif reuse != "recompute":
         raise ValueError(f"unknown reuse mode {reuse!r}")
-    sig = minhash_signatures(
-        df, id_col, text_col, k, num_hashes, shingle_sets_df=ss, hashed=hashed
-    )
-    # one row per (doc, band): band signature = md5 of the in-band minhashes
-    # in hash-index order. Built by exploding a literal array of per-band
-    # structs — pure projection, no extra shuffle.
-    num_bands = num_hashes // band_size
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("_band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"_m{band * band_size + j}").cast("string")
-                            for j in range(band_size)
-                        ],
-                    )
-                ).alias("_bh"),
-            )
-            for band in range(num_bands)
-        ]
-    )
-    bands = sig.select("_id", F.explode(band_structs).alias("_bs")).select(
-        "_id", F.col("_bs._band").alias("_band"), F.col("_bs._bh").alias("_bh")
+    bands = minhash_band_table(
+        df, id_col, text_col, k, num_hashes, band_size, shingle_sets_df=ss, hashed=hashed
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -372,3 +372,109 @@ def enriched_events(events: DataFrame, customer: DataFrame, nation: DataFrame) -
         "c_mktsegment",
         "nation",
     )
+
+
+def foreach_batch_lsh_ingest(
+    stream_df: DataFrame,
+    target_dir: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+):
+    """Continuous-ingestion NEAR-dup admission — the streaming face of
+    ``dedup.minhash_lsh_pairs``, for a training corpus that ingests
+    forever. Each micro-batch admits only documents with no VERIFIED
+    near-duplicate (true shingle Jaccard ≥ threshold) among (a) documents
+    admitted in any earlier batch and (b) smaller-id documents of the
+    same batch; everything else lands in the corpus plus the index.
+
+    Like the exact-fingerprint ingest, state lives in STORAGE, not
+    executor memory (watermarked streaming state would grow without bound
+    across days): the persistent index is a band store (band, bh, id) —
+    bucket collisions generate candidates — and a sets store
+    (id, shingle-hash set) that verifies them. Per-batch cost tracks
+    bucket collisions, never |corpus| × |batch|; at scale both stores
+    partition by band / id-prefix so the joins prune to touched buckets.
+
+    Write order (data → sets → bands) fails open like the exact ingest:
+    a crash mid-batch can admit a near-dup later (re-verified against
+    whatever WAS indexed), never silently drop an unseen document.
+    """
+    import os
+
+    from ..operators import dedup
+
+    data_dir = os.path.join(target_dir, "data")
+    sets_dir = os.path.join(target_dir, "sets")
+    bands_dir = os.path.join(target_dir, "bands")
+
+    def do_ingest(batch_df: DataFrame, batch_id: int):
+        from pyspark.sql import functions as SF
+
+        spark = batch_df.sparkSession
+        ss = dedup.shingle_sets(batch_df, id_col, text_col, k, hashed=True)
+        bands = dedup.minhash_band_table(
+            batch_df, id_col, text_col, k, num_hashes, band_size,
+            shingle_sets_df=ss, hashed=True,
+        )
+        left = ss.select(SF.col("_id").alias("_ida"), SF.col("_sh").alias("_sha"),
+                         SF.col("_n").alias("_na"))
+        right = ss.select(SF.col("_id").alias("_idb"), SF.col("_sh").alias("_shb"),
+                          SF.col("_n").alias("_nb"))
+
+        def verified(cand):
+            shared = SF.size(SF.array_intersect(SF.col("_sha"), SF.col("_shb")))
+            jac = shared / (SF.col("_na") + SF.col("_nb") - shared)
+            return (
+                cand.join(left, "_ida").join(right, "_idb")
+                .filter(jac >= threshold)
+                .select(SF.col("_idb").alias("_rej"))
+            )
+
+        # (a) within-batch: smaller id wins any verified near-dup pair
+        a, b = bands.alias("a"), bands.alias("b")
+        cand_in = (
+            a.join(b, (SF.col("a._band") == SF.col("b._band"))
+                   & (SF.col("a._bh") == SF.col("b._bh"))
+                   & (SF.col("a._id") < SF.col("b._id")))
+            .select(SF.col("a._id").alias("_ida"), SF.col("b._id").alias("_idb"))
+            .distinct()
+        )
+        rejected = verified(cand_in)
+        # (b) cross-batch: collide new bands against the persistent index
+        if os.path.exists(bands_dir):
+            seen_bands = spark.read.parquet(bands_dir)
+            seen_sets = spark.read.parquet(sets_dir).select(
+                SF.col("_id").alias("_ida"), SF.col("_sh").alias("_sha"),
+                SF.col("_n").alias("_na"),
+            )
+            cand_x = (
+                bands.join(seen_bands, ["_band", "_bh"])
+                .select(SF.col("_seen_id").alias("_ida"), SF.col("_id").alias("_idb"))
+                .distinct()
+            )
+            shared = SF.size(SF.array_intersect(SF.col("_sha"), SF.col("_shb")))
+            jac = shared / (SF.col("_na") + SF.col("_nb") - shared)
+            rej_x = (
+                cand_x.join(seen_sets, "_ida").join(right, "_idb")
+                .filter(jac >= threshold)
+                .select(SF.col("_idb").alias("_rej"))
+            )
+            rejected = rejected.unionByName(rej_x)
+        admitted = batch_df.join(
+            rejected.distinct().withColumnRenamed("_rej", id_col), id_col, "left_anti"
+        )
+        admitted.write.mode("append").parquet(data_dir)
+        ss.join(admitted.select(SF.col(id_col).alias("_id")), "_id").write.mode(
+            "append"
+        ).parquet(sets_dir)
+        bands.withColumnRenamed("_id", "_seen_id").join(
+            admitted.select(SF.col(id_col).alias("_seen_id")), "_seen_id"
+        ).write.mode("append").parquet(bands_dir)
+
+    q = stream_df.writeStream.outputMode("append").foreachBatch(do_ingest).start()
+    q.processAllAvailable()
+    return q

@@ -246,3 +246,43 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
     out = spark.read.parquet(str(sink))
     assert out.count() == ev.count()  # nothing reprocessed, nothing lost
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_foreach_batch_lsh_ingest_near_dup_admission(spark, tmp_path):
+    """Cross-batch NEAR-dup admission: a later document whose text is a
+    near-copy (Jaccard >= 0.5) of an admitted one is rejected even though
+    its bytes differ; genuinely new text is admitted; within a batch the
+    smaller id wins a verified near-dup pair."""
+    import os
+
+    from pyspark.sql import types as T
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tonight"          # J = 10/11 vs base ≈ 0.91
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = str(tmp_path / "src")
+    # batch 1: base, an exact in-batch copy (id 3), one distinct doc
+    spark.createDataFrame(
+        [(1, base), (3, base), (2, "completely different material about databases and storage engines")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: near-copy of base (reject), fresh doc (admit)
+    spark.createDataFrame(
+        [(9, near), (5, "yet another entirely unrelated document discussing sailing routes")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    target = str(tmp_path / "corpus")
+    q = jobs.foreach_batch_lsh_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        target, id_col="doc_id", text_col="text", threshold=0.5,
+    )
+    q.stop()
+    admitted = {r["doc_id"] for r in spark.read.parquet(os.path.join(target, "data")).collect()}
+    assert admitted == {1, 2, 5}
+    # the index only holds admitted docs
+    idx = {r["_id"] for r in spark.read.parquet(os.path.join(target, "sets")).collect()}
+    assert idx == {1, 2, 5}
