@@ -226,6 +226,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.heavy_hitters_cms,
         extension_queries.HEAVY_HITTERS_CMS_SQL,
     ),
+    # r3 addition: reciprocal-rank fusion of the dense + sparse retrievers
+    # (integer-rank arithmetic — bit-exact fusion, request-sized join)
+    "retrieval_rrf_fusion": (
+        extension_queries.retrieval_rrf_fusion,
+        extension_queries.RRF_FUSION_SQL,
+    ),
     # robust MAD outliers: exact grouped percentiles, stats broadcast back
     "mad_outlier_flags": (
         incremental_queries.mad_outlier_flags,

@@ -1388,6 +1388,118 @@ SELECT qid, rank, doc_id, score, n_terms FROM ranked WHERE rank <= 5
 """
 
 
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of the engine's two
+    retrievers: dense (exact cosine top-5, sim_batch_topk core) and
+    sparse (BM25 top-5) ranked lists merge by
+    ``score = Σ_lists 1/(60 + rank)`` — the standard k=60 form. Pure
+    integer-rank arithmetic, so the fusion is bit-exact across engines
+    (no float-score comparability between the two retrievers is ever
+    assumed, which is RRF's whole point).
+
+    Scale shape: both input rankings are request-sized (|Q|·k rows) by
+    construction, so the fusion itself is a broadcast-scale full outer
+    join + one |Q|-keyed window; all heavy lifting lives in the two
+    retrievers, each already audited. Queries are documents 0-3 (their
+    embeddings by aligned vec_id for the dense side)."""
+    dense = (
+        vector.cosine_topk_batch(
+            fan_out(load_table(spark, sf_dir, "embeddings")),
+            "vec_id",
+            "embedding",
+            load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4),
+            "vec_id",
+            "embedding",
+            k=5,
+        )
+        .select("qid", F.col("vec_id").alias("doc_id"), F.col("rank").alias("_rd"))
+    )
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sparse = textops.bm25_topk(docs, "doc_id", "text", query_ids=(0, 1, 2, 3), k=5).select(
+        "qid", "doc_id", F.col("rank").alias("_rs")
+    )
+    fused = dense.join(sparse, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("_rd")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("_rs")), F.lit(0.0))
+        ).alias("_rrf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("_rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "rank", "doc_id", derive.portable_round(F.col("_rrf"), 6).alias("rrf"))
+    )
+
+
+RRF_FUSION_SQL = rf"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+dscore AS (
+  SELECT q.qid, e.vec_id AS doc_id, {_COS_SQL.format(a='e.embedding', b='q.qv')} AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != q.qid
+),
+dense AS (
+  SELECT qid, doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id ASC) AS INT) AS rd
+  FROM dscore
+  QUALIFY rd <= 5
+),
+tok AS (
+  SELECT doc_id AS id,
+         len(regexp_split_to_array(lower(text), '\s+')) AS dl,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT id, tok, count(*) AS tf, any_value(dl) AS dl FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT count(DISTINCT id)::DOUBLE AS n,
+         sum(tf) / count(DISTINCT id) AS avgdl
+  FROM tf
+),
+bq AS (SELECT id AS qid, tok FROM tf WHERE id < 4),
+bscored AS (
+  SELECT bq.qid, t.id,
+         sum(((s.n - d.df + 0.5) / (d.df + 0.5))
+             * ((t.tf * (1.2 + 1.0))
+                / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl)))) AS score
+  FROM tf t
+  JOIN bq ON t.tok = bq.tok
+  JOIN dfreq d ON t.tok = d.tok
+  CROSS JOIN stats s
+  WHERE t.id != bq.qid
+  GROUP BY 1, 2
+),
+sparse AS (
+  SELECT qid, id AS doc_id,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS INT) AS rs
+  FROM bscored
+  QUALIFY rs <= 5
+),
+fused AS (
+  SELECT coalesce(dense.qid, sparse.qid) AS qid,
+         coalesce(dense.doc_id, sparse.doc_id) AS doc_id,
+         coalesce(1.0::DOUBLE / (60 + rd), 0.0)
+           + coalesce(1.0::DOUBLE / (60 + rs), 0.0) AS rrf
+  FROM dense FULL OUTER JOIN sparse
+    ON dense.qid = sparse.qid AND dense.doc_id = sparse.doc_id
+),
+ranked AS (
+  SELECT qid,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank,
+         doc_id,
+         floor(rrf * 1000000 + 0.5) / 1000000 AS rrf
+  FROM fused
+)
+SELECT qid, rank, doc_id, rrf FROM ranked WHERE rank <= 5
+"""
+
+
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-style substring dedup (Lee et al.), Spark shape:
     maximal per-document spans whose every word 5-gram also occurs in

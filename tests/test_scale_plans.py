@@ -166,6 +166,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "layout_zorder_locality",          # 1-row quantization-bounds broadcast
         "user_value_pareto",               # 1-row percentile-bounds + grand-total broadcasts
         "bm25_retrieval_topk",             # 1-row (N, avgdl) corpus-stats broadcast
+        "retrieval_rrf_fusion",            # sim_batch_topk core + bm25 stats broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
