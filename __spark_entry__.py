@@ -232,6 +232,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.retrieval_rrf_fusion,
         extension_queries.RRF_FUSION_SQL,
     ),
+    # r3 addition: corpus-scale model eval — histogram Mann-Whitney AUC
+    # (integral tie credit; the window runs over the bounded histogram)
+    "quality_logit_auc": (
+        extension_queries.quality_logit_auc,
+        extension_queries.QUALITY_AUC_SQL,
+    ),
     # robust MAD outliers: exact grouped percentiles, stats broadcast back
     "mad_outlier_flags": (
         incremental_queries.mad_outlier_flags,

@@ -1588,6 +1588,90 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_logit_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation at corpus scale: ROC-AUC of the fused quality
+    classifier (quality_logit_inference's logit) against the lang=='en'
+    label, computed the way a 100 TB eval must be — tie-aware
+    Mann-Whitney rank-sum over a SCORE HISTOGRAM, never a global rank of
+    raw rows: scores quantize to 2-decimal buckets (one corpus-keyed
+    groupBy; the histogram is bounded by the score RANGE, not the corpus),
+    a cumulative window runs over that bounded histogram, and
+    AUC = Σ pos_b·(neg_below_b + ½·neg_b) / (P·N). The ½ tie credit is
+    kept integral (2U = Σ pos·(2·neg_below + neg)) so everything is exact
+    integer arithmetic until the single final division — bit-identical
+    across engines."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    logit = (
+        2.0 * F.least(textops.token_count("text") / 200.0, F.lit(1.0))
+        - 6.0 * textops.punct_ratio("text")
+        + 10.0 * textops.stopword_ratio("text")
+        - 0.2 * textops.mean_word_length("text")
+        - 0.3
+    )
+    scored = docs.select(
+        derive.portable_round(logit, 2).alias("_b"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("_y"),
+    )
+    hist = scored.groupBy("_b").agg(
+        F.sum("_y").cast("long").alias("_pos"),
+        F.sum(1 - F.col("_y")).cast("long").alias("_neg"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn("_nb", F.coalesce(F.sum("_neg").over(w), F.lit(0)))
+    agg = cum.agg(
+        F.sum(F.col("_pos") * (2 * F.col("_nb") + F.col("_neg"))).alias("_u2"),
+        F.sum("_pos").alias("n_pos"),
+        F.sum("_neg").alias("n_neg"),
+    )
+    return agg.select(
+        (F.col("_u2") / (2.0 * F.col("n_pos") * F.col("n_neg"))).alias("auc"),
+        "n_pos",
+        "n_neg",
+    )
+
+
+QUALITY_AUC_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+         length(regexp_replace(regexp_replace(text, '\s', '', 'g'), '[^a-zA-Z0-9]', '', 'g')) AS n_alnum,
+         list_sum(list_transform(regexp_split_to_array(lower(text), '\s+'), w -> length(w))) AS sum_wlen,
+         len(regexp_split_to_array(lower(text), '\s+')) AS n_tok_raw,
+         {{stop_r}} AS stop_r
+  FROM documents
+),
+s AS (
+  SELECT lang,
+         2.0 * least(n_tokens / 200.0, 1.0)
+         - 6.0 * ((n_nonws - n_alnum) / greatest(n_nonws, 1)::DOUBLE)
+         + 10.0 * stop_r
+         - 0.2 * (sum_wlen / greatest(n_tok_raw, 1)::DOUBLE)
+         - 0.3 AS logit
+  FROM t
+),
+b AS (
+  SELECT floor(logit * 100 + 0.5) / 100 AS b,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+  FROM s GROUP BY 1
+),
+c AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+  FROM b
+)
+SELECT sum(pos * (2 * nb + neg))::BIGINT
+         / (2.0 * sum(pos)::BIGINT * sum(neg)::BIGINT) AS auc,
+       sum(pos)::BIGINT AS n_pos,
+       sum(neg)::BIGINT AS n_neg
+FROM c
+""".format(stop_r=_ratio_sql(textops.LANG_PROFILES["en"]))
+
+
 HEAVY_HITTERS_CMS_SQL = r"""
 WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS t FROM documents),
 cnt AS (SELECT t, count(*) AS exact_count FROM tok WHERE t <> '' GROUP BY 1),
