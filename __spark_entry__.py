@@ -238,6 +238,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.quality_logit_auc,
         extension_queries.QUALITY_AUC_SQL,
     ),
+    # r3 addition: contrastive hard-negative mining — top-k most-similar
+    # strictly below the near-dup cut-off, filtered before ranking
+    "contrastive_hard_negatives": (
+        extension_queries.contrastive_hard_negatives,
+        extension_queries.CONTRASTIVE_NEG_SQL,
+    ),
     # robust MAD outliers: exact grouped percentiles, stats broadcast back
     "mad_outlier_flags": (
         incremental_queries.mad_outlier_flags,

@@ -348,8 +348,13 @@ def cosine_topk_batch(
     qvec_col: str,
     k: int = 10,
     coarse_buckets: int = 16,
+    max_cosine: float | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for a BATCH of query vectors in ONE corpus scan.
+
+    ``max_cosine`` (strict upper bound) drops candidates at or above the
+    threshold before ranking — the hard-negative-mining form (most
+    similar documents that are NOT near-duplicates).
 
     The serving-realistic ANN shape: similarity search is almost never one
     query vector — it's a batch (a retrieval request, an eval set, a
@@ -381,6 +386,11 @@ def cosine_topk_batch(
     scored = c.join(F.broadcast(q), F.col("_cid") != F.col("_qid")).select(
         "_qid", "_cid", cosine(F.col("_cv"), F.col("_qv")).alias("_cos")
     )
+    if max_cosine is not None:
+        # applied BEFORE either top-k phase, so exclusion (e.g. near-dup
+        # cut-off for hard-negative mining) is exact — a post-hoc filter
+        # on a finished top-k could lose true members
+        scored = scored.filter(F.col("_cos") < max_cosine)
     bucketed = scored.withColumn(
         "_b", F.pmod(F.hash(F.col("_cid")), F.lit(coarse_buckets))
     )

@@ -464,6 +464,40 @@ QUALIFY rank <= 10
 """
 
 
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-5 MOST similar vectors strictly below the near-dup cut-off
+    (cosine < 0.35 on this corpus, where top neighbors reach ~0.40) — similar enough to be informative negatives, not so
+    similar they are positives in disguise. The exclusion applies before
+    ranking inside the one-scan batched top-k (a post-hoc filter on a
+    finished top-k could lose true members when near-dups crowd it)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4)
+    top = vector.cosine_topk_batch(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k=5, max_cosine=0.35
+    )
+    return top.select(
+        "qid", "rank", "vec_id", derive.portable_round(F.col("cosine"), 4).alias("cosine")
+    )
+
+
+CONTRASTIVE_NEG_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.qid, e.vec_id, {_COS_SQL.format(a='e.embedding', b='q.qv')} AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != q.qid
+)
+SELECT qid,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank,
+       vec_id,
+       floor(cos * 10000 + 0.5) / 10000 AS cosine
+FROM scored
+WHERE cos < 0.35
+QUALIFY rank <= 5
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup candidates ≥ 0.4 cosine via banded sign-LSH
     blocking (equi-join on the block key — the quadratic

@@ -167,6 +167,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "user_value_pareto",               # 1-row percentile-bounds + grand-total broadcasts
         "bm25_retrieval_topk",             # 1-row (N, avgdl) corpus-stats broadcast
         "retrieval_rrf_fusion",            # sim_batch_topk core + bm25 stats broadcast
+        "contrastive_hard_negatives",      # sim_batch_topk core (broadcast query batch)
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
