@@ -244,6 +244,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.contrastive_hard_negatives,
         extension_queries.CONTRASTIVE_NEG_SQL,
     ),
+    # r3 addition: within-session ordered funnel (sessionize ∘ funnel) —
+    # one user-keyed shuffle feeds session + first-view windows and both aggregates
+    "session_funnel_conversion": (
+        timeseries_queries.session_funnel_conversion,
+        timeseries_queries.SESSION_FUNNEL_SQL,
+    ),
     # robust MAD outliers: exact grouped percentiles, stats broadcast back
     "mad_outlier_flags": (
         incremental_queries.mad_outlier_flags,

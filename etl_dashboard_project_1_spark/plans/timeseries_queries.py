@@ -837,3 +837,80 @@ SELECT strftime(dd, '%Y-%m-%d') AS day,
        ))) AS n_users_7d
 FROM d
 """
+
+
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-SESSION ordered funnel: per user, how many 6h-gap sessions
+    contain a purchase AT OR AFTER the session's first view — the
+    composition of gap sessionization and the conditional-min funnel
+    (event_funnel_conversion ranges over a user's whole history; this
+    variant resets at every session boundary, which is how product
+    funnels are actually reported).
+
+    One user-keyed shuffle feeds everything: the session window, the
+    first-view window (same partitioning — no second exchange), the
+    per-session aggregate, and the per-user rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize.sessionize(
+        ev, "ts", by=["user_id"], gap_seconds=21600, tiebreak=["event_id"]
+    )
+    fw = Window.partitionBy("user_id", "session_seq")
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(fw)
+    flagged = sess.withColumn("_fv", first_view)
+    per = flagged.groupBy("user_id", "session_seq").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("_hv"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("_fv").isNotNull()
+                & (F.col("ts") >= F.col("_fv")),
+                1,
+            ).otherwise(0)
+        ).alias("_conv"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("_hv").cast("long").alias("n_view_sessions"),
+        F.sum("_conv").cast("long").alias("n_converted"),
+        derive.portable_round(
+            F.sum("_conv") / F.greatest(F.sum("_hv"), F.lit(1)).cast("double"), 4
+        ).alias("view_conversion"),
+    )
+
+
+SESSION_FUNNEL_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 21600 SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts, event_type,
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+  FROM flagged
+),
+pv AS (
+  SELECT user_id, session_seq, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id, session_seq) AS fv
+  FROM sessioned
+),
+per AS (
+  SELECT user_id, session_seq,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+         max(CASE WHEN event_type = 'purchase' AND fv IS NOT NULL AND ts >= fv
+                  THEN 1 ELSE 0 END) AS conv
+  FROM pv GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_sessions,
+       sum(hv)::BIGINT AS n_view_sessions,
+       sum(conv)::BIGINT AS n_converted,
+       floor(sum(conv) / greatest(sum(hv), 1)::DOUBLE * 10000 + 0.5) / 10000
+         AS view_conversion
+FROM per GROUP BY 1
+"""
