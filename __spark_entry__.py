@@ -250,6 +250,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.session_funnel_conversion,
         timeseries_queries.SESSION_FUNNEL_SQL,
     ),
+    # r3 addition: sqrt-smoothed source rebalancing (T=2 temperature
+    # mixture) with data-derived rates — single-sqrt form, no float sums
+    "sample_sqrt_mixture": (
+        extension_queries.sample_sqrt_mixture,
+        extension_queries.SAMPLE_SQRT_MIXTURE_SQL,
+    ),
     # robust MAD outliers: exact grouped percentiles, stats broadcast back
     "mad_outlier_flags": (
         incremental_queries.mad_outlier_flags,

@@ -818,6 +818,60 @@ GROUP BY 1
 SAMPLE_MIXTURE_SQL = _mixture_sql()
 
 
+def sample_sqrt_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root LANGUAGE rebalancing (the Pile/mT5 temperature-smoothing
+    shape at T=2) with rates computed FROM the corpus, not a config
+    table: every language keeps p_s = sqrt(n_min / n_s) of its documents —
+    the rarest language keeps everything, one 100× its size keeps 10×
+    the rarest's count — flattening the language skew (the axis mT5 actually rebalances; the generated corpus is source-uniform but language-skewed, so the rates genuinely engage) by half an exponent.
+
+    The rate uses a single sqrt of an exact count ratio deliberately:
+    counts are exact integers, the ratio is one correctly-rounded IEEE
+    division and sqrt is correctly rounded in every engine — no
+    normalizing SUM of irrationals whose accumulation order could differ
+    across engines. Keep decisions ride the shared md5 hash wheel.
+
+    Scale shape: one lang-keyed count aggregate (tiny result), its
+    1-row minimum broadcast back, then a map-only filter over the corpus
+    scan and a final per-language rollup — the corpus shuffles once.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        "_n",
+        F.floor(F.sqrt(F.col("_nmin") / F.col("_n")) * sampling.WHEEL).alias("_thr"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(sampling.hash_bucket(F.col("doc_id"), "sqrtmix") < F.col("_thr"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.first("_n").cast("long").alias("n_docs"),
+        derive.portable_round(F.first("_thr") / float(sampling.WHEEL), 4).alias("keep_rate"),
+    )
+
+
+SAMPLE_SQRT_MIXTURE_SQL = r"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+nmin AS (SELECT min(n) AS nmin FROM counts),
+rates AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(nmin / n::DOUBLE) * 10000) AS BIGINT) AS thr
+  FROM counts, nmin
+)
+SELECT d.lang,
+       count(*)::BIGINT AS n_kept,
+       any_value(r.n)::BIGINT AS n_docs,
+       floor(any_value(r.thr) / 10000.0::DOUBLE * 10000 + 0.5) / 10000 AS keep_rate
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'sqrtmix'), 1, 8))::BIGINT % 10000 < r.thr
+GROUP BY 1
+"""
+
+
 # --- end-to-end curation composition ---------------------------------------
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,7 +885,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     scored = docs.select(
         "doc_id",
-        "source",
+        "lang",
         textops.detect_language("text").alias("lang_detected"),
         textops.quality_score("text").alias("quality"),
         dedup.normalized_fingerprint("text").alias("fp"),
@@ -843,7 +897,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("lang_detected") == "en")
         & (derive.portable_round(F.col("quality"), 4) >= 0.5)
     )
-    return keep.groupBy("source").agg(
+    return keep.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         derive.portable_round(F.avg("quality"), 4).alias("avg_quality"),
     )
@@ -875,7 +929,7 @@ scored AS (
          min(doc_id) OVER (PARTITION BY fp) AS keep_id
   FROM t
 )
-SELECT source, count(*) AS n_docs,
+SELECT lang, count(*) AS n_docs,
        floor(avg(quality) * 10000 + 0.5) / 10000 AS avg_quality
 FROM scored
 WHERE doc_id = keep_id AND lang_detected = 'en'
@@ -1093,7 +1147,7 @@ def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     fp = docs.select(
-        "doc_id", "source", dedup.normalized_fingerprint("text").alias("fp")
+        "doc_id", "lang", dedup.normalized_fingerprint("text").alias("fp")
     )
     bench = (
         sampling.deterministic_sample(docs, "doc_id", 0.05)
@@ -1101,7 +1155,7 @@ def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     contaminated = fp.join(F.broadcast(bench), "fp", "left_semi")
-    return contaminated.groupBy("source").agg(
+    return contaminated.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_contaminated")
     )
 
@@ -1117,7 +1171,7 @@ bench AS (
   FROM documents
   WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'sample'), 1, 8))::BIGINT % 10000 < 500
 )
-SELECT source, count(*)::BIGINT AS n_contaminated
+SELECT lang, count(*)::BIGINT AS n_contaminated
 FROM fp
 WHERE EXISTS (SELECT 1 FROM bench b WHERE b.fp = fp.fp)
 GROUP BY source
@@ -1163,7 +1217,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     held_out = sampling.hash_bucket(F.col("doc_id"), "sample") < int(0.05 * sampling.WHEEL)
     grams = docs.select(
-        "doc_id", "source", held_out.alias("_held"),
+        "doc_id", "lang", held_out.alias("_held"),
         F.explode(dedup.word_shingles("text", 3)).alias("_g"),
     )
     bench_grams = grams.filter(F.col("_held")).select("_g").distinct()
@@ -1173,12 +1227,12 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.join(
             F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "_g", "left"
         )
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id", "lang")
         .agg((F.sum(hit) / F.count(F.lit(1))).alias("_ov"))
     )
     return (
         overlap.filter(F.col("_ov") >= 0.1)
-        .select("doc_id", "source", derive.portable_round(F.col("_ov"), 4).alias("overlap"))
+        .select("doc_id", "lang", derive.portable_round(F.col("_ov"), 4).alias("overlap"))
     )
 
 

@@ -168,6 +168,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "bm25_retrieval_topk",             # 1-row (N, avgdl) corpus-stats broadcast
         "retrieval_rrf_fusion",            # sim_batch_topk core + bm25 stats broadcast
         "contrastive_hard_negatives",      # sim_batch_topk core (broadcast query batch)
+        "sample_sqrt_mixture",             # 1-row rarest-language-count broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
