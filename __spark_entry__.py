@@ -256,6 +256,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.sample_sqrt_mixture,
         extension_queries.SAMPLE_SQRT_MIXTURE_SQL,
     ),
+    # r3 addition: ANN recall@10 vs exact ground truth — tolerance-free
+    # retrieval QA (both sides deterministic and oracle-mirrored)
+    "ann_recall_eval": (
+        extension_queries.ann_recall_eval,
+        extension_queries.ANN_RECALL_SQL,
+    ),
     # robust MAD outliers: exact grouped percentiles, stats broadcast back
     "mad_outlier_flags": (
         incremental_queries.mad_outlier_flags,

@@ -581,6 +581,102 @@ LIMIT 10
 """
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval QA as a first-class query: recall@10 of the multi-probe
+    sign-LSH ANN against the exact cosine top-10, per query (vectors
+    0-3). This is the eval a production ANN deployment runs continuously
+    — the approximation's recall measured against ground truth on the
+    same corpus — here with BOTH sides deterministic, so the whole
+    evaluation hash-matches the oracle (a tolerance-free ANN check).
+
+    Scale shape: one corpus scan computes buckets; the 4-query batch
+    broadcasts into it (the non-equi hamming filter is a broadcast
+    nested-loop against a request-sized side — same pattern as
+    sim_batch_topk); both ranked lists are |Q|·k rows, so the recall
+    join is metadata-scale."""
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(emb_raw)
+    queries = emb_raw.filter(F.col("vec_id") < 4)
+    dim = len(emb_raw.select("embedding").first()["embedding"])
+    exact = vector.cosine_topk_batch(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k=10
+    ).select("qid", "vec_id")
+    qb = queries.select(
+        F.col("vec_id").alias("qid"),
+        vector.as_double_vec("embedding").alias("_qv"),
+    ).withColumn("_qb", vector.hyperplane_signs(F.col("_qv"), dim, 4))
+    vb = emb.select(
+        "vec_id", vector.as_double_vec("embedding").alias("_v")
+    ).withColumn("_b", vector.hyperplane_signs(F.col("_v"), dim, 4))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    ann = (
+        vb.join(
+            F.broadcast(qb),
+            F.bit_count(F.col("_b").bitwiseXOR(F.col("_qb"))) <= 2,
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", vector.cosine(F.col("_v"), F.col("_qv")).alias("_cos"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 10)
+        .select("qid", "vec_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        exact.join(ann, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "qid",
+            "n_exact",
+            "n_hits",
+            derive.portable_round(F.col("n_hits") / F.col("n_exact"), 2).alias("recall_at_10"),
+        )
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv,
+         {_band_bucket_sql('embedding', 0, 4)} AS qb
+  FROM embeddings WHERE vec_id < 4
+),
+v AS (
+  SELECT vec_id, embedding,
+         {_band_bucket_sql('embedding', 0, 4)} AS b
+  FROM embeddings
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, v.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_COS_SQL.format(a='v.embedding', b='q.qv')} DESC, v.vec_id ASC) AS r
+    FROM v, q WHERE v.vec_id != q.qid
+  ) WHERE r <= 10
+),
+ann AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, v.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_COS_SQL.format(a='v.embedding', b='q.qv')} DESC, v.vec_id ASC) AS r
+    FROM v, q
+    WHERE v.vec_id != q.qid
+      AND bit_count(xor(v.b::BIGINT, q.qb::BIGINT)) <= 2
+  ) WHERE r <= 10
+)
+SELECT e.qid,
+       count(*)::BIGINT AS n_exact,
+       sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+       floor(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE * 100 + 0.5) / 100 AS recall_at_10
+FROM exact e LEFT JOIN ann a ON e.qid = a.qid AND e.vec_id = a.vec_id
+GROUP BY 1
+"""
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

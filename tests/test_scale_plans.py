@@ -169,6 +169,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "retrieval_rrf_fusion",            # sim_batch_topk core + bm25 stats broadcast
         "contrastive_hard_negatives",      # sim_batch_topk core (broadcast query batch)
         "sample_sqrt_mixture",             # 1-row rarest-language-count broadcast
+        "ann_recall_eval",                 # broadcast 4-query batch, non-equi hamming probe
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
