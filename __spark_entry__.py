@@ -262,6 +262,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.ann_recall_eval,
         extension_queries.ANN_RECALL_SQL,
     ),
+    # r3 addition: bigram conditional-LM scorer (next n-gram order above
+    # the unigram filter; prefix-normalized conditionals)
+    "text_bigram_logprob": (
+        extension_queries.text_bigram_logprob,
+        extension_queries.BIGRAM_LOGPROB_SQL,
+    ),
     # robust MAD outliers: exact grouped percentiles, stats broadcast back
     "mad_outlier_flags": (
         incremental_queries.mad_outlier_flags,

@@ -201,6 +201,49 @@ def unigram_logprob(df, id_col: str, text_col: str):
     )
 
 
+def bigram_logprob(df, id_col: str, text_col: str):
+    """Bigram corpus-LM quality score — the conditional-probability step
+    from the unigram filter toward the KenLM-style CCNet perplexity
+    filter: per-doc mean ``ln P(w_i | w_{i-1})`` with
+    ``P = c(w_{i-1} w_i) / c(w_{i-1}·)`` (denominator = occurrences of
+    the word as a bigram PREFIX, so the conditional normalizes exactly:
+    Σ_w2 c2(w1,w2) = c1(w1)).
+
+    Shape: positional bigrams are a zip_with of the token array with its
+    own shift (map-only); bigram and prefix counts are two aggregates of
+    the exploded table; both join back by their keys as shuffle
+    equi-joins — never broadcast, the bigram vocabulary is corpus-scale
+    — then one doc-keyed mean. Same join discipline as tfidf, one order
+    of n-gram higher.
+
+    Returns (id_col, n_bigrams, mean_logprob)."""
+    w = tokens(text_col)
+    n = F.size(w)
+    ln1 = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(w, 1, ln1),
+        F.slice(w, 2, ln1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    occ = (
+        df.filter(F.size(tokens(text_col)) >= 2)
+        .select(F.col(id_col).alias("_id"), F.explode(pairs).alias("_bg"))
+        .select("_id", F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2"))
+    )
+    c2 = occ.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = occ.groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    return (
+        occ.join(c2, ["_w1", "_w2"])
+        .join(c1, "_w1")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.avg(F.log(F.col("_c2") / F.col("_c1"))).alias("mean_logprob"),
+        )
+        .select(F.col("_id").alias(id_col), "n_bigrams", "mean_logprob")
+    )
+
+
 def tfidf_topk(df, id_col: str, text_col: str, k: int = 3, reuse: str = "checkpoint"):
     """Top-k characteristic terms per document by tf·idf.
 

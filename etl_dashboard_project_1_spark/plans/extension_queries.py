@@ -1298,6 +1298,36 @@ GROUP BY doc_id
 """
 
 
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM quality score per document (the next n-gram
+    order above text_unigram_logprob; see textops.bigram_logprob)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    out = textops.bigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        derive.portable_round(F.col("mean_logprob"), 4).alias("mean_logprob"),
+    )
+
+
+BIGRAM_LOGPROB_SQL = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+occ AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+  FROM (SELECT doc_id,
+               unnest([{'w1': w[i], 'w2': w[i+1]} FOR i IN range(1, len(w))]) AS u
+        FROM w WHERE len(w) >= 2)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1)
+SELECT doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       floor(avg(ln(c2 / c1::DOUBLE)) * 10000 + 0.5) / 10000 AS mean_logprob
+FROM occ JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""
+
+
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination, n-gram-overlap form (the method actually
     used for LLM training corpora): a training doc is contaminated in
