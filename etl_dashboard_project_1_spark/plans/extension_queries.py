@@ -981,7 +981,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     scored = docs.select(
         "doc_id",
-        "lang",
+        "source",
         textops.detect_language("text").alias("lang_detected"),
         textops.quality_score("text").alias("quality"),
         dedup.normalized_fingerprint("text").alias("fp"),
@@ -993,7 +993,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("lang_detected") == "en")
         & (derive.portable_round(F.col("quality"), 4) >= 0.5)
     )
-    return keep.groupBy("lang").agg(
+    return keep.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         derive.portable_round(F.avg("quality"), 4).alias("avg_quality"),
     )
@@ -1025,7 +1025,7 @@ scored AS (
          min(doc_id) OVER (PARTITION BY fp) AS keep_id
   FROM t
 )
-SELECT lang, count(*) AS n_docs,
+SELECT source, count(*) AS n_docs,
        floor(avg(quality) * 10000 + 0.5) / 10000 AS avg_quality
 FROM scored
 WHERE doc_id = keep_id AND lang_detected = 'en'
@@ -1243,7 +1243,7 @@ def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     fp = docs.select(
-        "doc_id", "lang", dedup.normalized_fingerprint("text").alias("fp")
+        "doc_id", "source", dedup.normalized_fingerprint("text").alias("fp")
     )
     bench = (
         sampling.deterministic_sample(docs, "doc_id", 0.05)
@@ -1251,7 +1251,7 @@ def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     contaminated = fp.join(F.broadcast(bench), "fp", "left_semi")
-    return contaminated.groupBy("lang").agg(
+    return contaminated.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_contaminated")
     )
 
@@ -1267,7 +1267,7 @@ bench AS (
   FROM documents
   WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'sample'), 1, 8))::BIGINT % 10000 < 500
 )
-SELECT lang, count(*)::BIGINT AS n_contaminated
+SELECT source, count(*)::BIGINT AS n_contaminated
 FROM fp
 WHERE EXISTS (SELECT 1 FROM bench b WHERE b.fp = fp.fp)
 GROUP BY source
@@ -1343,7 +1343,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     held_out = sampling.hash_bucket(F.col("doc_id"), "sample") < int(0.05 * sampling.WHEEL)
     grams = docs.select(
-        "doc_id", "lang", held_out.alias("_held"),
+        "doc_id", "source", held_out.alias("_held"),
         F.explode(dedup.word_shingles("text", 3)).alias("_g"),
     )
     bench_grams = grams.filter(F.col("_held")).select("_g").distinct()
@@ -1353,12 +1353,12 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.join(
             F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "_g", "left"
         )
-        .groupBy("doc_id", "lang")
+        .groupBy("doc_id", "source")
         .agg((F.sum(hit) / F.count(F.lit(1))).alias("_ov"))
     )
     return (
         overlap.filter(F.col("_ov") >= 0.1)
-        .select("doc_id", "lang", derive.portable_round(F.col("_ov"), 4).alias("overlap"))
+        .select("doc_id", "source", derive.portable_round(F.col("_ov"), 4).alias("overlap"))
     )
 
 
