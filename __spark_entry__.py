@@ -268,6 +268,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.text_bigram_logprob,
         extension_queries.BIGRAM_LOGPROB_SQL,
     ),
+    # r3 addition: per-doc first-occurrence 3-gram novelty (corpus
+    # diversity contribution; one gram-keyed window, no self-join)
+    "ngram_novelty": (extension_queries.ngram_novelty, extension_queries.NGRAM_NOVELTY_SQL),
+    # r3 addition: collocation mining — top-20 adjacent pairs by
+    # association lift (exact-integer-quotient sort key, no transcendental)
+    "colloc_lift_topk": (extension_queries.colloc_lift_topk, extension_queries.COLLOC_LIFT_SQL),
+    # r3 addition: per-source unigram total-variation drift — the whole
+    # sum stays in BIGINT space; one float division per source at the end
+    "source_unigram_tv": (extension_queries.source_unigram_tv, extension_queries.SOURCE_TV_SQL),
     # robust MAD outliers: exact grouped percentiles, stats broadcast back
     "mad_outlier_flags": (
         incremental_queries.mad_outlier_flags,

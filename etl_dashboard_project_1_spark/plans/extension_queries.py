@@ -1911,3 +1911,212 @@ SELECT t AS token, exact_count, cms_estimate,
        cms_estimate - exact_count AS overcount
 FROM est
 """
+
+
+# --- corpus-diversity / collocation / domain-drift analytics ----------------
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    3-grams that the corpus sees FIRST in that doc (first = smallest
+    doc_id containing the gram). High-novelty docs expand corpus
+    diversity; near-zero novelty marks template/boilerplate families —
+    the per-doc complement of the pairwise dedup operators.
+
+    Scale shape: first-occurrence attribution is a min-over-gram-group —
+    ONE gram-keyed window shuffle (no self-join, no gram→doc join-back),
+    then one doc-keyed aggregate. The 0/1 mean is a sum of exact small
+    integers in double space, so it is order-independent cross-engine.
+    """
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", F.explode(dedup.word_shingles("text", 3)).alias("_g")
+    )
+    first = F.min("doc_id").over(Window.partitionBy("_g"))
+    return (
+        grams.withColumn("_first", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            derive.portable_round(
+                F.avg(
+                    F.when(F.col("_first") == F.col("doc_id"), 1.0).otherwise(0.0)
+                ),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r"""
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       floor(avg(CASE WHEN first_id = doc_id THEN 1.0 ELSE 0.0 END) * 10000 + 0.5) / 10000
+         AS novelty
+FROM (SELECT doc_id, s, min(doc_id) OVER (PARTITION BY s) AS first_id FROM sh)
+GROUP BY doc_id
+"""
+)
+
+
+def colloc_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's top-20 adjacent token pairs by
+    association-rule lift ``P(w2 | w1) / P(w2)`` with a min-support floor
+    of 5 occurrences — the classic PMI-family collocation extractor
+    (lift = e^PMI) used to find multi-word expressions worth protecting
+    from tokenizer splits.
+
+    Ranking is on the RAW double ``(c2/c1x)·(N/c1y)`` — a fixed-shape
+    composition of exact-integer divisions, so every IEEE engine computes
+    the identical value (no transcendental in the sort key; ties break on
+    the pair itself). Scale shape: positional pairs are a map-side
+    zip_with; two token-keyed aggregates; the unigram joins are vocab- vs
+    pair-vocab-sized equi-joins; the corpus total is a 1-row broadcast;
+    the top-20 is TakeOrderedAndProject (no global sort)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    arr = dedup.tokens("text")
+    n = F.size(arr)
+    shifted = F.slice(arr, 2, F.greatest(n - 1, F.lit(0)))
+    pairs = F.slice(
+        F.zip_with(arr, shifted, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+        1,
+        F.greatest(n - 1, F.lit(0)),
+    )
+    occ = (
+        docs.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    tok = docs.select(F.explode(arr).alias("_t")).filter(F.col("_t") != "")
+    c1 = tok.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    n1 = tok.agg(F.count(F.lit(1)).cast("double").alias("_n1"))
+    c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    scored = (
+        c2.filter(F.col("_c2") >= 5)
+        .join(c1.withColumnRenamed("_t", "w1").withColumnRenamed("_c", "_c1x"), "w1")
+        .join(c1.withColumnRenamed("_t", "w2").withColumnRenamed("_c", "_c1y"), "w2")
+        .crossJoin(F.broadcast(n1))
+        .withColumn(
+            "_lift",
+            (F.col("_c2") / F.col("_c1x")) * (F.col("_n1") / F.col("_c1y")),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("_lift"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+        .select(
+            "w1",
+            "w2",
+            F.col("_c2").cast("long").alias("pair_count"),
+            derive.portable_round(F.col("_lift"), 6).alias("lift"),
+        )
+    )
+
+
+COLLOC_LIFT_SQL = r"""
+WITH tokf AS (
+  SELECT t FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+                 FROM documents)
+  WHERE t <> ''
+),
+n AS (SELECT count(*)::DOUBLE AS n1 FROM tokf),
+c1 AS (SELECT t, count(*)::DOUBLE AS c FROM tokf GROUP BY 1),
+w AS (SELECT regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+occ AS (
+  SELECT u.w1 AS w1, u.w2 AS w2
+  FROM (SELECT unnest([{'w1': w[i], 'w2': w[i+1]} FOR i IN range(1, len(w))]) AS u
+        FROM w WHERE len(w) >= 2)
+  WHERE u.w1 <> '' AND u.w2 <> ''
+),
+c2 AS (SELECT w1, w2, count(*) AS pc FROM occ GROUP BY 1, 2),
+scored AS (
+  SELECT w1, w2, pc, (pc / a.c) * (n1 / b.c) AS lift_raw
+  FROM c2 JOIN c1 a ON c2.w1 = a.t JOIN c1 b ON c2.w2 = b.t, n
+  WHERE pc >= 5
+)
+SELECT w1, w2, pc::BIGINT AS pair_count,
+       floor(lift_raw * 1000000 + 0.5) / 1000000 AS lift
+FROM scored
+ORDER BY lift_raw DESC, w1 ASC, w2 ASC
+LIMIT 20
+"""
+
+
+def source_unigram_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-drift detection: per-source total-variation distance between
+    the source's unigram distribution and the whole-corpus distribution —
+    the distribution-shift check run before admitting a new source into a
+    training mixture.
+
+    The sum is computed EXACTLY in integer space:
+    ``TV·2·Ns·Nc = Σ_t |cs·Nc − cc·Ns|``, and the absent-token tail
+    (tokens the source never emits) collapses algebraically to
+    ``Ns·(Nc − Σ_{t∈s} cc)`` — so no vocab×source grid is materialized
+    and the float division happens ONCE per source at the end (bit-
+    identical cross-engine; no float accumulation anywhere). Scale
+    shape: one (source,token) aggregate off the scan, two tiny
+    re-aggregates of it, a vocab-sized equi-join, a broadcast source-
+    totals join and a 1-row corpus-total broadcast. BIGINT terms hold to
+    ~sf100 (Ns·Nc < 2^63); beyond that, cast the term sum to
+    DECIMAL(38,0)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(dedup.tokens("text")).alias("_t")
+    ).filter(F.col("_t") != "")
+    cs = tok.groupBy("source", "_t").agg(F.count(F.lit(1)).alias("_cs"))
+    cc = cs.groupBy("_t").agg(F.sum("_cs").alias("_cc"))
+    ns = cs.groupBy("source").agg(F.sum("_cs").alias("_ns"))
+    nc = cs.agg(F.sum("_cs").alias("_nc"))
+    terms = (
+        cs.join(cc, "_t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "source",
+            "_ns",
+            "_nc",
+            "_cc",
+            F.abs(F.col("_cs") * F.col("_nc") - F.col("_cc") * F.col("_ns")).alias("_term"),
+        )
+    )
+    agg = terms.groupBy("source").agg(
+        F.max("_ns").alias("_ns"),
+        F.max("_nc").alias("_nc"),
+        F.sum("_term").alias("_st"),
+        F.sum("_cc").alias("_sc"),
+    )
+    tv = (F.col("_st") + F.col("_ns") * (F.col("_nc") - F.col("_sc"))) / (
+        2.0 * F.col("_ns") * F.col("_nc")
+    )
+    return agg.select(
+        "source",
+        F.col("_ns").cast("long").alias("n_tokens"),
+        derive.portable_round(tv, 6).alias("tv"),
+    )
+
+
+SOURCE_TV_SQL = r"""
+WITH tokf AS (
+  SELECT source, t
+  FROM (SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+cs AS (SELECT source, t, count(*)::BIGINT AS cs FROM tokf GROUP BY 1, 2),
+cc AS (SELECT t, sum(cs)::BIGINT AS cc FROM cs GROUP BY 1),
+ns AS (SELECT source, sum(cs)::BIGINT AS ns FROM cs GROUP BY 1),
+nc AS (SELECT sum(cs)::BIGINT AS nc FROM cs),
+terms AS (
+  SELECT cs.source, ns.ns, nc.nc, cc.cc,
+         abs(cs.cs * nc.nc - cc.cc * ns.ns) AS term
+  FROM cs JOIN cc USING (t) JOIN ns USING (source), nc
+)
+SELECT source, max(ns)::BIGINT AS n_tokens,
+       floor((sum(term) + max(ns) * (max(nc) - sum(cc)))
+             / (2.0 * max(ns) * max(nc)) * 1000000 + 0.5) / 1000000 AS tv
+FROM terms
+GROUP BY source
+"""

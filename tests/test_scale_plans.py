@@ -170,6 +170,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "contrastive_hard_negatives",      # sim_batch_topk core (broadcast query batch)
         "sample_sqrt_mixture",             # 1-row rarest-language-count broadcast
         "ann_recall_eval",                 # broadcast 4-query batch, non-equi hamming probe
+        "colloc_lift_topk",                # scalar corpus-total (1-row broadcast)
+        "source_unigram_tv",               # scalar corpus-total (1-row broadcast)
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
