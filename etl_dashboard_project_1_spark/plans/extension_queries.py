@@ -1991,8 +1991,17 @@ def colloc_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
     )
     tok = docs.select(F.explode(arr).alias("_t")).filter(F.col("_t") != "")
-    c1 = tok.groupBy("_t").agg(F.count(F.lit(1)).cast("double").alias("_c"))
-    n1 = tok.agg(F.count(F.lit(1)).cast("double").alias("_n1"))
+    # vocab-sized unigram counts feed three consumers (two join sides and
+    # the corpus total) — materialize once (lazy localCheckpoint, same
+    # rationale as textops.tfidf_topk) so the corpus is tokenized once,
+    # and derive the total from the counts (sum of exact integer doubles:
+    # order-independent) instead of a third corpus scan
+    c1 = (
+        tok.groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    n1 = c1.agg(F.sum("_c").alias("_n1"))
     c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
     scored = (
         c2.filter(F.col("_c2") >= 5)
@@ -2066,7 +2075,16 @@ def source_unigram_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "source", F.explode(dedup.tokens("text")).alias("_t")
     ).filter(F.col("_t") != "")
-    cs = tok.groupBy("source", "_t").agg(F.count(F.lit(1)).alias("_cs"))
+    # the (source, token) counts feed FOUR consumers (cc, ns, nc and the
+    # term join); without materialization each consumer re-tokenizes the
+    # corpus (audited: 10 exchanges, 4 scans). The table is vocab×S-sized
+    # — materialize it once (lazy localCheckpoint, same rationale as
+    # textops.tfidf_topk) and everything downstream is aggregate-sized.
+    cs = (
+        tok.groupBy("source", "_t")
+        .agg(F.count(F.lit(1)).alias("_cs"))
+        .localCheckpoint(eager=False)
+    )
     cc = cs.groupBy("_t").agg(F.sum("_cs").alias("_cc"))
     ns = cs.groupBy("source").agg(F.sum("_cs").alias("_ns"))
     nc = cs.agg(F.sum("_cs").alias("_nc"))
