@@ -268,6 +268,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.text_bigram_logprob,
         extension_queries.BIGRAM_LOGPROB_SQL,
     ),
+    # r3 addition: the custom stateful operator (applyInPandasWithState)
+    # driven through the REAL streaming runtime, final state vs batch oracle
+    "stream_stateful_totals": (
+        streaming_queries.stream_stateful_totals,
+        streaming_queries.STREAM_STATEFUL_SQL,
+    ),
     # r3 addition: per-doc first-occurrence 3-gram novelty (corpus
     # diversity contribution; one gram-keyed window, no self-join)
     "ngram_novelty": (extension_queries.ngram_novelty, extension_queries.NGRAM_NOVELTY_SQL),

@@ -161,3 +161,46 @@ FROM events
 LEFT JOIN customer ON user_id = c_custkey
 LEFT JOIN nation   ON c_nationkey = n_nationkey
 """
+
+
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key state (``applyInPandasWithState``) gated as a REAL
+    stream: unlike the window queries above (mode-agnostic expressions
+    checked in batch), this drives the actual streaming runtime —
+    file-source micro-batches, Arrow-batched python state updates, memory
+    sink — and compares the FINAL emitted state per user against the
+    batch oracle. Update-mode emits one row per (batch, touched user);
+    the final state is the max-``n_events`` row per user (the running
+    count is strictly increasing, so the argmax is unique).
+
+    State scale: one (count, total) pair per user — bounded by key
+    cardinality, never by stream length."""
+    from pyspark.sql import Window
+
+    view = "stateful_totals_gate"
+    spark.catalog.dropTempView(view)
+    q = jobs.run_stream_to_memory(
+        jobs.stateful_user_totals(jobs.read_events_stream(spark, sf_dir)),
+        view,
+        output_mode="update",
+    )
+    q.stop()
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(view)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+# Python-state accumulation order only perturbs the float total at ~1e-12;
+# both engines round a value whose true sum is an exact multiple of 0.01
+# (events.value is 2-decimal), so the cent is recovered identically.
+STREAM_STATEFUL_SQL = """
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       round(sum(coalesce(value, 0.0)), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
