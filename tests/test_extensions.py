@@ -693,3 +693,70 @@ def test_minhash_signature_tracks_true_jaccard(spark):
         s = {r["_id"]: [r[f"_m{i}"] for i in range(8)] for r in sig}
         agree = sum(int(s[229][i] == s[263][i]) for i in range(8))
         assert agree >= 5, f"hashed={hashed}: only {agree}/8 components agree"
+
+
+def test_ngram_novelty_bounds_and_first_doc_full_novelty(spark):
+    """Novelty is a [0,1] fraction; the corpus's smallest doc_id with ≥3
+    words introduces every one of its grams, so its novelty is exactly 1;
+    and total novel-gram mass equals the distinct-gram count."""
+    from etl_dashboard_project_1_spark.plans import extension_queries as ex
+
+    rows = ex.ngram_novelty(spark, SF).collect()
+    assert rows, "expected docs with >=3 words"
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in rows)
+    first = min(rows, key=lambda r: r["doc_id"])
+    assert first["novelty"] == 1.0
+    docs = load_table(spark, SF, "documents")
+    n_distinct_grams = (
+        docs.select(F.explode(dedup.word_shingles("text", 3)).alias("g"))
+        .select("g").distinct().count()
+    )
+    # sum over docs of (novelty * n_grams) counts each distinct gram once,
+    # at its introducing doc (novelty is rounded at 4 decimals: allow slack)
+    novel_mass = sum(r["novelty"] * r["n_grams"] for r in rows)
+    assert abs(novel_mass - n_distinct_grams) < 0.0001 * sum(r["n_grams"] for r in rows)
+
+
+def test_colloc_lift_respects_support_floor_and_ranking(spark):
+    """Every reported pair meets the support floor; lift is positive and
+    the list is sorted by (lift desc, pair asc); lift agrees with a
+    hand-computed value for the top pair."""
+    from etl_dashboard_project_1_spark.plans import extension_queries as ex
+
+    rows = ex.colloc_lift_topk(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["pair_count"] >= 5 for r in rows)
+    assert all(r["lift"] > 0 for r in rows)
+    keys = [(-r["lift"], r["w1"], r["w2"]) for r in rows]
+    assert keys == sorted(keys)
+    # recompute the top pair's lift from raw counts
+    docs = load_table(spark, SF, "documents")
+    tok = docs.select(F.explode(dedup.tokens("text")).alias("t")).filter(F.col("t") != "")
+    top = rows[0]
+    c1x = tok.filter(F.col("t") == top["w1"]).count()
+    c1y = tok.filter(F.col("t") == top["w2"]).count()
+    n1 = tok.count()
+    expect = (top["pair_count"] / c1x) * (n1 / c1y)
+    assert abs(top["lift"] - expect) < 1e-4
+
+
+def test_source_tv_bounds_and_self_distance(spark):
+    """TV distance lies in [0,1); a single-source corpus has TV exactly 0
+    (its distribution IS the corpus distribution)."""
+    from etl_dashboard_project_1_spark.plans import extension_queries as ex
+
+    rows = ex.source_unigram_tv(spark, SF).collect()
+    assert rows
+    assert all(0.0 <= r["tv"] < 1.0 for r in rows)
+    # restrict the corpus to one source: distance must collapse to 0
+    one = load_table(spark, SF, "documents").filter(F.col("source") == rows[0]["source"])
+    one.createOrReplaceTempView("_tv_one_source")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        one.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"]:
+            load_table(spark, SF, t).limit(0).write.parquet(f"{d}/{t}.parquet")
+        solo = ex.source_unigram_tv(spark, d).collect()
+    assert len(solo) == 1 and solo[0]["tv"] == 0.0
