@@ -61,6 +61,11 @@ QUERIES = [
     "dedup_exact",
     "text_quality",
     "sim_cosine_topk",
+    # token-aggregation family: vocab stays constant under replication, so
+    # these stress the explode + first-aggregate stage with linear input
+    # growth (TV output is copy-invariant; novelty output grows linearly)
+    "source_unigram_tv",
+    "ngram_novelty",
 ]
 
 
