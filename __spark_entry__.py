@@ -283,6 +283,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # r3 addition: per-source unigram total-variation drift — the whole
     # sum stays in BIGINT space; one float division per source at the end
     "source_unigram_tv": (extension_queries.source_unigram_tv, extension_queries.SOURCE_TV_SQL),
+    # r3 addition: tokenizer-style vocabulary encoding — dense frequency
+    # ids via range-partitioned rank (no single-partition sort), docs
+    # re-expressed as id arrays
+    "vocab_encode_docs": (
+        extension_queries.vocab_encode_docs,
+        extension_queries.VOCAB_ENCODE_SQL,
+    ),
     # robust MAD outliers: exact grouped percentiles, stats broadcast back
     "mad_outlier_flags": (
         incremental_queries.mad_outlier_flags,

@@ -67,3 +67,54 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def dense_ids_by(df, order_cols, id_name: str = "id", partitions: int | None = None):
+    """Assign dense sequential ids ``1..N`` in the total order given by
+    ``order_cols`` WITHOUT a single-partition global sort — the
+    DataFrame-shaped ``zipWithIndex``.
+
+    How: range-partition on the order key, rank within each partition,
+    then add each partition's start offset. The offsets come from one
+    O(partitions)-row collect (the same bounded-driver-state carry
+    pattern as ``cleaning.ffill``'s two-pass form). The input is
+    localCheckpoint'd first so the offset job and the rank job see the
+    IDENTICAL partitioning (range boundaries come from data sampling;
+    materializing once removes any cross-job resample risk).
+
+    ``order_cols`` must be a total order (include a unique tiebreaker);
+    equal keys split across a range boundary would otherwise make ranks
+    nondeterministic.
+
+    Scale: the sort is fully distributed; driver state is one count per
+    partition. This is how a bounded-but-large dimension (a token
+    vocabulary, a user directory) gets contiguous ids for array/embedding
+    indexing at any size.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n_part, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sizes = sorted(
+        (r["_pid"], r["cnt"])
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offset, offsets = 0, {}
+    for pid, cnt in sizes:
+        offsets[pid] = offset
+        offset += cnt
+    off_expr = F.lit(0)
+    for pid, off in offsets.items():
+        if off:
+            off_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_expr)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        part.withColumn(id_name, (F.row_number().over(w) + off_expr).cast("long"))
+        .drop("_pid")
+    )

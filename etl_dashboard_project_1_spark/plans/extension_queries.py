@@ -2138,3 +2138,59 @@ SELECT source, max(ns)::BIGINT AS n_tokens,
 FROM terms
 GROUP BY source
 """
+
+
+def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style vocabulary encoding: assign every token a dense id
+    by corpus frequency (1 = most frequent; ties break on the token) and
+    re-express each document as its id sequence (first 32 ids + total
+    token count) — the encode step that turns a text corpus into the
+    integer arrays an embedding table consumes.
+
+    Scale shape: the id assignment is ``layout.dense_ids_by`` — a
+    range-partitioned rank with O(partitions) driver state, NOT a
+    single-partition global sort, so the vocabulary can be arbitrarily
+    large. The encode join is token-keyed; per-doc reassembly sorts the
+    (position, id) pairs inside one doc-keyed aggregate."""
+    from ..operators import layout
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.posexplode(dedup.tokens("text")).alias("pos", "_t")
+    ).filter(F.col("_t") != "")
+    freq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    vocab = layout.dense_ids_by(
+        freq, [F.desc("_c"), F.asc("_t")], id_name="token_id"
+    ).select("_t", "token_id")
+    return (
+        tok.join(vocab, "_t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                    lambda s: s.token_id,
+                ),
+                1,
+                32,
+            ).alias("ids"),
+        )
+    )
+
+
+VOCAB_ENCODE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, u.p AS pos, u.t AS t
+  FROM (SELECT doc_id, unnest([{'p': i, 't': w[i]} FOR i IN range(1, len(w) + 1)]) AS u
+        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+              FROM documents))
+  WHERE u.t <> ''
+),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+vocab AS (SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) AS token_id FROM freq)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       (list(token_id ORDER BY pos))[1:32] AS ids
+FROM tok JOIN vocab USING (t)
+GROUP BY doc_id
+"""

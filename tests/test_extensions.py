@@ -760,3 +760,26 @@ def test_source_tv_bounds_and_self_distance(spark):
             load_table(spark, SF, t).limit(0).write.parquet(f"{d}/{t}.parquet")
         solo = ex.source_unigram_tv(spark, d).collect()
     assert len(solo) == 1 and solo[0]["tv"] == 0.0
+
+
+def test_dense_ids_are_a_contiguous_permutation_in_global_order(spark):
+    """dense_ids_by must reproduce the single-partition row_number result
+    (a contiguous 1..N permutation in the total order) while actually
+    spreading the sort across range partitions."""
+    from etl_dashboard_project_1_spark.operators import layout
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 2654435761 % 10007).alias("k"), F.col("id").alias("uid")
+    )
+    out = layout.dense_ids_by(df, [F.desc("k"), F.asc("uid")], id_name="rank", partitions=8)
+    rows = out.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, 998))
+    keys = [(-r["k"], r["uid"]) for r in rows]
+    assert keys == sorted(keys)
+    # the rank window must be keyed on the partition id and nothing may
+    # collapse to a single-partition exchange (the range sort itself hides
+    # behind the localCheckpoint lineage cut; AQE may coalesce the tiny
+    # TEST output, so assert plan properties, not runtime partition count)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_pid" in plan
+    assert "SinglePartition" not in plan
