@@ -384,13 +384,18 @@ def minhash_lsh_pairs(
     ``hashed=True`` (default) runs the whole pipeline on integer gram
     hashes (``hashed_word_shingles``): signatures transform the int
     arrays directly and verification intersects int sets — gram strings
-    are never built. Measured honestly (interleaved A/B at sf0.1):
-    wall-clock NEUTRAL at this SF (~0.75-0.8 s both forms — the local
-    cost is scan+explode+join scheduling, not string building). Kept as
-    default for the scale argument, which is about BYTES, not local CPU:
-    a gram set is 8 B/element instead of a ~25 B string, so the
-    checkpointed/persisted shingle table, the verify-side arrays, and
-    their comparisons shrink ~3× at any corpus size.
+    are never built. Local wall clock, re-measured late r3 (interleaved
+    A/B, 4 runs each in one session, sf0.1): the integer form is ~60%
+    SLOWER end-to-end (2.33-2.45 s vs 1.48-1.74 s) — the per-token md5
+    plus two polynomial zips cost more than string building saves at
+    this scale (an earlier "neutral" reading did not hold up). Kept as
+    default anyway for the scale argument, which is about BYTES, not
+    local CPU: a gram set is 8 B/element instead of a ~25 B string, so
+    the checkpointed/persisted shingle table, the verify-side arrays,
+    and their comparisons shrink ~3× at any corpus size — the tradeoff
+    that matters when shuffle/IO, not CPU, is the bottleneck. Bench-SF
+    call sites that want local speed pass ``hashed=False`` (the
+    registered ``dedup_minhash_lsh`` does).
     ``hashed=False`` keeps the original string-gram sets (exact gram
     identity, zero collision tolerance).
 

@@ -86,9 +86,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint ~3.3s vs recompute ~4.5s vs persist ~5.4s at sf0.1).
     # The operator's own default stays 'recompute' — the scale-safe mode
     # when the shingle table (~k× the corpus) exceeds cluster storage.
+    # hashed=False: interleaved A/B (4 runs each, one session, sf0.1)
+    # measures the string-gram pipeline at 1.48-1.74 s vs 2.33-2.45 s for
+    # the integer-gram form — the per-token md5 + double polynomial zip
+    # costs more locally than it saves. The operator keeps hashed=True as
+    # ITS default for the cluster argument (3× smaller checkpointed/
+    # shuffled shingle bytes); the registered bench query takes the
+    # measured-fastest local form, mirroring the reuse choice above.
     pairs = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=0.2,
-        reuse="checkpoint",
+        reuse="checkpoint", hashed=False,
     )
     return pairs.select("id_a", "id_b", derive.portable_round(F.col("jaccard"), 4).alias("jaccard"))
 
@@ -97,31 +104,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5'd once, gram hash = rolling polynomial (g*B + h) % P with
 # B=1000003, P=4294967311 — identical int64 arithmetic in both engines;
 # signatures, banding, and Jaccard verification all run on the hash sets.
-DEDUP_MINHASH_SQL = r"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
-hv AS (
-  SELECT doc_id,
-         list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hv
-  FROM w
-),
-hsh AS (
-  SELECT doc_id, unnest(list_distinct(
-           CASE WHEN len(hv) >= 3
-                THEN [((hv[i] * 1000003 + hv[i+1]) % 4294967311 * 1000003
-                        + hv[i+2]) % 4294967311
-                      FOR i IN range(1, len(hv) - 1)]
-                ELSE [] END)) AS hs
-  FROM hv
-),
+DEDUP_MINHASH_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
 params AS (
   SELECT i,
          ((('0x' || substr(md5(i::VARCHAR), 1, 8))::BIGINT % 1073741824) | 1) AS a,
          (7919 * i + 13)::BIGINT AS b
   FROM range(8) t(i)
 ),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hs FROM sh
+),
 sig AS (
   SELECT doc_id, i, min((a * hs + b) % 4294967311) AS m
-  FROM hsh, params GROUP BY 1, 2
+  FROM hashed, params GROUP BY 1, 2
 ),
 bands AS (
   SELECT doc_id, i // 2 AS band,
@@ -133,10 +131,10 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ),
-sz AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM hsh a JOIN hsh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 jac AS (
@@ -147,6 +145,7 @@ SELECT j.id_a, j.id_b, floor(j.jaccard * 10000 + 0.5) / 10000 AS jaccard
 FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
 WHERE j.jaccard >= 0.2
 """
+)
 
 
 # --- SimHash ---------------------------------------------------------------
