@@ -599,8 +599,9 @@ _ROUND3_FRONT: list[str] = [
     "quantile_normalize_balances",
     "interpolate_daily_values",
     "dedup_ngram_jaccard",
-    # changed in r3 (hashed gram sets + md5-mixed minhash coefficients) —
-    # must re-earn its driver row in round 4's window
+    # changed in r3 (md5-mixed minhash coefficients; registered form back
+    # on string grams after the A/B re-measurement) — must re-earn its
+    # driver row in round 4's window
     "dedup_minhash_lsh",
 ]
 
