@@ -931,7 +931,14 @@ def sample_sqrt_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan and a final per-language rollup — the corpus shuffles once.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    # |langs|-row count table feeds two consumers (the minimum and the
+    # rate join); materialize it once so the corpus-count aggregate runs
+    # a single scan instead of one per consumer
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
+    )
     nmin = counts.agg(F.min("_n").alias("_nmin"))
     rates = counts.crossJoin(F.broadcast(nmin)).select(
         "lang",
