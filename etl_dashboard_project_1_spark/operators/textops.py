@@ -230,8 +230,15 @@ def bigram_logprob(df, id_col: str, text_col: str):
         .select(F.col(id_col).alias("_id"), F.explode(pairs).alias("_bg"))
         .select("_id", F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2"))
     )
-    c2 = occ.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c2"))
-    c1 = occ.groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    # bigram-vocab-sized counts feed both join sides; materialize once,
+    # and derive the prefix counts from them (c1(w1) = Σ_w2 c2(w1,w2),
+    # exact integer identity) instead of a second corpus-scale aggregate
+    c2 = (
+        occ.groupBy("_w1", "_w2")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
     return (
         occ.join(c2, ["_w1", "_w2"])
         .join(c1, "_w1")
