@@ -1776,7 +1776,13 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(F.explode(dedup.tokens("text")).alias("_tok")).filter(
         F.col("_tok") != ""
     )
-    cnt = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    # the vocab-sized count table feeds two consumers (sketch cells and
+    # the exact top-10); materialize it once so the corpus tokenizes once
+    cnt = (
+        tok.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .localCheckpoint(eager=False)
+    )
     row_ids = F.explode(F.sequence(F.lit(0), F.lit(d_rows - 1))).alias("_r")
 
     def bucket() -> F.Column:
