@@ -274,6 +274,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_queries.stream_stateful_totals,
         streaming_queries.STREAM_STATEFUL_SQL,
     ),
+    # r3 addition: STL-style seasonal/trend decomposition of the daily
+    # series — integer-cents moving average, per-dow seasonal mean
+    "seasonal_trend_decompose": (
+        timeseries_queries.seasonal_trend_decompose,
+        timeseries_queries.SEASONAL_DECOMPOSE_SQL,
+    ),
     # r3 addition: per-doc first-occurrence 3-gram novelty (corpus
     # diversity contribution; one gram-keyed window, no self-join)
     "ngram_novelty": (extension_queries.ngram_novelty, extension_queries.NGRAM_NOVELTY_SQL),

@@ -914,3 +914,84 @@ SELECT user_id,
          AS view_conversion
 FROM per GROUP BY 1
 """
+
+
+def seasonal_trend_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal/trend decomposition of the daily value series
+    (the moving-average core of STL): trend = centered 7-row moving
+    average, seasonal = mean detrended value per day-of-week, residual =
+    the rest. Days without a full 7-row window are dropped (no trend).
+
+    Exactness design: daily totals are integer CENTS; the 7-row sum and
+    the detrended values ``7·cents − sum7`` stay integers; the per-dow
+    seasonal mean is one integer-ratio division — so every emitted float
+    is a single correctly-rounded IEEE op on exact integers, identical
+    in any engine (no float accumulation anywhere).
+
+    Scale shape: one day-keyed aggregate off the scan; every window and
+    join after it runs on the DAY-level table — bounded by the calendar,
+    not the corpus (the same provably-reduced-set argument as the other
+    day-grain windows). The 7-row window is row-based over observed days
+    on BOTH sides (identical semantics even if the calendar has holes)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+        ).alias("_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    full7 = (
+        daily.select(
+            "day",
+            "_cents",
+            F.sum("_cents").over(w).alias("_sum7"),
+            F.count(F.lit(1)).over(w).alias("_n7"),
+        )
+        .filter(F.col("_n7") == 7)
+        .withColumn("_dow", F.dayofweek("day") - 1)
+    )
+    seas = full7.groupBy("_dow").agg(
+        F.sum(F.col("_cents") * 7 - F.col("_sum7")).alias("_sd"),
+        F.count(F.lit(1)).alias("_nd"),
+    )
+    seasonal = F.col("_sd") / (F.col("_nd") * 700.0)
+    return full7.join(F.broadcast(seas), "_dow").select(
+        "day",
+        derive.portable_round(F.col("_cents") / 100.0, 4).alias("value"),
+        derive.portable_round(F.col("_sum7") / 700.0, 4).alias("trend"),
+        derive.portable_round(seasonal, 4).alias("seasonal"),
+        derive.portable_round(
+            (F.col("_cents") * 7 - F.col("_sum7")) / 700.0 - seasonal, 4
+        ).alias("residual"),
+    )
+
+
+SEASONAL_DECOMPOSE_SQL = """
+WITH daily AS (
+  SELECT ts::DATE AS day,
+         sum(CAST(round(coalesce(value, 0.0) * 100) AS BIGINT))::BIGINT AS cents
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT day, cents,
+         sum(cents) OVER w AS sum7,
+         count(*) OVER w AS n7
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+full7 AS (
+  SELECT day, cents, sum7, extract(dow FROM day)::INT AS dow
+  FROM win WHERE n7 = 7
+),
+seas AS (
+  SELECT dow, sum(cents * 7 - sum7)::BIGINT AS sd, count(*)::BIGINT AS nd
+  FROM full7 GROUP BY 1
+)
+SELECT day,
+       floor(cents / 100.0 * 10000 + 0.5) / 10000 AS value,
+       floor(sum7 / 700.0 * 10000 + 0.5) / 10000 AS trend,
+       floor(sd / (nd * 700.0) * 10000 + 0.5) / 10000 AS seasonal,
+       floor(((cents * 7 - sum7) / 700.0 - sd / (nd * 700.0)) * 10000 + 0.5) / 10000
+         AS residual
+FROM full7 JOIN seas USING (dow)
+"""
