@@ -274,6 +274,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_queries.stream_stateful_totals,
         streaming_queries.STREAM_STATEFUL_SQL,
     ),
+    # r3 addition: decay-weighted user recency feature — α=1/2 EWMA over
+    # the last 16 events; power-of-two weights keep the sum in BIGINT
+    "ewma_user_value": (
+        timeseries_queries.ewma_user_value,
+        timeseries_queries.EWMA_SQL,
+    ),
     # r3 addition: STL-style seasonal/trend decomposition of the daily
     # series — integer-cents moving average, per-dow seasonal mean
     "seasonal_trend_decompose": (

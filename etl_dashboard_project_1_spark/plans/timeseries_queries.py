@@ -995,3 +995,64 @@ SELECT day,
          AS residual
 FROM full7 JOIN seas USING (dow)
 """
+
+
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decay-weighted user feature: exponentially-weighted moving average
+    (α=1/2) of each user's last 16 event values — the classic recency
+    feature an online model consumes (recent behavior dominates, old
+    behavior decays geometrically).
+
+    Exactness design: α=1/2 makes every weight a power of two, so the
+    weighted sum is ``Σ cents·2^(16−rank)`` — pure BIGINT shifts — and
+    the normalizer ``2^16 − 2^(16−n)`` is exact for any history length
+    n ≤ 16. The ONE float op is the final division. No float powers, no
+    float accumulation, bit-identical in any engine.
+
+    Scale shape: one user-keyed shuffle feeds both the recency window
+    and the final aggregate (same key, exchange reused)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+            .cast("long")
+            .alias("_cents"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 16)
+    )
+    agg = recent.groupBy("user_id").agg(
+        F.sum(F.col("_cents") * F.expr("shiftleft(1L, 16 - _rn)")).alias("_sw"),
+        F.count(F.lit(1)).cast("long").alias("n_events_used"),
+    )
+    denom = F.expr("shiftleft(1L, 16) - shiftleft(1L, 16 - cast(n_events_used AS INT))")
+    return agg.select(
+        "user_id",
+        "n_events_used",
+        derive.portable_round(F.col("_sw") / (denom * 100.0), 4).alias("ewma_value"),
+    )
+
+
+EWMA_SQL = """
+WITH recent AS (
+  SELECT user_id,
+         CAST(round(coalesce(value, 0.0) * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         sum(cents * (1::BIGINT << (16 - rn)))::BIGINT AS sw,
+         count(*)::BIGINT AS n_events_used
+  FROM recent WHERE rn <= 16
+  GROUP BY 1
+)
+SELECT user_id, n_events_used,
+       floor(sw / (((1::BIGINT << 16) - (1::BIGINT << (16 - n_events_used::INT))) * 100.0)
+             * 10000 + 0.5) / 10000 AS ewma_value
+FROM agg
+"""
