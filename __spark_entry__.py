@@ -274,6 +274,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_queries.stream_stateful_totals,
         streaming_queries.STREAM_STATEFUL_SQL,
     ),
+    # r3 addition: multi-field probabilistic record linkage — blocking
+    # equi-join candidates, weighted name+phone evidence, per-probe argmax
+    "j1_multifield_linkage": (
+        fuzzy_queries.j1_multifield_linkage,
+        fuzzy_queries.MULTIFIELD_LINKAGE_SQL,
+    ),
     # r3 addition: decay-weighted user recency feature — α=1/2 EWMA over
     # the last 16 events; power-of-two weights keep the sum in BIGINT
     "ewma_user_value": (

@@ -192,3 +192,93 @@ SELECT doc_id,
        trim(strip_accents(lower('  Ártículo ÑOÑO É ' || lang || '  '))) AS norm_text
 FROM documents
 """
+
+
+def j1_multifield_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field probabilistic record linkage (Fellegi-Sunter shape):
+    candidate pairs come from a BLOCKING equi-join (nation key — the
+    blocking key is config; production uses finer keys the same way),
+    then each candidate scores on several fields at once — name
+    levenshtein-ratio (weight 4), account-balance agreement (weight 2),
+    market-segment agreement (weight 1) — and the per-probe argmax must
+    clear an acceptance threshold. This extends J1's single-field argmax
+    join to the multi-evidence form real entity resolution uses.
+
+    The probe side is synthesized deterministically from the customer
+    dimension (5% hash sample, name suffixed ' LLC', other fields kept), so
+    every probe has exactly one right answer and the linkage's accuracy
+    is itself checkable. Scale shape: candidates = Σ_block |probes_b| ×
+    |catalog_b| — bounded by the blocking key's selectivity, never
+    |probes| × |catalog|; scoring is JVM expressions; one probe-keyed
+    window takes the argmax."""
+    from ..operators.sampling import hash_bucket
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    probes = cust.filter(hash_bucket(F.col("c_custkey"), "linkage") < 500).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(F.col("c_name"), F.lit(" LLC")).alias("q_name"),
+        F.col("c_acctbal").alias("q_bal"),
+        F.col("c_mktsegment").alias("q_seg"),
+        F.col("c_nationkey").alias("q_nation"),
+    )
+    norm = lambda c: F.upper(F.regexp_replace(c, r"[\t.\-\s]", ""))  # noqa: E731
+    cand = probes.join(cust, probes.q_nation == cust.c_nationkey)
+    a, b = norm(F.col("q_name")), norm(F.col("c_name"))
+    ml = F.greatest(F.length(a), F.length(b))
+    name_ratio = F.when(ml == 0, 1.0).otherwise(
+        1.0 - F.levenshtein(a, b) / ml.cast("double")
+    )
+    bal_pts = F.when(F.col("q_bal") == F.col("c_acctbal"), 2.0).otherwise(0.0)
+    seg_pts = F.when(F.col("q_seg") == F.col("c_mktsegment"), 1.0).otherwise(0.0)
+    scored = cand.select(
+        "probe_id",
+        "c_custkey",
+        (4.0 * name_ratio + bal_pts + seg_pts).alias("_score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("_score"), F.asc("c_custkey"))
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return best.select(
+        "probe_id",
+        F.when(F.col("_score") >= 4.0, F.col("c_custkey")).alias("matched_custkey"),
+        derive.portable_round(F.col("_score"), 3).alias("link_score"),
+        (F.col("c_custkey") == F.col("probe_id")).alias("self_match"),
+    )
+
+
+MULTIFIELD_LINKAGE_SQL = r"""
+WITH probes AS (
+  SELECT c_custkey AS probe_id,
+         c_name || ' LLC' AS q_name,
+         c_acctbal AS q_bal,
+         c_mktsegment AS q_seg,
+         c_nationkey AS q_nation
+  FROM customer
+  WHERE ('0x' || substr(md5(c_custkey::VARCHAR || 'linkage'), 1, 8))::BIGINT % 10000 < 500
+),
+cand AS (
+  SELECT p.probe_id, c.c_custkey,
+         upper(regexp_replace(p.q_name, '[\t.\-\s]', '', 'g')) AS na,
+         upper(regexp_replace(c.c_name, '[\t.\-\s]', '', 'g')) AS nb,
+         CASE WHEN p.q_bal = c.c_acctbal THEN 2.0 ELSE 0.0 END
+         + CASE WHEN p.q_seg = c.c_mktsegment THEN 1.0 ELSE 0.0 END AS field_pts
+  FROM probes p JOIN customer c ON p.q_nation = c.c_nationkey
+),
+scored AS (
+  SELECT probe_id, c_custkey,
+         4.0 * (CASE WHEN greatest(length(na), length(nb)) = 0 THEN 1.0
+                     ELSE 1.0 - levenshtein(na, nb)
+                           / CAST(greatest(length(na), length(nb)) AS DOUBLE)
+                END) + field_pts AS score
+  FROM cand
+),
+best AS (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, c_custkey ASC) = 1
+)
+SELECT probe_id,
+       CASE WHEN score >= 4.0 THEN c_custkey END AS matched_custkey,
+       floor(score * 1000 + 0.5) / 1000 AS link_score,
+       c_custkey = probe_id AS self_match
+FROM best
+"""
