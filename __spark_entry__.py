@@ -274,6 +274,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_queries.stream_stateful_totals,
         streaming_queries.STREAM_STATEFUL_SQL,
     ),
+    # r3 addition: A/B experiment readout — deterministic 50/50 hash
+    # split, two-proportion pooled z-statistic from exact integer counts
+    "ab_test_zscore": (
+        timeseries_queries.ab_test_zscore,
+        timeseries_queries.AB_TEST_SQL,
+    ),
     # r3 addition: multi-field probabilistic record linkage — blocking
     # equi-join candidates, weighted name+phone evidence, per-probe argmax
     "j1_multifield_linkage": (

@@ -1056,3 +1056,85 @@ SELECT user_id, n_events_used,
              * 10000 + 0.5) / 10000 AS ewma_value
 FROM agg
 """
+
+
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: deterministic 50/50 user split (hash
+    wheel), conversion = the user made at least one purchase above 150
+    (≈45% convert on this data, so the statistic is genuinely
+    non-degenerate), and the two-proportion pooled z-statistic for the
+    arm difference — the readout every A/B platform computes.
+
+    Exactness: all inputs are integer counts; rates, the pooled
+    variance, and the z-score compose from correctly-rounded IEEE
+    divisions and one sqrt, written with the identical expression shape
+    on both sides — no accumulation, no transcendental beyond sqrt
+    (correctly rounded in every engine).
+
+    Scale shape: one user-keyed aggregate off the scan, then a single
+    global roll-up of per-user 0/1 flags (two-phase, map-side partials);
+    the output is ONE row regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("_conv")
+    )
+    from ..operators.sampling import hash_bucket
+
+    arms = users.withColumn("_arm", hash_bucket(F.col("user_id"), "ab") % 2)
+    stats = arms.agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 0, F.col("_conv")).otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("_arm") == 1, F.col("_conv")).otherwise(0)).cast("long").alias("conv_b"),
+    )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    var = pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    # guards: an empty arm or a degenerate pooled rate (0 or 1) has no
+    # defined z — emit NULL, identically on both sides (ANSI division)
+    rate_diff = F.when(both, p_a - p_b)
+    z = F.when(both & (F.when(both, var) > 0), (p_a - p_b) / F.sqrt(var))
+    return stats.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        derive.portable_round(rate_diff, 6).alias("rate_diff"),
+        derive.portable_round(z, 4).alias("zscore"),
+    )
+
+
+AB_TEST_SQL = """
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
+         ('0x' || substr(md5(user_id::VARCHAR || 'ab'), 1, 8))::BIGINT % 10000 % 2 AS arm
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS conv_a,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS conv_b
+  FROM users
+),
+g AS (
+  SELECT *,
+         CASE WHEN n_a > 0 AND n_b > 0
+              THEN ((conv_a + conv_b) / (n_a + n_b))
+                   * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+                   * (1.0 / n_a + 1.0 / n_b) END AS var
+  FROM s
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN floor((conv_a / n_a - conv_b / n_b) * 1000000 + 0.5) / 1000000
+       END AS rate_diff,
+       CASE WHEN var > 0
+            THEN floor((conv_a / n_a - conv_b / n_b) / sqrt(var) * 10000 + 0.5) / 10000
+       END AS zscore
+FROM g
+"""
