@@ -274,6 +274,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_queries.stream_stateful_totals,
         streaming_queries.STREAM_STATEFUL_SQL,
     ),
+    # r3 addition: market-basket association mining — co-partitioned
+    # basket self-join, exact-quotient lift ranking, support floor
+    "basket_part_pairs_lift": (
+        mart_queries.basket_part_pairs_lift,
+        mart_queries.BASKET_LIFT_SQL,
+    ),
     # r3 addition: A/B experiment readout — deterministic 50/50 hash
     # split, two-proportion pooled z-statistic from exact integer counts
     "ab_test_zscore": (

@@ -562,3 +562,83 @@ GROUP BY 1
 ORDER BY numwait DESC, s_suppkey ASC
 LIMIT 20
 """
+
+
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order line items: the top-20
+    part-BRAND pairs bought together, ranked by association-rule lift
+    ``P(b | a) / P(b)`` with a min-support floor of 5 co-occurring
+    orders — the retail "bought-together" analysis, and the basket-join
+    counterpart of the token-adjacency collocation miner. (Brand level,
+    not part level: raw part co-occurrence thins to nothing as the part
+    space grows with SF — brands stay dense at every scale, the same
+    reason real basket mining runs on category hierarchies.)
+
+    Scale shape: baskets (distinct order→brand, via the part dim join)
+    are materialized once and feed three consumers (pair self-join,
+    per-brand order counts, total order count — the latter two DERIVE
+    from the basket table, no re-scan). The pair join keys on the
+    order — co-partitioned self-join whose per-order fan-out is bounded
+    by basket size (≤ lines/order, ~7 here), never |brands|². The sort
+    key is a fixed-shape composition of exact-integer divisions
+    (bit-identical cross-engine); top-20 via TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("_pk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_orders = baskets.agg(F.countDistinct("_ok").cast("double").alias("_n"))
+    c1 = baskets.groupBy("_pk").agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a._ok") == F.col("b._ok")) & (F.col("a._pk") < F.col("b._pk")))
+        .groupBy(F.col("a._pk").alias("brand_a"), F.col("b._pk").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("_c2"))
+        .filter(F.col("_c2") >= 5)
+    )
+    scored = (
+        pairs.join(c1.withColumnRenamed("_pk", "brand_a").withColumnRenamed("_c", "_c1a"), "brand_a")
+        .join(c1.withColumnRenamed("_pk", "brand_b").withColumnRenamed("_c", "_c1b"), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .withColumn("_lift", (F.col("_c2") / F.col("_c1a")) * (F.col("_n") / F.col("_c1b")))
+    )
+    return (
+        scored.orderBy(F.desc("_lift"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(20)
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("_c2").cast("long").alias("n_orders_together"),
+            derive.portable_round(F.col("_lift"), 6).alias("lift"),
+        )
+    )
+
+
+BASKET_LIFT_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS pk
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT count(DISTINCT ok)::DOUBLE AS n_orders FROM baskets),
+c1 AS (SELECT pk, count(*)::DOUBLE AS c FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.pk AS brand_a, b.pk AS brand_b, count(*) AS c2
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+),
+scored AS (
+  SELECT brand_a, brand_b, c2, (c2 / ca.c) * (n_orders / cb.c) AS lift_raw
+  FROM pairs JOIN c1 ca ON pairs.brand_a = ca.pk
+             JOIN c1 cb ON pairs.brand_b = cb.pk, n
+)
+SELECT brand_a, brand_b, c2::BIGINT AS n_orders_together,
+       floor(lift_raw * 1000000 + 0.5) / 1000000 AS lift
+FROM scored
+ORDER BY lift_raw DESC, brand_a ASC, brand_b ASC
+LIMIT 20
+"""

@@ -172,6 +172,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "ann_recall_eval",                 # broadcast 4-query batch, non-equi hamming probe
         "colloc_lift_topk",                # scalar corpus-total (1-row broadcast)
         "source_unigram_tv",               # scalar corpus-total (1-row broadcast)
+        "basket_part_pairs_lift",          # scalar order-total (1-row broadcast)
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
