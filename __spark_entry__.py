@@ -566,8 +566,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # (all plain aggregate/window shapes with green local oracle parity) sit
 # immediately after slot 50 and head round 4's window, followed by
 # dedup_ngram_jaccard, whose prefix-bound epsilon fix this round should
-# re-earn a driver row. Everything else keeps local oracle-parity coverage
-# every run (tests/test_oracle_parity.py + tools/driver_emulation.py).
+# re-earn a driver row, and then every query ADDED during round 3 (placed
+# after position 50 by design so they never displace the planned check
+# set — ~28 entries queue for round 4's window in total). Everything else
+# keeps local oracle-parity coverage every run
+# (tests/test_oracle_parity.py + tools/driver_emulation.py).
 _ROUND3_FRONT: list[str] = [
     # 49 never-driver-checked entries, in prior registry order
     "ohlc_hourly_bars",
