@@ -478,3 +478,52 @@ def foreach_batch_lsh_ingest(
     q = stream_df.writeStream.outputMode("append").foreachBatch(do_ingest).start()
     q.processAllAvailable()
     return q
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on Spark 4's ``transformWithStateInPandas``
+    — the NEW arbitrary-state API (typed ValueState/ListState handles,
+    timers, TTL) that supersedes ``applyInPandasWithState``. Identical
+    semantics to ``stateful_user_totals``; kept as the forward-looking
+    variant.
+
+    Environment note: the TWS Python worker speaks a protobuf protocol to
+    the JVM state server, so this path needs ``google.protobuf`` at
+    runtime (and the RocksDB state-store provider, set by the caller).
+    In containers without protobuf the query fails at stream start with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — the test suite
+    probes for the dependency and skips; ``stateful_user_totals`` is the
+    dependency-free fallback with the same behavior."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            schema = StructType(
+                [StructField("n", LongType()), StructField("total", DoubleType())]
+            )
+            self._state = handle.getValueState("totals", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, float(total)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
