@@ -274,6 +274,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_queries.stream_stateful_totals,
         streaming_queries.STREAM_STATEFUL_SQL,
     ),
+    # r3 addition: degree-ordered exact triangle counting — the third
+    # graph kernel (wedge join bounded by orientation, never hub fan-out)
+    "graph_triangle_count": (
+        graph_queries.graph_triangle_count,
+        graph_queries.TRIANGLE_SQL,
+    ),
     # r3 addition: market-basket association mining — co-partitioned
     # basket self-join, exact-quotient lift ranking, support floor
     "basket_part_pairs_lift": (
