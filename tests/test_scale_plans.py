@@ -173,6 +173,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "colloc_lift_topk",                # scalar corpus-total (1-row broadcast)
         "source_unigram_tv",               # scalar corpus-total (1-row broadcast)
         "basket_part_pairs_lift",          # scalar order-total (1-row broadcast)
+        "graph_triangle_count",            # 1-row node/edge-count broadcasts
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
