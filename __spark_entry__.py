@@ -274,6 +274,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_queries.stream_stateful_totals,
         streaming_queries.STREAM_STATEFUL_SQL,
     ),
+    # r3 addition: sketch mergeability gate — per-day KMV states union
+    # into weekly estimates; losslessness asserted vs the direct sketch
+    "kmv_weekly_merge_gate": (
+        curation_queries.kmv_weekly_merge_gate,
+        curation_queries.KMV_WEEKLY_MERGE_SQL,
+    ),
     # r3 addition: degree-ordered exact triangle counting — the third
     # graph kernel (wedge join bounded by orientation, never hub fan-out)
     "graph_triangle_count": (

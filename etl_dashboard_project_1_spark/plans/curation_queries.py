@@ -417,3 +417,117 @@ SELECT event_type, count(*) AS n,
        TRUE AS gk_q1_ok, TRUE AS gk_median_ok, TRUE AS gk_q3_ok
 FROM events GROUP BY 1
 """
+
+
+def kmv_weekly_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY demonstrated and gated: per-day KMV states
+    (the 128 smallest distinct-user hashes — what an incremental
+    pipeline persists per partition) union-merge into weekly estimates.
+    KMV merge is provably lossless — any hash among a week's k smallest
+    ranks ≤ k within its own day too, so the union of day states
+    contains the week's true k-min set — and the query asserts exactly
+    that: ``merge_lossless`` compares the merged estimate against the
+    direct whole-week sketch (must be identical), and ``in_bound``
+    gates the estimate against the exact distinct count at 20%
+    relative error (~2.2σ for k=128; measured ≤6% on this data).
+
+    This is WHY sketches matter at 100 TB: day-level states are a few
+    hundred bytes each, merge with a union, and never rescan history.
+    Scale shape: one distinct shuffle, day- and week-keyed windows on
+    the distinct table, all joins on the ~|weeks| result."""
+    from ..operators import derive
+    from ..operators.dedup import md5_int
+
+    k = 128
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .withColumn(
+            "_h",
+            (md5_int(F.col("user_id").cast("string")) + F.lit(0.5))
+            / F.lit(float(2**32)),
+        )
+        .localCheckpoint(eager=False)  # feeds day states + direct sketch + exact
+    )
+    wd = Window.partitionBy("week", "day").orderBy(F.asc("_h"))
+    day_state = d.withColumn("_rn", F.row_number().over(wd)).filter(F.col("_rn") <= k)
+    merged = day_state.select("week", "_h").distinct()
+    wk = Window.partitionBy("week").orderBy(F.asc("_h"))
+
+    def kmv_estimate(hashes):
+        ranked = hashes.withColumn("_rn", F.row_number().over(wk)).filter(F.col("_rn") <= k)
+        return ranked.groupBy("week").agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_hk"),
+        ).select(
+            "week",
+            F.when(F.col("_c") < k, F.col("_c").cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.col("_hk"))
+            .alias("est"),
+        )
+
+    est_merged = kmv_estimate(merged).withColumnRenamed("est", "est_merged")
+    est_direct = kmv_estimate(d.select("week", "_h").distinct()).withColumnRenamed(
+        "est", "est_direct"
+    )
+    exact = d.groupBy("week").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    out = est_merged.join(est_direct, "week").join(exact, "week")
+    return out.select(
+        "week",
+        derive.portable_round(F.col("est_merged"), 4).alias("est_merged"),
+        derive.portable_round(F.col("est_direct"), 4).alias("est_direct"),
+        "exact_distinct",
+        (F.col("est_merged") == F.col("est_direct")).alias("merge_lossless"),
+        (
+            F.abs(F.col("est_merged") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.2
+        ).alias("in_bound"),
+    )
+
+
+KMV_WEEKLY_MERGE_SQL = """
+WITH d AS (
+  SELECT DISTINCT date_trunc('week', ts::DATE) AS week, ts::DATE AS day, user_id
+  FROM events
+),
+h AS (
+  SELECT week, day, user_id,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT + 0.5) / 4294967296.0 AS _h
+  FROM d
+),
+daystate AS (
+  SELECT week, _h,
+         row_number() OVER (PARTITION BY week, day ORDER BY _h) AS rn
+  FROM h
+),
+merged AS (SELECT DISTINCT week, _h FROM daystate WHERE rn <= 128),
+mr AS (SELECT week, _h, row_number() OVER (PARTITION BY week ORDER BY _h) AS rn FROM merged),
+est_m AS (
+  SELECT week,
+         CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+              ELSE 127.0 / max(CASE WHEN rn = 128 THEN _h END) END AS est_merged
+  FROM (SELECT * FROM mr WHERE rn <= 128) GROUP BY 1
+),
+dw AS (SELECT DISTINCT week, _h FROM h),
+dr AS (SELECT week, _h, row_number() OVER (PARTITION BY week ORDER BY _h) AS rn FROM dw),
+est_d AS (
+  SELECT week,
+         CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+              ELSE 127.0 / max(CASE WHEN rn = 128 THEN _h END) END AS est_direct
+  FROM (SELECT * FROM dr WHERE rn <= 128) GROUP BY 1
+),
+exact AS (SELECT week, count(DISTINCT user_id)::BIGINT AS exact_distinct FROM d GROUP BY 1)
+SELECT week,
+       floor(est_merged * 10000 + 0.5) / 10000 AS est_merged,
+       floor(est_direct * 10000 + 0.5) / 10000 AS est_direct,
+       exact_distinct,
+       est_merged = est_direct AS merge_lossless,
+       abs(est_merged - exact_distinct) / exact_distinct <= 0.2 AS in_bound
+FROM est_m JOIN est_d USING (week) JOIN exact USING (week)
+"""
