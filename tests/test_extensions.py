@@ -783,3 +783,19 @@ def test_dense_ids_are_a_contiguous_permutation_in_global_order(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_pid" in plan
     assert "SinglePartition" not in plan
+
+
+def test_triangle_count_on_known_graphs(spark):
+    """K4 has exactly 4 triangles; a path has none; duplicate and
+    reversed edges must not change the count."""
+    from etl_dashboard_project_1_spark.operators import graph
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # duplicates + reversed direction + a self-loop, all to be canonicalized
+    edges = k4 + [(b, a) for a, b in k4] + [(0, 1), (2, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    row = graph.triangle_count(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+    path = spark.createDataFrame([(i, i + 1) for i in range(5)], ["src", "dst"])
+    row = graph.triangle_count(path).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (6, 5, 0)
