@@ -43,7 +43,10 @@ WITH starts AS (
 )
 SELECT strftime(to_timestamp(win_start), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
-       floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value,
+       CASE WHEN count(value) > 0
+            THEN floor((sum(CAST(round(value * 100) AS BIGINT)) * 100.0)
+                       / count(value) + 0.5) / 10000
+       END AS avg_value,
        count(*) AS n_events
 FROM starts
 GROUP BY 1, 2

@@ -87,16 +87,27 @@ def sliding_avg(
     """Sliding-window average value per event type."""
     if events.isStreaming:
         events = events.withWatermark("ts", watermark)
+    # EXACT-integer average: avg(value)·10⁴ = Σcents·100 / n, with the
+    # cent sum and non-null count both exact BIGINTs and ONE float
+    # division at the end. The previous floor-form `avg(value)` still
+    # summed doubles, whose engine-specific accumulation order decides
+    # the floor whenever a window's true average lands exactly on a
+    # 1e-4 half boundary (caught by the sf0.1 sweep: 100.94625 flipped
+    # .9462 vs .9463 between engines).
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         events.groupBy(F.window("ts", width, slide), "event_type")
-        # floor-form half-up rounding, NOT F.round: Spark rounds HALF_UP
-        # where DuckDB rounds half-even, and a window average of 2-decimal
-        # values lands exactly on a 1e-4 half boundary often enough to flip
-        # a digit between engines (seen at sf0.1). The floor form is the
-        # same IEEE arithmetic everywhere.
         .agg(
-            (F.floor(F.avg("value") * 10000 + 0.5) / 10000).alias("avg_value"),
+            F.sum(cents).alias("_sc"),
+            F.count("value").alias("_nv"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "avg_value",
+            F.when(
+                F.col("_nv") > 0,
+                F.floor((F.col("_sc") * 100.0) / F.col("_nv") + 0.5) / 10000,
+            ),
         )
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
