@@ -314,15 +314,35 @@ def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
     dormant = cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
-    return dormant.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        derive.portable_round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+    # exact-integer average (Σcents / n, one float division) — same
+    # boundary-proofing as stream_sliding_avg: a float-summed avg of
+    # 2-decimal balances can land exactly on a half-cent boundary where
+    # engine accumulation order decides the rounding
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents).alias("_sc"),
+            F.count("c_acctbal").alias("_nv"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.when(
+                F.col("_nv") > 0,
+                F.floor(F.col("_sc") / F.col("_nv") + 0.5) / 100,
+            ).alias("avg_acctbal"),
+        )
     )
 
 
 ANTI_JOIN_SQL = """
 SELECT c_mktsegment, count(*) AS n_customers,
-       floor(avg(c_acctbal) * 100 + 0.5) / 100 AS avg_acctbal
+       CASE WHEN count(c_acctbal) > 0
+            THEN floor(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                       / count(c_acctbal) + 0.5) / 100
+       END AS avg_acctbal
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
