@@ -274,6 +274,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_queries.stream_stateful_totals,
         streaming_queries.STREAM_STATEFUL_SQL,
     ),
+    # r3 addition: hierarchical contribution shares (nation-within-region,
+    # region-within-total) — exact cent ratios over the tiny rollup
+    "revenue_share_of_parent": (
+        dashboard_queries.revenue_share_of_parent,
+        dashboard_queries.REVENUE_SHARE_SQL,
+    ),
     # r3 addition: sketch mergeability gate — per-day KMV states union
     # into weekly estimates; losslessness asserted vs the direct sketch
     "kmv_weekly_merge_gate": (

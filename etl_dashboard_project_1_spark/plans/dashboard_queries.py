@@ -694,3 +694,65 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
 """
+
+
+def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical contribution analysis: each nation's revenue as a
+    share of its region and each region's share of the grand total — the
+    drill-down ratio every dashboard shows next to a rollup.
+
+    Exactness: revenue aggregates as exact integer cents; both shares
+    are single divisions of those integers (engine-identical), computed
+    by windows over the |nations|-sized aggregate — the corpus shuffles
+    once for the base groupBy, everything after runs on the tiny result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ord_ = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    base = (
+        li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .join(cust, ord_.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(cents).alias("_rc"))
+    )
+    w_reg = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return base.select(
+        "r_name",
+        "n_name",
+        derive.portable_round(F.col("_rc") / 100.0, 2).alias("revenue"),
+        derive.portable_round(
+            F.col("_rc") / F.sum("_rc").over(w_reg), 6
+        ).alias("share_of_region"),
+        derive.portable_round(
+            F.sum("_rc").over(w_reg) / F.sum("_rc").over(w_all), 6
+        ).alias("region_share_of_total"),
+    )
+
+
+REVENUE_SHARE_SQL = """
+WITH base AS (
+  SELECT r_name, n_name,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS rc
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name,
+       floor(rc / 100.0 * 100 + 0.5) / 100 AS revenue,
+       floor(rc / sum(rc) OVER (PARTITION BY r_name) * 1000000 + 0.5) / 1000000
+         AS share_of_region,
+       floor(sum(rc) OVER (PARTITION BY r_name)
+             / sum(rc) OVER () * 1000000 + 0.5) / 1000000
+         AS region_share_of_total
+FROM base
+"""
