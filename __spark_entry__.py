@@ -343,6 +343,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         incremental_queries.mad_outlier_flags,
         incremental_queries.MAD_OUTLIER_SQL,
     ),
+    # r3 addition: histogram-based p01/p99 winsorization — thresholds and
+    # clip both run over the (type, cents) value histogram, one corpus scan
+    "winsorize_event_values": (
+        incremental_queries.winsorize_event_values,
+        incremental_queries.WINSORIZE_SQL,
+    ),
     # rolling distinct actives: day-level set union (frames can't DISTINCT)
     "rolling_7d_distinct_users": (
         timeseries_queries.rolling_7d_distinct_users,

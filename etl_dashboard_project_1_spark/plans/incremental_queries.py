@@ -237,3 +237,90 @@ SELECT event_id, d.event_type, floor(value * 100 + 0.5) / 100 AS value,
 FROM d JOIN a USING (event_type)
 WHERE mad > 0 AND 0.6745 * abs(value - med) / mad > 3.5
 """
+
+
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (clip at p01/p99 per event_type) — the
+    standard robustification before feeding a value column to a model.
+
+    Scale shape: thresholds come from a VALUE HISTOGRAM, not a per-group
+    sort — events shuffle ONCE to (event_type, cents) counts (bounded by
+    the value space, ~6.6k distinct cents here, never by row count); the
+    cumulative window and the final clip/aggregate both run over that
+    compressed histogram, so no second corpus scan and no single-reducer
+    per-type sort at 100 TB. Thresholds are percentile_disc semantics
+    (smallest value with cume count ≥ ceil(p·n)) in exact integer
+    arithmetic; every output is integer cents — bit-stable cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hist = ev.groupBy("event_type", cents.alias("cents")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("cents")
+    c = hist.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    th = c.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= F.expr("(n + 99) DIV 100"), F.col("cents"))).alias(
+            "lo_cents"
+        ),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(99 * n + 99) DIV 100"), F.col("cents"))
+        ).alias("hi_cents"),
+    )
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
+    return (
+        hist.join(F.broadcast(th), "event_type")
+        .groupBy("event_type", "lo_cents", "hi_cents")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.sum(F.when(F.col("cents") < F.col("lo_cents"), F.col("cnt")).otherwise(0)).alias(
+                "n_clipped_lo"
+            ),
+            F.sum(F.when(F.col("cents") > F.col("hi_cents"), F.col("cnt")).otherwise(0)).alias(
+                "n_clipped_hi"
+            ),
+            F.sum(F.col("cnt") * clipped).alias("sum_winsorized_cents"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "lo_cents",
+            "hi_cents",
+            "n_clipped_lo",
+            "n_clipped_hi",
+            "sum_winsorized_cents",
+        )
+    )
+
+
+WINSORIZE_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, cents, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+th AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= (n + 99) // 100 THEN cents END) AS lo_cents,
+         min(CASE WHEN cum >= (99 * n + 99) // 100 THEN cents END) AS hi_cents
+  FROM c GROUP BY 1
+)
+SELECT h.event_type, CAST(sum(cnt) AS BIGINT) AS n_events, lo_cents, hi_cents,
+       CAST(sum(CASE WHEN cents < lo_cents THEN cnt ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN cents > hi_cents THEN cnt ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       CAST(sum(cnt * least(greatest(cents, lo_cents), hi_cents)) AS BIGINT)
+         AS sum_winsorized_cents
+FROM h JOIN th USING (event_type)
+GROUP BY 1, 3, 4
+"""
