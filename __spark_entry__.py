@@ -426,6 +426,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         profile_queries.layout_zorder_locality,
         profile_queries.ZORDER_SQL,
     ),
+    # r3 addition: ordered bin-packing compaction planner — the window
+    # and packing run over the O(shards) manifest, never over data
+    "layout_compaction_bins": (
+        profile_queries.layout_compaction_bins,
+        profile_queries.COMPACTION_BINS_SQL,
+    ),
     "bloom_filtered_events_join": (
         timeseries_queries.bloom_filtered_events_join,
         timeseries_queries.BLOOM_JOIN_SQL,

@@ -15,7 +15,7 @@ one scan per column).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import derive
@@ -357,6 +357,78 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
 FROM zb
 GROUP BY bucket
 ORDER BY bucket
+"""
+
+
+COMPACT_BINS = 8
+
+
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: pack the 32 manifest shards into
+    COMPACT_BINS roughly-equal-char output files, preserving shard order
+    (ordered packing keeps each output file a contiguous shard range, so
+    downstream range predicates still prune). Bin assignment is the
+    classic ordered cumulative-sum quantizer:
+    ``bin = (chars_before * BINS) DIV total_chars``.
+
+    Scale shape: the corpus scan reduces to the md5-bucketed manifest
+    (one shuffle, O(shards) rows); the cumulative window and the packing
+    run over file METADATA, never data — exactly how a lakehouse
+    compaction service plans rewrites (cf. Delta/Iceberg bin-packing
+    OPTIMIZE). Exact integer arithmetic end to end."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    man = (
+        docs.withColumn(
+            "shard_id", hash_bucket(F.col("doc_id"), "shard", SHARD_BUCKETS).cast("long")
+        )
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+    )
+    # manifest-sized window (O(shards) rows = file metadata, not data)
+    before = Window.orderBy("shard_id").rowsBetween(Window.unboundedPreceding, -1)
+    c = man.select(
+        "shard_id",
+        "n_docs",
+        "chars",
+        F.coalesce(F.sum("chars").over(before), F.lit(0)).alias("cum_before"),
+        F.sum("chars").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total"),
+    )
+    return (
+        c.groupBy(
+            F.expr(f"(cum_before * {COMPACT_BINS}) DIV total").alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("chars").alias("sum_chars"),
+            F.min("shard_id").alias("min_shard"),
+            F.max("shard_id").alias("max_shard"),
+        )
+    )
+
+
+COMPACTION_BINS_SQL = f"""
+WITH man AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR || 'shard'), 1, 8))::BIGINT % {SHARD_BUCKETS}
+           AS shard_id,
+         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1
+),
+c AS (
+  SELECT shard_id, n_docs, chars,
+         coalesce(sum(chars) OVER (ORDER BY shard_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         sum(chars) OVER () AS total
+  FROM man
+)
+SELECT CAST((cum_before * {COMPACT_BINS}) // total AS BIGINT) AS bin_id,
+       count(*) AS n_shards, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS sum_chars,
+       min(shard_id) AS min_shard, max(shard_id) AS max_shard
+FROM c GROUP BY 1
 """
 
 
