@@ -338,6 +338,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.vocab_encode_docs,
         extension_queries.VOCAB_ENCODE_SQL,
     ),
+    # r3 addition: BPE merge-candidate ranking — the distributed core of
+    # tokenizer training; everything after the corpus reduce is vocab-sized
+    "bpe_merge_candidates": (
+        extension_queries.bpe_merge_candidates,
+        extension_queries.BPE_MERGE_SQL,
+    ),
     # robust MAD outliers: exact grouped percentiles, stats broadcast back
     "mad_outlier_flags": (
         incremental_queries.mad_outlier_flags,

@@ -2206,3 +2206,102 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM tok JOIN vocab USING (t)
 GROUP BY doc_id
 """
+
+
+BPE_TOPK = 10
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seeding step of BPE tokenizer training (Sennrich et al. 2016):
+    count adjacent character pairs over the word vocabulary (weighted by
+    word frequency) and rank the top merge candidates. For each candidate
+    the report carries the adjacency count (overlapping, the BPE
+    objective), the distinct words containing it, and the tokens saved if
+    merged (non-overlapping occurrences × word frequency — the actual
+    sequence-length reduction).
+
+    Scale shape: the corpus tokenizes and reduces to the VOCABULARY in
+    one shuffle; every later step (pair explode ∝ Σ vocab word lengths,
+    top-k via sort-limit, tokens-saved equi-join against the broadcast
+    10-pair list) is vocab-sized. A full BPE trainer is this step
+    iterated with the merge applied; the candidate generator is the
+    distributed-cost core.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(
+            F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .filter(F.length("word") >= 2)
+    )
+    adj = vocab.select(
+        "word",
+        "wcount",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    pc = adj.groupBy("pair").agg(
+        F.sum("wcount").alias("pair_count"),
+        F.countDistinct("word").alias("n_words"),
+    )
+    top = pc.orderBy(F.col("pair_count").desc(), "pair").limit(BPE_TOPK)
+    saved = (
+        adj.select("word", "wcount", "pair")
+        .distinct()
+        .join(F.broadcast(top.select("pair")), "pair")
+        .groupBy("pair")
+        .agg(
+            F.sum(
+                F.col("wcount")
+                * F.expr("(length(word) - length(replace(word, pair, ''))) DIV 2")
+            ).alias("tokens_saved")
+        )
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.col("pair_count").desc(), "pair")  # 10-row result
+    return (
+        top.join(saved, "pair")
+        .select(
+            F.row_number().over(rank_w).cast("long").alias("merge_rank"),
+            "pair",
+            "pair_count",
+            "n_words",
+            "tokens_saved",
+        )
+    )
+
+
+BPE_MERGE_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS wcount FROM words GROUP BY 1 HAVING length(word) >= 2
+),
+adj AS (
+  SELECT word, wcount, substr(word, i, 2) AS pair
+  FROM (SELECT word, wcount, unnest(range(1, length(word))) AS i FROM vocab)
+),
+pc AS (
+  SELECT pair, CAST(sum(wcount) AS BIGINT) AS pair_count,
+         count(DISTINCT word) AS n_words
+  FROM adj GROUP BY 1
+),
+top AS (SELECT * FROM pc ORDER BY pair_count DESC, pair LIMIT {BPE_TOPK}),
+wp AS (SELECT DISTINCT word, wcount, pair FROM adj),
+sv AS (
+  SELECT pair,
+         CAST(sum(wcount * ((length(word) - length(replace(word, pair, ''))) // 2))
+              AS BIGINT) AS tokens_saved
+  FROM wp JOIN top USING (pair) GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY pair_count DESC, pair) AS merge_rank,
+       pair, pair_count, n_words, tokens_saved
+FROM top JOIN sv USING (pair)
+"""
