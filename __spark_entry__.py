@@ -454,6 +454,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "span_dedup_repeated": (curation_queries.span_dedup_repeated, curation_queries.SPAN_DEDUP_SQL),
     "dedup_keep_best": (curation_queries.dedup_keep_best, curation_queries.KEEP_BEST_SQL),
     "emb_quantize_error": (curation_queries.emb_quantize_error, curation_queries.EMB_QUANTIZE_SQL),
+    # r3 addition: distributed PCA via one-pass exact Gram moments +
+    # driver eigensolve; Rayleigh-vs-best-axis gate (HLL-gate design)
+    "emb_pca_variance_gate": (
+        curation_queries.emb_pca_variance_gate,
+        curation_queries.EMB_PCA_GATE_SQL,
+    ),
     "vocab_zipf_curve": (curation_queries.vocab_zipf_curve, curation_queries.VOCAB_ZIPF_SQL),
     "scd2_user_value": (cdc_queries.scd2_user_value, cdc_queries.SCD2_SQL),
     # profiling & correlation analytics

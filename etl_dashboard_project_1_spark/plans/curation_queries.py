@@ -531,3 +531,112 @@ SELECT week,
        abs(est_merged - exact_distinct) / exact_distinct <= 0.2 AS in_bound
 FROM est_m JOIN est_d USING (week) JOIN exact USING (week)
 """
+
+
+PCA_DIM = 64
+PCA_SCALE = 1000  # fixed-point quantizer: q = floor(v*1000 + 0.5)
+
+
+def emb_pca_variance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA with a driver-checkable accuracy gate (same design
+    as the HLL/GK sketch gates): the top principal component of the
+    embedding corpus is learned from an exactly-aggregated second-moment
+    (Gram) matrix, and the gate asserts the property exact SQL CAN check
+    — the PC's variance (Rayleigh quotient) is at least the best single
+    axis's variance, which holds for the true top eigenvector and is
+    preserved by power iteration started FROM that axis (the Rayleigh
+    quotient is monotone non-decreasing under power iteration on a PSD
+    matrix).
+
+    Scale shape: embeddings quantize to fixed-point per element, and ONE
+    pass aggregates n, the 64 axis sums, and the 2080 upper-triangle
+    Gram sums (map-side partial agg ⇒ the shuffle carries O(dim²) rows
+    per partition, never data). Driver state is the dim² Gram — the
+    canonical distributed-PCA decomposition (compute moments in the
+    cluster, eigensolve the tiny matrix on the driver). The covariance
+    numerators are exact BIGINTs (n·Σqᵢqⱼ − SᵢSⱼ in arbitrary-precision
+    Python), so every emitted integer is engine-portable.
+    """
+    d, last = PCA_DIM, PCA_DIM - 1
+    emb = load_table(spark, sf_dir, "embeddings")
+    qexpr = (
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * "
+        f"{PCA_SCALE} + 0.5) AS BIGINT))"
+    )
+    terms = f"""
+      concat(
+        array(named_struct('i', -1, 'j', -1, 'p', CAST(1 AS BIGINT))),
+        flatten(transform(sequence(0, {last}), i ->
+          concat(
+            array(named_struct('i', i, 'j', -1, 'p', q[i])),
+            transform(sequence(i, {last}), j ->
+              named_struct('i', i, 'j', j, 'p', q[i] * q[j]))
+          ))))
+    """
+    rows = (
+        emb.withColumn("q", F.expr(qexpr))
+        .select(F.explode(F.expr(terms)).alias("t"))
+        .select("t.i", "t.j", "t.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s"))
+        .collect()
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("n_vecs", T.LongType()),
+            T.StructField("best_axis", T.LongType()),
+            T.StructField("best_axis_var", T.LongType()),
+            T.StructField("trace_var", T.LongType()),
+            T.StructField("pca_beats_best_axis", T.BooleanType()),
+        ]
+    )
+    if not rows:  # empty corpus → empty result, declared schema
+        return spark.createDataFrame([], schema)
+    n = next(r["s"] for r in rows if r["i"] == -1 and r["j"] == -1)
+    s = {r["i"]: r["s"] for r in rows if r["j"] == -1 and r["i"] >= 0}
+    g = {(r["i"], r["j"]): r["s"] for r in rows if r["i"] >= 0 and r["j"] >= 0}
+    # exact integer covariance numerators (n² · covariance)
+    cov = [
+        [n * g[(min(i, j), max(i, j))] - s[i] * s[j] for j in range(d)]
+        for i in range(d)
+    ]
+    best_axis = max(range(d), key=lambda i: (cov[i][i], -i))
+    best_var, trace = cov[best_axis][best_axis], sum(cov[i][i] for i in range(d))
+    # power iteration from the best axis: Rayleigh quotient can only rise
+    cf = [[float(x) for x in row] for row in cov]
+    v = [0.0] * d
+    v[best_axis] = 1.0
+    for _ in range(200):
+        w = [sum(cf[i][j] * v[j] for j in range(d)) for i in range(d)]
+        norm = max(abs(x) for x in w) or 1.0
+        v = [x / norm for x in w]
+    vv = sum(x * x for x in v)
+    rayleigh = (
+        sum(v[i] * cf[i][j] * v[j] for i in range(d) for j in range(d)) / vv
+    )
+    gate = rayleigh >= best_var * (1 - 1e-9)
+    return spark.createDataFrame(
+        [(int(n), best_axis, int(best_var), int(trace), bool(gate))], schema
+    )
+
+
+EMB_PCA_GATE_SQL = f"""
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(floor(embedding[i + 1]::DOUBLE * {PCA_SCALE} + 0.5) AS BIGINT) AS qv
+  FROM embeddings, range({PCA_DIM}) t(i)
+),
+ax AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n, CAST(sum(qv) AS BIGINT) AS s,
+         CAST(sum(qv * qv) AS BIGINT) AS ss
+  FROM q GROUP BY 1
+),
+v AS (SELECT i, n, n * ss - s * s AS var_num FROM ax)
+SELECT (SELECT max(n) FROM ax) AS n_vecs,
+       (SELECT i FROM v ORDER BY var_num DESC, i LIMIT 1) AS best_axis,
+       (SELECT CAST(max(var_num) AS BIGINT) FROM v) AS best_axis_var,
+       (SELECT CAST(sum(var_num) AS BIGINT) FROM v) AS trace_var,
+       TRUE AS pca_beats_best_axis
+"""
