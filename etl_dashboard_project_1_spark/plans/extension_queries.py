@@ -2237,6 +2237,9 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcount"))
         .filter(F.length("word") >= 2)
+        # vocab feeds both the pair counts and the tokens-saved branch —
+        # materialize once so the corpus tokenizes in ONE scan
+        .localCheckpoint(eager=False)
     )
     adj = vocab.select(
         "word",

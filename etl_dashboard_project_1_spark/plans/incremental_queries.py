@@ -254,8 +254,12 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    hist = ev.groupBy("event_type", cents.alias("cents")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    hist = (
+        ev.groupBy("event_type", cents.alias("cents"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # the histogram feeds both the threshold window and the clip
+        # aggregate — materialize it once so the corpus scans ONCE
+        .localCheckpoint(eager=False)
     )
     wcum = Window.partitionBy("event_type").orderBy("cents")
     c = hist.select(

@@ -799,3 +799,93 @@ def test_triangle_count_on_known_graphs(spark):
     path = spark.createDataFrame([(i, i + 1) for i in range(5)], ["src", "dst"])
     row = graph.triangle_count(path).collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (6, 5, 0)
+
+
+def test_winsorize_bounds_and_clip_counts(spark):
+    """percentile_disc thresholds: strictly-below-lo count stays under
+    ceil(n/100); above-hi count stays within floor(n/100); thresholds
+    bracket, and the winsorized sum is bounded by the thresholds."""
+    from etl_dashboard_project_1_spark.plans.incremental_queries import (
+        winsorize_event_values,
+    )
+
+    rows = winsorize_event_values(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        n = r["n_events"]
+        assert r["lo_cents"] <= r["hi_cents"]
+        assert r["n_clipped_lo"] <= (n + 99) // 100 - 1 + 1  # cum(<lo) < ceil(n/100)
+        assert r["n_clipped_hi"] <= n // 100
+        assert n * r["lo_cents"] <= r["sum_winsorized_cents"] <= n * r["hi_cents"]
+
+
+def test_compaction_bins_are_contiguous_and_complete(spark):
+    """Bins must partition the shard space into contiguous, ordered,
+    non-overlapping ranges covering every document."""
+    from etl_dashboard_project_1_spark.plans.profile_queries import (
+        SHARD_BUCKETS,
+        layout_compaction_bins,
+    )
+
+    rows = sorted(layout_compaction_bins(spark, SF).collect(), key=lambda r: r["bin_id"])
+    docs = load_table(spark, SF, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert sum(r["n_shards"] for r in rows) == SHARD_BUCKETS
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_shard"] < b["min_shard"]  # contiguous ordered ranges
+    assert rows[0]["min_shard"] == 0 and rows[-1]["max_shard"] == SHARD_BUCKETS - 1
+
+
+def test_bpe_candidates_match_bruteforce(spark):
+    """The distributed pair ranking must equal a driver-side brute force
+    over the same corpus (adjacency counts overlapping, savings not)."""
+    import re
+    from collections import Counter
+
+    from etl_dashboard_project_1_spark.plans.extension_queries import (
+        bpe_merge_candidates,
+    )
+
+    texts = [r["text"] for r in load_table(spark, SF, "documents").collect()]
+    wcounts = Counter(
+        w for t in texts for w in re.findall(r"[a-z]+", t.lower()) if len(w) >= 2
+    )
+    pair_count, n_words, saved = Counter(), Counter(), Counter()
+    for w, c in wcounts.items():
+        pairs = {w[i : i + 2] for i in range(len(w) - 1)}
+        for i in range(len(w) - 1):
+            pair_count[w[i : i + 2]] += c
+        for p in pairs:
+            n_words[p] += 1
+            saved[p] += c * ((len(w) - len(w.replace(p, ""))) // 2)
+    expected = sorted(pair_count.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = sorted(bpe_merge_candidates(spark, SF).collect(), key=lambda r: r["merge_rank"])
+    assert [(r["pair"], r["pair_count"]) for r in got] == expected
+    for r in got:
+        assert r["n_words"] == n_words[r["pair"]]
+        assert r["tokens_saved"] == saved[r["pair"]]
+
+
+def test_pca_gate_holds_and_moments_are_exact(spark):
+    """Gate TRUE (Rayleigh monotonicity), and the exact axis moments must
+    match a numpy recomputation of the quantized corpus."""
+    import numpy as np
+
+    from etl_dashboard_project_1_spark.plans.curation_queries import (
+        PCA_SCALE,
+        emb_pca_variance_gate,
+    )
+
+    r = emb_pca_variance_gate(spark, SF).collect()[0]
+    emb = np.array(
+        [row["embedding"] for row in load_table(spark, SF, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    q = np.floor(emb * PCA_SCALE + 0.5).astype(object)  # python ints, no overflow
+    n = q.shape[0]
+    var = [(n * int((q[:, i] ** 2).sum()) - int(q[:, i].sum()) ** 2) for i in range(64)]
+    assert r["pca_beats_best_axis"] is True
+    assert r["n_vecs"] == n
+    assert r["best_axis"] == max(range(64), key=lambda i: (var[i], -i))
+    assert r["best_axis_var"] == max(var)
+    assert r["trace_var"] == sum(var)
