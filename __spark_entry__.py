@@ -474,6 +474,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_type_lift": (profile_queries.event_type_lift, profile_queries.EVENT_LIFT_SQL),
     "activity_heatmap": (profile_queries.activity_heatmap, profile_queries.HEATMAP_SQL),
     "shard_manifest": (profile_queries.shard_manifest, profile_queries.SHARD_MANIFEST_SQL),
+    # r3 addition: join-key skew profiler — hot-key top-k with exact
+    # integer shares; the report that triggers salting before a job dies
+    "skew_key_profile": (
+        profile_queries.skew_key_profile,
+        profile_queries.SKEW_PROFILE_SQL,
+    ),
     "stream_enrich_static": (
         streaming_queries.stream_enrich_static,
         streaming_queries.STREAM_ENRICH_SQL,
@@ -580,6 +586,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sample_train_test_split": (
         extension_queries.sample_train_test_split,
         extension_queries.SAMPLE_SPLIT_SQL,
+    ),
+    # r3 addition: group-disjoint split + leakage audit (all of a user's
+    # events land one side; the oracle pins leak_users = 0 structurally)
+    "split_group_disjoint": (
+        extension_queries.split_group_disjoint,
+        extension_queries.SPLIT_GROUP_DISJOINT_SQL,
     ),
     "sample_stratified_topn": (
         extension_queries.sample_stratified_topn,

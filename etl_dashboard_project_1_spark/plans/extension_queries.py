@@ -2308,3 +2308,73 @@ SELECT row_number() OVER (ORDER BY pair_count DESC, pair) AS merge_rank,
        pair, pair_count, n_words, tokens_saved
 FROM top JOIN sv USING (pair)
 """
+
+
+def split_group_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-disjoint train/test split with a leakage audit — the ML
+    data-integrity contract: EVERY event of a user lands on the same
+    side (split hashes the user, not the row), and the audit column
+    proves it (users seen in both splits — structurally zero, and the
+    oracle pins exactly that).
+
+    Scale shape: one corpus shuffle to per-(user, split) partials
+    (lazily checkpointed — both the per-split rollup and the leakage
+    re-aggregation read it, so the corpus scans once); both follow-up
+    aggregates run over the user-sized table. The leak count rides back
+    as a 1-row broadcast. Split stability under data growth comes free
+    from the hash (a user's side never changes when rows arrive)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pu = (
+        ev.select(
+            "user_id",
+            sampling.split_assign(F.col("user_id"), 0.2).alias("split"),
+            cents.alias("cents"),
+        )
+        .groupBy("user_id", "split")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("ucents"))
+        .localCheckpoint(eager=False)
+    )
+    leak = (
+        pu.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.coalesce(F.sum((F.col("ns") > 1).cast("long")), F.lit(0)).alias(
+                "leak_users"
+            )
+        )
+    )
+    return (
+        pu.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("n_events"),
+            F.sum("ucents").alias("sum_value_cents"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
+
+
+SPLIT_GROUP_DISJOINT_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || 'split'), 1, 8))::BIGINT
+                   % 10000 < 2000
+              THEN 'test' ELSE 'train' END AS split,
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS ucents
+  FROM events GROUP BY 1, 2
+),
+leak AS (
+  SELECT CAST(count(*) AS BIGINT) AS leak_users
+  FROM (SELECT user_id FROM pu GROUP BY 1 HAVING count(DISTINCT split) > 1)
+),
+s AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(sum(ucents) AS BIGINT) AS sum_value_cents
+  FROM pu GROUP BY 1
+)
+SELECT split, n_users, n_events, sum_value_cents, leak_users
+FROM s CROSS JOIN leak
+"""

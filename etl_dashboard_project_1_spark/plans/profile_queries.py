@@ -489,3 +489,51 @@ SELECT decile, count(*) AS n_users,
 FROM bucketed, g
 GROUP BY decile
 """
+
+
+SKEW_TOPK = 20
+
+
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the report that decides whether a key
+    needs salting BEFORE the job falls over — top-20 hottest user_ids
+    with each key's share of all rows (basis points) and its multiple of
+    the mean key load (×100). A key at many times the mean is the one
+    AQE skew-join or a salted aggregate (operators/skew.py) must absorb.
+
+    Scale shape: one shuffle to per-key counts; the hot-key report is a
+    sort-limit top-k (TakeOrdered, no global sort); the corpus totals
+    ride along as a 1-row broadcast. Shares are exact integer quotients.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("total")
+    )
+    top = per_key.orderBy(F.col("cnt").desc(), "user_id").limit(SKEW_TOPK)
+    rank_w = Window.orderBy(F.col("cnt").desc(), "user_id")  # 20-row result
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number().over(rank_w).cast("long").alias("hot_rank"),
+            "user_id",
+            "cnt",
+            F.expr("(cnt * 10000) DIV total").alias("share_bp"),
+            F.expr("(cnt * n_keys * 100) DIV total").alias("x_mean_x100"),
+        )
+    )
+
+
+SKEW_PROFILE_SQL = f"""
+WITH per_key AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total
+      FROM per_key),
+top AS (SELECT * FROM per_key ORDER BY cnt DESC, user_id LIMIT {SKEW_TOPK})
+SELECT row_number() OVER (ORDER BY cnt DESC, user_id) AS hot_rank,
+       user_id, cnt,
+       CAST((cnt * 10000) // total AS BIGINT) AS share_bp,
+       CAST((cnt * n_keys * 100) // total AS BIGINT) AS x_mean_x100
+FROM top CROSS JOIN t
+"""

@@ -66,6 +66,11 @@ QUERIES = [
     # growth (TV output is copy-invariant; novelty output grows linearly)
     "source_unigram_tv",
     "ngram_novelty",
+    # bounded-intermediate family: histogram / vocab / dim² Gram stay
+    # constant under replication — these stress the corpus-reduce stage
+    "winsorize_event_values",
+    "bpe_merge_candidates",
+    "emb_pca_variance_gate",
 ]
 
 
