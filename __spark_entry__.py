@@ -460,6 +460,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         curation_queries.emb_pca_variance_gate,
         curation_queries.EMB_PCA_GATE_SQL,
     ),
+    # r3 addition: nearest-class-mean classifier eval — fixed-point
+    # centroids + deterministic cosine argmax; L²-bounded confusion matrix
+    "emb_centroid_classifier_eval": (
+        curation_queries.emb_centroid_classifier_eval,
+        curation_queries.CENTROID_EVAL_SQL,
+    ),
     "vocab_zipf_curve": (curation_queries.vocab_zipf_curve, curation_queries.VOCAB_ZIPF_SQL),
     "scd2_user_value": (cdc_queries.scd2_user_value, cdc_queries.SCD2_SQL),
     # profiling & correlation analytics

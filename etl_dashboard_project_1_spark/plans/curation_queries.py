@@ -640,3 +640,120 @@ SELECT (SELECT max(n) FROM ax) AS n_vecs,
        (SELECT CAST(sum(var_num) AS BIGINT) FROM v) AS trace_var,
        TRUE AS pca_beats_best_axis
 """
+
+
+def emb_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale eval of a nearest-class-mean classifier (Rocchio /
+    NCM): fit per-label centroids from the quantized embeddings, score
+    every vector against every centroid by (deterministically quantized)
+    cosine, and emit the confusion matrix.
+
+    Engine-portable by construction: centroids are exact integer sums
+    turned into fixed-point means via sign-adjusted integer division;
+    the per-vector dot products are exact BIGINTs; the cosine
+    denominator uses floor(sqrt(double)) of an exactly-representable
+    integer (< 2^53), which IEEE guarantees identical in every engine —
+    so the argmax and the confusion counts are bit-stable cross-engine.
+
+    Scale shape: the fit is ONE distributed moment aggregation (label ×
+    dim rows); driver state is the L·d centroid table (the k-means
+    fit/probe precedent); scoring is a second map-only scan against the
+    broadcast centroid literals; the confusion matrix is one L²-bounded
+    groupBy. Cites the reference's dashboard classification intent
+    (categoría/propulsión mapping) generalized to embedding space."""
+    d, scale = PCA_DIM, PCA_SCALE
+    emb = load_table(spark, sf_dir, "embeddings")
+    qexpr = (
+        f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {scale}"
+        " + 0.5) AS BIGINT))"
+    )
+    qd = emb.withColumn("q", F.expr(qexpr))
+    moments = (
+        qd.select("label", F.posexplode("q").alias("i", "qv"))
+        .groupBy("label", "i")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    import math
+
+    labels = sorted({r["label"] for r in moments})
+    cen: dict[int, list[int]] = {}
+    for lab in labels:
+        n_c = next(r["n"] for r in moments if r["label"] == lab)
+        s = {r["i"]: r["s"] for r in moments if r["label"] == lab}
+        c = [
+            (1 if s[i] >= 0 else -1) * ((abs(s[i]) * scale) // n_c)
+            for i in range(d)
+        ]
+        cen[lab] = c
+    rad = {
+        lab: max(1, math.floor(math.sqrt(float(sum(x * x for x in c)))))
+        for lab, c in cen.items()
+    }
+    score_structs = []
+    for lab in labels:
+        lits = ", ".join(f"{x}L" for x in cen[lab])
+        dot = (
+            f"aggregate(zip_with(q, array({lits}), (x, y) -> x * y), 0L,"
+            " (acc, v) -> acc + v)"
+        )
+        score = (
+            f"(CASE WHEN ({dot}) >= 0 THEN 1 ELSE -1 END)"
+            f" * ((abs({dot}) * 1000) DIV {rad[lab]}L)"
+        )
+        score_structs.append(
+            f"named_struct('s', {score}, 'nl', {-lab})"
+        )
+    pred = f"-array_max(array({', '.join(score_structs)})).nl"
+    return (
+        qd.select(
+            F.col("label").alias("true_label"),
+            F.expr(pred).cast("int").alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .withColumn("is_correct", F.col("true_label") == F.col("pred_label"))
+    )
+
+
+CENTROID_EVAL_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label, i,
+         CAST(floor(embedding[i + 1]::DOUBLE * {PCA_SCALE} + 0.5) AS BIGINT) AS qv
+  FROM embeddings, range({PCA_DIM}) t(i)
+),
+mo AS (
+  SELECT label, i, CAST(sum(qv) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM q GROUP BY 1, 2
+),
+cen AS (
+  SELECT label, i,
+         (CASE WHEN s >= 0 THEN 1 ELSE -1 END) * ((abs(s) * {PCA_SCALE}) // n) AS c
+  FROM mo
+),
+rad AS (
+  SELECT label, greatest(1, CAST(floor(sqrt(CAST(sum(c * c) AS DOUBLE))) AS BIGINT)) AS r
+  FROM cen GROUP BY 1
+),
+dots AS (
+  SELECT q.vec_id, q.label AS true_label, cen.label AS cand,
+         CAST(sum(q.qv * cen.c) AS BIGINT) AS d
+  FROM q JOIN cen USING (i)
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT vec_id, true_label, cand,
+         (CASE WHEN d >= 0 THEN 1 ELSE -1 END) * ((abs(d) * 1000) // r) AS score
+  FROM dots JOIN rad ON cand = rad.label
+),
+pred AS (
+  SELECT vec_id, true_label, cand AS pred_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cand ASC) AS rn
+  FROM scored
+)
+SELECT true_label, pred_label::INT AS pred_label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       true_label = pred_label AS is_correct
+FROM pred WHERE rn = 1
+GROUP BY true_label, pred.pred_label
+"""

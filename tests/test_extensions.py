@@ -889,3 +889,18 @@ def test_pca_gate_holds_and_moments_are_exact(spark):
     assert r["best_axis"] == max(range(64), key=lambda i: (var[i], -i))
     assert r["best_axis_var"] == max(var)
     assert r["trace_var"] == sum(var)
+
+
+def test_centroid_classifier_beats_chance_and_sums(spark):
+    """Confusion matrix covers every vector; nearest-class-mean accuracy
+    must clearly beat the 10-class chance rate on the labeled corpus."""
+    from etl_dashboard_project_1_spark.plans.curation_queries import (
+        emb_centroid_classifier_eval,
+    )
+
+    rows = emb_centroid_classifier_eval(spark, SF).collect()
+    total = sum(r["n_vecs"] for r in rows)
+    assert total == load_table(spark, SF, "embeddings").count()
+    correct = sum(r["n_vecs"] for r in rows if r["is_correct"])
+    assert all((r["true_label"] == r["pred_label"]) == r["is_correct"] for r in rows)
+    assert correct / total > 0.2  # 10 classes -> chance is 0.1
