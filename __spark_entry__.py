@@ -355,6 +355,22 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         incremental_queries.winsorize_event_values,
         incremental_queries.WINSORIZE_SQL,
     ),
+    # r3 addition: anti-entropy per-day table fingerprint (sum + xor of
+    # canonical row hashes) — replica divergence detection without data movement
+    "table_checksum_daily": (
+        incremental_queries.table_checksum_daily,
+        incremental_queries.TABLE_CHECKSUM_SQL,
+    ),
+    # r3 addition: functional-dependency profiler over candidate A->B pairs
+    "fd_violation_profile": (
+        profile_queries.fd_violation_profile,
+        profile_queries.FD_PROFILE_SQL,
+    ),
+    # r3 addition: duplicate-cluster size histogram + reclaimable chars
+    "dedup_cluster_size_hist": (
+        curation_queries.dedup_cluster_size_hist,
+        curation_queries.DEDUP_SIZE_HIST_SQL,
+    ),
     # rolling distinct actives: day-level set union (frames can't DISTINCT)
     "rolling_7d_distinct_users": (
         timeseries_queries.rolling_7d_distinct_users,

@@ -757,3 +757,50 @@ SELECT true_label, pred_label::INT AS pred_label,
 FROM pred WHERE rn = 1
 GROUP BY true_label, pred.pred_label
 """
+
+
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how much of the corpus exact
+    dedup removes at each cluster size, and the chars reclaimed when the
+    keep-best policy (min doc_id) drops the rest — the report that sizes
+    a dedup pass before running it for real.
+
+    Scale shape: one shuffle to fingerprint groups (min_by picks the
+    keeper's chars in the same aggregate — no second pass), one tiny
+    groupBy over the size histogram."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(dedup.tokens("text"))))
+    )
+    groups = (
+        docs.select(fp.alias("fingerprint"), "doc_id", "n_chars")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min_by("n_chars", "doc_id").alias("keeper_chars"),
+        )
+    )
+    return groups.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        F.sum(F.col("sz") - 1).alias("n_removable"),
+        F.sum(F.col("total_chars") - F.col("keeper_chars")).alias("chars_dropped"),
+    )
+
+
+DEDUP_SIZE_HIST_SQL = r"""
+WITH g AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fingerprint,
+         count(*) AS sz,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         arg_min(n_chars, doc_id) AS keeper_chars
+  FROM documents GROUP BY 1
+)
+SELECT sz AS cluster_size, count(*) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(sz - 1) AS BIGINT) AS n_removable,
+       CAST(sum(total_chars - keeper_chars) AS BIGINT) AS chars_dropped
+FROM g GROUP BY 1
+"""

@@ -328,3 +328,49 @@ SELECT h.event_type, CAST(sum(cnt) AS BIGINT) AS n_events, lo_cents, hi_cents,
 FROM h JOIN th USING (event_type)
 GROUP BY 1, 3, 4
 """
+
+
+def table_checksum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table fingerprint: per-day row count plus
+    order-independent row-hash aggregates (sum + xor of a canonical-form
+    md5) — what two replicas / a source and its replicated sink compare
+    to find divergent partitions without moving data. Map-only hashing,
+    one shuffle to day granularity. The xor aggregate is the
+    scale-robust one (overflow-free at any row count); the sum is kept
+    as a second independent signal."""
+    ev = load_table(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+    )
+    from ..operators.dedup import md5_int
+
+    return (
+        ev.select(F.to_date("ts").alias("day"), md5_int(canon).alias("h"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("checksum_sum"),
+            F.expr("bit_xor(h)").alias("checksum_xor"),
+        )
+    )
+
+
+TABLE_CHECKSUM_SQL = """
+WITH h AS (
+  SELECT ts::DATE AS day,
+         ('0x' || substr(md5(concat_ws('|', event_id, strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                                       user_id, event_type,
+                                       CAST(floor(value * 100 + 0.5) AS BIGINT))),
+                         1, 8))::BIGINT AS h
+  FROM events
+)
+SELECT day, count(*) AS n_rows,
+       CAST(sum(h) AS BIGINT) AS checksum_sum,
+       bit_xor(h) AS checksum_xor
+FROM h GROUP BY 1
+"""

@@ -537,3 +537,57 @@ SELECT row_number() OVER (ORDER BY cnt DESC, user_id) AS hot_rank,
        CAST((cnt * n_keys * 100) // total AS BIGINT) AS x_mean_x100
 FROM top CROSS JOIN t
 """
+
+
+#: candidate functional dependencies to profile: (name, table, lhs, rhs)
+FD_CANDIDATES = [
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    ("customer.c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+    ("orders.o_custkey->o_orderstatus", "orders", "o_custkey", "o_orderstatus"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+]
+
+
+def fd_violation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiler: for each candidate A→B, how many
+    A-groups exist, how many carry >1 distinct B (violations), and the
+    worst fan-out — the schema-discovery pass that decides whether a
+    column can serve as a merge/partition key or needs SCD treatment.
+
+    Scale shape: one groupBy per candidate on its own table (the
+    countDistinct rewrites to a two-level partial aggregate), each
+    reduced to a single summary row before the tiny union."""
+    parts = []
+    for name, table, lhs, rhs in FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        g = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("v"))
+        parts.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.coalesce(
+                    F.sum((F.col("v") > 1).cast("long")), F.lit(0)
+                ).alias("n_violating"),
+                F.coalesce(F.max("v"), F.lit(0)).alias("max_fanout"),
+            ).select(
+                "fd",
+                "n_groups",
+                "n_violating",
+                "max_fanout",
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+FD_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(max(v) AS BIGINT) AS max_fanout,
+       sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS v FROM {table} GROUP BY 1)"""
+    for name, table, lhs, rhs in FD_CANDIDATES
+)
