@@ -174,6 +174,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "source_unigram_tv",               # scalar corpus-total (1-row broadcast)
         "basket_part_pairs_lift",          # scalar order-total (1-row broadcast)
         "graph_triangle_count",            # 1-row node/edge-count broadcasts
+        "skew_key_profile",                # 1-row key/total-count broadcast
+        "split_group_disjoint",            # 1-row leak-count broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
