@@ -506,6 +506,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_queries.stream_enrich_static,
         streaming_queries.STREAM_ENRICH_SQL,
     ),
+    # r3 addition: LEFT OUTER watermarked stream-stream interval join —
+    # unmatched rows finalize when the watermark passes ts + interval
+    "stream_left_outer_join": (
+        streaming_queries.stream_left_outer_join,
+        streaming_queries.STREAM_LEFT_JOIN_SQL,
+    ),
     "pagerank_supplier_part": (
         graph_queries.pagerank_supplier_part,
         graph_queries.PAGERANK_SQL,

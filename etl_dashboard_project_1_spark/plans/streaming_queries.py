@@ -207,3 +207,26 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the LEFT OUTER stream-stream interval join — the
+    streaming mode (both sides watermarked; unmatched errors finalize
+    and emit null-extended once the watermark passes error_ts +
+    interval) is exercised in tests/test_streaming.py with a file
+    source and a watermark-advancing sentinel batch."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return jobs.error_purchase_left_interval_join(errors, purchases)
+
+
+STREAM_LEFT_JOIN_SQL = """
+SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id,
+       p.event_id IS NOT NULL AS recovered,
+       floor(p.value * 100 + 0.5) / 100 AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
+"""

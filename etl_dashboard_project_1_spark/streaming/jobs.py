@@ -232,6 +232,46 @@ def error_purchase_interval_join(
     )
 
 
+def error_purchase_left_interval_join(
+    errors: DataFrame, purchases: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every error row emits,
+    carrying its recovery purchase (same user within one hour after) or
+    NULLs when none arrives. The outer side is the streaming-specific
+    semantics: an unmatched error can only be FINALIZED once the
+    watermark passes error_ts + interval — Spark buffers it until then
+    and emits the null-extended row in a later micro-batch. State stays
+    capped at (watermark + interval) per key exactly like the inner
+    form (`error_purchase_interval_join`); in batch mode the identical
+    expressions compile to a plain left equi join + range filter."""
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if errors.isStreaming:
+        e = e.withWatermark("error_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("error_ts"))
+        & (F.col("purchase_ts") < F.col("error_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return e.join(p, cond, "left_outer").select(
+        F.col("e_user").alias("user_id"),
+        "error_id",
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("recovered"),
+        (F.floor(F.col("purchase_value") * 100 + 0.5) / 100).alias("purchase_value"),
+    )
+
+
 def foreach_batch_upsert(
     stream_df: DataFrame, target_dir: str, key: str, order_col: str | None = None
 ):

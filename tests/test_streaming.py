@@ -326,3 +326,77 @@ def test_transform_with_state_totals_when_available(spark):
         .collect()
     }
     assert got == exact
+
+
+def test_stream_left_outer_join_finalizes_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched rows emit
+    immediately; UNMATCHED errors emit null-extended only after the
+    watermark passes error_ts + interval — driven here by sentinel
+    batches that advance the watermark past every original event. Final
+    streamed result must equal the batch left join exactly."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "stream_src")
+    os.makedirs(src_dir)
+    shutil.copy(
+        os.path.join(SF, "events.parquet"), os.path.join(src_dir, "part0.parquet")
+    )
+    ev = load_table(spark, SF, "events")
+    batch = jobs.error_purchase_left_interval_join(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    raw = (
+        spark.readStream.schema(jobs.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    s = jobs.normalize_event_ts(raw)
+    stream = jobs.error_purchase_left_interval_join(
+        s.filter(F.col("event_type") == "error"),
+        s.filter(F.col("event_type") == "purchase"),
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_left_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        # two sentinel batches advance the watermark past every original
+        # event and trigger the eviction batch that emits the finalized
+        # null-extended rows. The sentinels must survive the error/
+        # purchase FILTERS (each side's watermark node sits after its
+        # filter — an 'other'-typed sentinel would advance neither), so
+        # they are real error+purchase rows on a disjoint user, excluded
+        # from the comparison by id.
+        for i, days in enumerate((30, 31)):
+            sent = spark.createDataFrame(
+                [
+                    (10**12 + 2 * i, None, 10**9, "error", 0.0, "{}"),
+                    (10**12 + 2 * i + 1, None, 10**9 + 1, "purchase", 0.0, "{}"),
+                ],
+                "event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, props string",
+            ).withColumn(
+                "ts",
+                (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).cast(
+                    "timestamp_ntz"
+                ),
+            ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+            sent.write.mode("append").parquet(src_dir)
+            q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_left_join WHERE error_id < 1000000000000")
+        cols = ["user_id", "error_id", "purchase_id", "recovered", "purchase_value"]
+        assert _rows(got, cols) == _rows(batch, cols)
+        # sanity: the outer semantics actually exercised — some errors
+        # must be unmatched and present with NULL purchase ids
+        assert any(r["purchase_id"] is None for r in got.collect())
+    finally:
+        q.stop()
