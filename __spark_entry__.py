@@ -262,6 +262,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.ann_recall_eval,
         extension_queries.ANN_RECALL_SQL,
     ),
+    # r3 addition: graded retrieval eval (MRR + rank-discounted gain with
+    # exact lcm-scaled rational discounts; label agreement = relevance)
+    "retrieval_mrr_eval": (
+        extension_queries.retrieval_mrr_eval,
+        extension_queries.MRR_EVAL_SQL,
+    ),
+    # r3 addition: language-detector confusion matrix vs the labeled lang
+    # column — the error-structure eval for text_langid
+    "langid_eval_confusion": (
+        extension_queries.langid_eval_confusion,
+        extension_queries.LANGID_EVAL_SQL,
+    ),
     # r3 addition: bigram conditional-LM scorer (next n-gram order above
     # the unigram filter; prefix-normalized conditionals)
     "text_bigram_logprob": (

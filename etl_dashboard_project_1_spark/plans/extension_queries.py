@@ -2378,3 +2378,110 @@ s AS (
 SELECT split, n_users, n_events, sum_value_cents, leak_users
 FROM s CROSS JOIN leak
 """
+
+
+def langid_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval of the n-gram language detector against the corpus's labeled
+    `lang` column: the full confusion matrix — per (true, detected) pair
+    — plus the correctness flag. Closes the loop on `text_langid` the
+    way `emb_centroid_classifier_eval` does for embeddings: the operator
+    is only trustworthy at 100 TB if its error structure is measured.
+    One scan, one |langs|²-bounded groupBy."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy(
+            F.col("lang").alias("true_lang"),
+            textops.detect_language("text").alias("detected_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("is_correct", F.col("true_lang") == F.col("detected_lang"))
+    )
+
+
+_LANGID_CASE = """CASE WHEN greatest(r_en, r_es, r_de, r_fr) <= 0.05 THEN 'und'
+            WHEN r_en >= greatest(r_es, r_de, r_fr) THEN 'en'
+            WHEN r_es >= greatest(r_de, r_fr)       THEN 'es'
+            WHEN r_de >= r_fr                        THEN 'de'
+            ELSE 'fr' END"""
+
+LANGID_EVAL_SQL = rf"""
+WITH r AS (
+  SELECT lang,
+         {_ratio_sql(textops.LANG_PROFILES['en'])} AS r_en,
+         {_ratio_sql(textops.LANG_PROFILES['es'])} AS r_es,
+         {_ratio_sql(textops.LANG_PROFILES['de'])} AS r_de,
+         {_ratio_sql(textops.LANG_PROFILES['fr'])} AS r_fr
+  FROM documents
+),
+p AS (SELECT lang AS true_lang, {_LANGID_CASE} AS detected_lang FROM r)
+SELECT true_lang, detected_lang, count(*) AS n_docs,
+       true_lang = detected_lang AS is_correct
+FROM p GROUP BY 1, 2
+"""
+
+
+MRR_SCALE = 2520  # lcm(1..10): every reciprocal-rank discount is exact
+
+
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval eval on top of the one-scan batched top-k: MRR
+    and a rank-discounted gain per query, with label agreement as the
+    relevance judgment. Discounts are exact rationals scaled by
+    lcm(1..10) = 2520 (2520/rank is an exact integer for every rank in
+    the top-10), so the metrics are bit-stable cross-engine — no
+    float log2 DCG, whose libm values differ between engines.
+
+    Scale shape: the ranked list is request-sized (|Q|·k); candidate
+    labels attach by broadcasting IT against one corpus scan (the corpus
+    never shuffles); the metric aggregate groups |Q| rows."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    top = vector.cosine_topk_batch(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k=10
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    qlab = queries.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
+    judged = (
+        lab.join(F.broadcast(top.select("qid", "rank", "vec_id")), "vec_id")
+        .join(F.broadcast(qlab), "qid")
+        .withColumn("rel", (F.col("label") == F.col("qlabel")).cast("long"))
+    )
+    return judged.groupBy("qid", "qlabel").agg(
+        F.sum("rel").alias("n_relevant"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))), F.lit(0)
+        ).cast("long").alias("first_rel_rank"),
+        F.coalesce(
+            F.expr(f"{MRR_SCALE} DIV min(CASE WHEN rel = 1 THEN rank END)"), F.lit(0)
+        ).alias("rr_x2520"),
+        F.coalesce(F.sum(F.expr(f"rel * ({MRR_SCALE} DIV rank)")), F.lit(0)).alias(
+            "rdg_x2520"
+        ),
+    )
+
+
+MRR_EVAL_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.qid, q.qlabel, e.vec_id, e.label, {_COS_SQL.format(a='e.embedding', b='q.qv')} AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != q.qid
+),
+topk AS (
+  SELECT qid, qlabel, vec_id, label,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+  QUALIFY rank <= 10
+),
+j AS (SELECT qid, qlabel, rank,
+             CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+      FROM topk)
+SELECT qid, qlabel, CAST(sum(rel) AS BIGINT) AS n_relevant,
+       CAST(coalesce(min(CASE WHEN rel = 1 THEN rank END), 0) AS BIGINT)
+         AS first_rel_rank,
+       CAST(coalesce({MRR_SCALE} // min(CASE WHEN rel = 1 THEN rank END), 0) AS BIGINT)
+         AS rr_x2520,
+       CAST(coalesce(sum(rel * ({MRR_SCALE} // rank)), 0) AS BIGINT) AS rdg_x2520
+FROM j GROUP BY 1, 2
+"""
