@@ -274,6 +274,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.langid_eval_confusion,
         extension_queries.LANGID_EVAL_SQL,
     ),
+    # r3 addition: feature-hashing vectorizer — model-free signed hashed
+    # BoW embeddings, zero vocabulary state, exact integer vectors
+    "text_feature_hashing": (
+        extension_queries.text_feature_hashing,
+        extension_queries.FEATURE_HASHING_SQL,
+    ),
     # r3 addition: bigram conditional-LM scorer (next n-gram order above
     # the unigram filter; prefix-normalized conditionals)
     "text_bigram_logprob": (

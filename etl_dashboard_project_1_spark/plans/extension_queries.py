@@ -2485,3 +2485,71 @@ SELECT qid, qlabel, CAST(sum(rel) AS BIGINT) AS n_relevant,
        CAST(coalesce(sum(rel * ({MRR_SCALE} // rank)), 0) AS BIGINT) AS rdg_x2520
 FROM j GROUP BY 1, 2
 """
+
+
+FH_DIM = 64
+
+
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (Weinberger et al. 2009): every
+    document becomes a dense signed hashed-bag-of-words vector — the
+    standard trick for manufacturing embeddings at corpus scale with NO
+    trained model and NO vocabulary shuffle (each token hashes straight
+    to its bucket and sign). Output vectors feed the same ANN / cosine
+    operators as learned embeddings.
+
+    Scale shape: tokenize → one shuffle to (doc, bucket) partials →
+    per-doc map assembly; every value is an exact integer count, so the
+    vectors are bit-identical cross-engine. No vocabulary state at all —
+    the defining property of the hashing trick."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(dedup.tokens("text")).alias("t")
+    ).filter(F.col("t") != "")
+    bucketed = tok.select(
+        "doc_id",
+        sampling.hash_bucket(F.col("t"), "fh", FH_DIM).cast("int").alias("b"),
+        F.when(sampling.hash_bucket(F.col("t"), "fhs", 2) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    agg = bucketed.groupBy("doc_id", "b").agg(F.sum("sgn").alias("v"))
+    assembled = agg.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("m")
+    )
+    features = F.transform(
+        F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
+        lambda i: F.coalesce(F.element_at("m", i.cast("int")), F.lit(0).cast("long")),
+    )
+    return assembled.select(
+        "doc_id",
+        features.alias("features"),
+        F.aggregate(
+            features, F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+        ).alias("l1_norm"),
+        F.size(F.filter(features, lambda v: v != 0)).cast("long").alias("nnz"),
+    )
+
+
+FEATURE_HASHING_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, t,
+         ('0x' || substr(md5(t || 'fh'), 1, 8))::BIGINT % {FH_DIM} AS b,
+         CASE WHEN ('0x' || substr(md5(t || 'fhs'), 1, 8))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+bu AS (SELECT doc_id, b, CAST(sum(sgn) AS BIGINT) AS v FROM tok GROUP BY 1, 2),
+cells AS (
+  SELECT d.doc_id, r.i, coalesce(bu.v, 0) AS val
+  FROM (SELECT DISTINCT doc_id FROM tok) d
+  CROSS JOIN range({FH_DIM}) r(i)
+  LEFT JOIN bu ON bu.doc_id = d.doc_id AND bu.b = r.i
+)
+SELECT doc_id, list(val ORDER BY i) AS features,
+       CAST(sum(abs(val)) AS BIGINT) AS l1_norm,
+       CAST(sum(CASE WHEN val != 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
+FROM cells GROUP BY 1
+"""
