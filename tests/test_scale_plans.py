@@ -176,6 +176,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "graph_triangle_count",            # 1-row node/edge-count broadcasts
         "skew_key_profile",                # 1-row key/total-count broadcast
         "split_group_disjoint",            # 1-row leak-count broadcast
+        "retrieval_mrr_eval",              # sim_batch_topk core (broadcast query batch)
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
