@@ -280,6 +280,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.text_feature_hashing,
         extension_queries.FEATURE_HASHING_SQL,
     ),
+    # r3 addition: inverted-index build (df/ttf + capped ordered postings)
+    "inverted_index_build": (
+        extension_queries.inverted_index_build,
+        extension_queries.INVERTED_INDEX_SQL,
+    ),
+    # r3 addition: out-of-order-arrival audit — the measurement that
+    # sizes a streaming watermark (exact integer-microsecond lateness)
+    "late_data_audit": (
+        timeseries_queries.late_data_audit,
+        timeseries_queries.LATE_DATA_SQL,
+    ),
     # r3 addition: bigram conditional-LM scorer (next n-gram order above
     # the unigram filter; prefix-normalized conditionals)
     "text_bigram_logprob": (

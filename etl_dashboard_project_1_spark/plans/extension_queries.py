@@ -2553,3 +2553,53 @@ SELECT doc_id, list(val ORDER BY i) AS features,
        CAST(sum(CASE WHEN val != 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
 FROM cells GROUP BY 1
 """
+
+
+POSTINGS_CAP = 8
+
+
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index construction: token → document frequency, total
+    term frequency, and a capped ordered posting list — the build step
+    behind every lexical retriever (the BM25 query consumes exactly
+    these statistics).
+
+    Scale shape: tokenize → ONE shuffle to (token, doc) partials →
+    per-token assembly; the posting CAP bounds per-token output (hot
+    tokens keep their smallest doc_ids — deterministic), so no stop-word
+    row ever exceeds POSTINGS_CAP ids. Restricted to tokens appearing in
+    ≥2 docs (singletons dominate raw vocabularies and a real index
+    prunes or tiers them)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(dedup.tokens("text")).alias("t")
+    ).filter(F.col("t") != "")
+    per_doc = tok.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("t")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.sum("tf").alias("ttf"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP).alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= 2)
+        .select(F.col("t").alias("token"), "df", "ttf", "postings")
+    )
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+per_doc AS (SELECT t, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT t AS token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf,
+       (list(doc_id ORDER BY doc_id))[1:{POSTINGS_CAP}] AS postings
+FROM per_doc
+GROUP BY 1
+HAVING count(*) >= 2
+"""

@@ -1138,3 +1138,54 @@ SELECT n_a, conv_a, n_b, conv_b,
        END AS zscore
 FROM g
 """
+
+
+def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit — the measurement that SIZES a
+    streaming watermark: treating event_id as arrival order, how far
+    behind each user's running event-time high-water mark do events
+    arrive? Per event type: how many arrive out of order, the worst and
+    total lateness (exact integer microseconds), and the count a
+    10-minute watermark would drop. One shuffle on user_id feeds the
+    running-max window; the summary is a dimension-sized groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hwm = F.max(F.unix_micros(F.col("ts"))).over(w)
+    late_us = F.greatest(
+        F.lit(0), F.coalesce(hwm, F.lit(0)) - F.unix_micros(F.col("ts"))
+    )
+    return (
+        ev.select("event_type", late_us.alias("late_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("late_us") > 0).cast("long")).alias("n_out_of_order"),
+            F.max("late_us").alias("max_late_us"),
+            F.sum("late_us").alias("sum_late_us"),
+            F.sum((F.col("late_us") > 600 * 1_000_000).cast("long")).alias(
+                "n_dropped_by_10m_watermark"
+            ),
+        )
+    )
+
+
+LATE_DATA_SQL = """
+WITH l AS (
+  SELECT event_type,
+         greatest(0, coalesce(max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     - epoch_us(ts)) AS late_us
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+       CAST(max(late_us) AS BIGINT) AS max_late_us,
+       CAST(sum(late_us) AS BIGINT) AS sum_late_us,
+       CAST(sum(CASE WHEN late_us > 600 * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_by_10m_watermark
+FROM l GROUP BY 1
+"""
