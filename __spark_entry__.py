@@ -291,6 +291,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.late_data_audit,
         timeseries_queries.LATE_DATA_SQL,
     ),
+    # r3 addition: session path mining — top-10 three-step in-session
+    # event-type paths (one user shuffle; path explode session-bounded)
+    "session_path_mining": (
+        timeseries_queries.session_path_mining,
+        timeseries_queries.SESSION_PATH_SQL,
+    ),
+    # r3 addition: CBO-style join-size estimation by key sampling, with
+    # the exact cardinality and error (basis points) in the same report
+    "join_cardinality_estimate": (
+        profile_queries.join_cardinality_estimate,
+        profile_queries.JOIN_CARD_SQL,
+    ),
     # r3 addition: bigram conditional-LM scorer (next n-gram order above
     # the unigram filter; prefix-normalized conditionals)
     "text_bigram_logprob": (

@@ -591,3 +591,67 @@ FD_PROFILE_SQL = "\nUNION ALL\n".join(
 FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS v FROM {table} GROUP BY 1)"""
     for name, table, lhs, rhs in FD_CANDIDATES
 )
+
+
+JCE_RATE = 10  # key-sample 1-in-10
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-style join-size estimation by KEY sampling: hash-sample
+    1-in-10 join keys, sum the per-key count products on the sample,
+    scale by the rate — the statistic a CBO consults before choosing a
+    join strategy. The exact cardinality (full Σ cntA·cntB) rides along
+    so the report carries its own error in basis points.
+
+    Scale shape: each side reduces to per-key counts first (one shuffle
+    each — the count tables are key-cardinality-sized), the count join
+    is key-sized, and BOTH the sampled and exact sums come from that one
+    joined table. Key sampling (not row sampling) is what keeps the
+    estimator unbiased for joins."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    a = ev.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    b = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    j = a.join(b, "k").select(
+        "k", (F.col("ca") * F.col("cb")).alias("p"),
+        (hash_bucket(F.col("k"), "jce", JCE_RATE) == 0).alias("in_sample"),
+    )
+    agg = j.agg(
+        F.sum("p").alias("exact_rows"),
+        (F.coalesce(F.sum(F.when(F.col("in_sample"), F.col("p"))), F.lit(0)) * JCE_RATE)
+        .alias("est_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.sum(F.col("in_sample").cast("long")).alias("n_sampled_keys"),
+    )
+    return agg.select(
+        "n_join_keys",
+        "n_sampled_keys",
+        "exact_rows",
+        "est_rows",
+        F.expr("abs(est_rows - exact_rows) * 10000 DIV exact_rows").alias("err_bp"),
+    )
+
+
+JOIN_CARD_SQL = f"""
+WITH a AS (SELECT user_id AS k, count(*) AS ca FROM events GROUP BY 1),
+b AS (SELECT o_custkey AS k, count(*) AS cb FROM orders GROUP BY 1),
+j AS (
+  SELECT a.k, ca * cb AS p,
+         ('0x' || substr(md5(a.k::VARCHAR || 'jce'), 1, 8))::BIGINT % {JCE_RATE} = 0
+           AS in_sample
+  FROM a JOIN b USING (k)
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_join_keys,
+         CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled_keys,
+         CAST(sum(p) AS BIGINT) AS exact_rows,
+         CAST(coalesce(sum(CASE WHEN in_sample THEN p END), 0) * {JCE_RATE} AS BIGINT)
+           AS est_rows
+  FROM j
+)
+SELECT n_join_keys, n_sampled_keys, exact_rows, est_rows,
+       CAST(abs(est_rows - exact_rows) * 10000 // exact_rows AS BIGINT) AS err_bp
+FROM s
+"""

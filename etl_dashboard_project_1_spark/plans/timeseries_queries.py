@@ -1189,3 +1189,94 @@ SELECT event_type, count(*) AS n_events,
          AS n_dropped_by_10m_watermark
 FROM l GROUP BY 1
 """
+
+
+PATH_TOPK = 10
+
+
+def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the top-10 three-step event-type paths users
+    actually walk inside a session (6 h gap rule) — the product-analytics
+    view behind funnel design. One shuffle on user_id feeds the gap
+    flag, the session counter, and the per-session ordered collect; the
+    path explode is session-length-bounded and the top-k is a sort-limit
+    over the |paths|-bounded count table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > 21600 * 1_000_000)
+    ).cast("long")
+    sess = (
+        ev.withColumn("_new", is_new)
+        .withColumn(
+            "sid",
+            F.sum("_new").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    arrs = sess.groupBy("user_id", "sid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(unix_micros(ts) AS t, "
+            "event_id AS e, event_type AS ty))), s -> s.ty)"
+        ).alias("a")
+    )
+    paths = arrs.filter(F.size("a") >= 3).select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a) - 2), "
+                "i -> concat_ws('>', a[i-1], a[i], a[i+1]))"
+            )
+        ).alias("path"),
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), "path").limit(PATH_TOPK)
+    rank_w = Window.orderBy(F.col("n_occurrences").desc(), "path")  # 10-row result
+    return top.select(
+        F.row_number().over(rank_w).cast("long").alias("path_rank"),
+        "path",
+        "n_occurrences",
+        "n_users",
+    )
+
+
+SESSION_PATH_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 21600 SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+arrs AS (
+  SELECT user_id, sid, list(event_type ORDER BY ts, event_id) AS a
+  FROM sess GROUP BY 1, 2
+),
+paths AS (
+  SELECT user_id, a[i] || '>' || a[i + 1] || '>' || a[i + 2] AS path
+  FROM (SELECT user_id, a, unnest(range(1, len(a) - 1)) AS i
+        FROM arrs WHERE len(a) >= 3)
+),
+counts AS (
+  SELECT path, count(*) AS n_occurrences, count(DISTINCT user_id) AS n_users
+  FROM paths GROUP BY 1
+),
+top AS (SELECT * FROM counts ORDER BY n_occurrences DESC, path LIMIT {PATH_TOPK})
+SELECT row_number() OVER (ORDER BY n_occurrences DESC, path) AS path_rank,
+       path, n_occurrences, n_users
+FROM top
+"""
