@@ -904,3 +904,76 @@ def test_centroid_classifier_beats_chance_and_sums(spark):
     correct = sum(r["n_vecs"] for r in rows if r["is_correct"])
     assert all((r["true_label"] == r["pred_label"]) == r["is_correct"] for r in rows)
     assert correct / total > 0.2  # 10 classes -> chance is 0.1
+
+
+def test_inverted_index_consistency_and_caps(spark):
+    """Postings sorted, capped, and df/ttf consistent with a direct
+    recount for every indexed token."""
+    from collections import Counter
+
+    from etl_dashboard_project_1_spark.plans.extension_queries import (
+        POSTINGS_CAP,
+        inverted_index_build,
+    )
+
+    rows = inverted_index_build(spark, SF).collect()
+    assert rows
+    docs = load_table(spark, SF, "documents").collect()
+    df_c, ttf_c = Counter(), Counter()
+    for r in docs:
+        toks = [t for t in r["text"].lower().split() if t]
+        ttf_c.update(toks)
+        df_c.update(set(toks))
+    for r in rows:
+        assert r["df"] >= 2
+        assert r["df"] == df_c[r["token"]]
+        assert r["ttf"] == ttf_c[r["token"]]
+        assert r["postings"] == sorted(r["postings"])
+        assert len(r["postings"]) == min(r["df"], POSTINGS_CAP)
+
+
+def test_feature_hashing_invariants(spark):
+    """l1 norm bounded by the doc's token count; nnz bounded by the
+    dimension; norm columns agree with the emitted vector."""
+    from etl_dashboard_project_1_spark.plans.extension_queries import (
+        FH_DIM,
+        text_feature_hashing,
+    )
+
+    rows = {r["doc_id"]: r for r in text_feature_hashing(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        n_tok = len([t for t in d["text"].lower().split() if t])
+        r = rows[d["doc_id"]]
+        assert len(r["features"]) == FH_DIM
+        assert r["l1_norm"] == sum(abs(v) for v in r["features"]) <= n_tok
+        assert r["nnz"] == sum(1 for v in r["features"] if v != 0) <= FH_DIM
+
+
+def test_mrr_eval_internal_consistency(spark):
+    """rr = 2520 // first relevant rank; discounted gain includes at
+    least the first relevant term; no metrics without relevant hits."""
+    from etl_dashboard_project_1_spark.plans.extension_queries import (
+        MRR_SCALE,
+        retrieval_mrr_eval,
+    )
+
+    for r in retrieval_mrr_eval(spark, SF).collect():
+        if r["n_relevant"] == 0:
+            assert r["first_rel_rank"] == 0 == r["rr_x2520"] == r["rdg_x2520"]
+        else:
+            assert 1 <= r["first_rel_rank"] <= 10
+            assert r["rr_x2520"] == MRR_SCALE // r["first_rel_rank"]
+            assert r["rdg_x2520"] >= r["rr_x2520"]
+
+
+def test_late_data_audit_bounds(spark):
+    """Out-of-order counts and lateness sums obey their containments."""
+    from etl_dashboard_project_1_spark.plans.timeseries_queries import late_data_audit
+
+    rows = late_data_audit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dropped_by_10m_watermark"] <= r["n_out_of_order"] <= r["n_events"]
+        assert r["sum_late_us"] >= r["max_late_us"] >= 0
