@@ -303,6 +303,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         profile_queries.join_cardinality_estimate,
         profile_queries.JOIN_CARD_SQL,
     ),
+    # r3 addition: k-anonymity release-gate audit over the customer QI set
+    "k_anonymity_audit": (
+        profile_queries.k_anonymity_audit,
+        profile_queries.K_ANONYMITY_SQL,
+    ),
+    # r3 addition: seasonal-naive forecast backtest (exact-cents MAE/bias)
+    "seasonal_naive_backtest": (
+        timeseries_queries.seasonal_naive_backtest,
+        timeseries_queries.SEASONAL_NAIVE_SQL,
+    ),
     # r3 addition: bigram conditional-LM scorer (next n-gram order above
     # the unigram filter; prefix-normalized conditionals)
     "text_bigram_logprob": (

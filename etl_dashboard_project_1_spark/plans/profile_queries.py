@@ -655,3 +655,43 @@ SELECT n_join_keys, n_sampled_keys, exact_rows, est_rows,
        CAST(abs(est_rows - exact_rows) * 10000 // exact_rows AS BIGINT) AS err_bp
 FROM s
 """
+
+
+K_ANON = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance k-anonymity audit: group the customer table by
+    its quasi-identifier set (market segment × nation) and report the
+    equivalence-class size histogram plus how many ROWS sit in classes
+    below k=5 — the re-identification risk measure a release gate
+    checks before publishing.
+
+    One shuffle to QI classes; the histogram groupBy runs over the
+    |segments|×|nations|-bounded class table."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
+            (F.col("class_size") < K_ANON).alias("below_k"),
+        )
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS class_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT class_size, count(*) AS n_classes,
+       CAST(class_size * count(*) AS BIGINT) AS n_rows,
+       class_size < {K_ANON} AS below_k
+FROM classes GROUP BY 1
+"""

@@ -1280,3 +1280,46 @@ SELECT row_number() OVER (ORDER BY n_occurrences DESC, path) AS path_rank,
        path, n_occurrences, n_users
 FROM top
 """
+
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: score the seasonal-naive predictor (day d's
+    value = day d-7's value) over the daily per-type revenue series —
+    the baseline every forecasting pipeline must beat, with MAE and
+    bias in exact integer cents. One shuffle to the daily series; the
+    lag window and the error aggregate run over |types| × |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.withColumn("pred", F.lag("cents", 7).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.col("cents") - F.col("pred")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.sum(F.abs(err)).alias("sum_abs_err_cents"),
+        F.sum(err).alias("bias_cents"),
+        F.expr("sum(abs(cents - pred)) DIV count(*)").alias("mae_cents"),
+    )
+
+
+SEASONAL_NAIVE_SQL = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, cents,
+         lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+  FROM daily
+)
+SELECT event_type, count(*) AS n_days_scored,
+       CAST(sum(abs(cents - pred)) AS BIGINT) AS sum_abs_err_cents,
+       CAST(sum(cents - pred) AS BIGINT) AS bias_cents,
+       CAST(sum(abs(cents - pred)) // count(*) AS BIGINT) AS mae_cents
+FROM scored WHERE pred IS NOT NULL
+GROUP BY 1
+"""
