@@ -313,6 +313,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.seasonal_naive_backtest,
         timeseries_queries.SEASONAL_NAIVE_SQL,
     ),
+    # r3 addition: whole-schema referential-integrity sweep (all 6 FK edges)
+    "ri_audit_all_edges": (
+        dashboard_queries.ri_audit_all_edges,
+        dashboard_queries.RI_AUDIT_SQL,
+    ),
+    # r3 addition: numeric drift monitor — exact-integer total-variation
+    # distance between reference/live value histograms per type
+    "value_drift_tv": (
+        incremental_queries.value_drift_tv,
+        incremental_queries.VALUE_DRIFT_SQL,
+    ),
     # r3 addition: bigram conditional-LM scorer (next n-gram order above
     # the unigram filter; prefix-normalized conditionals)
     "text_bigram_logprob": (

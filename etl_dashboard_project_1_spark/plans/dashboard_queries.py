@@ -756,3 +756,53 @@ SELECT r_name, n_name,
          AS region_share_of_total
 FROM base
 """
+
+
+#: the star schema's full FK edge list: (edge, child, fk, parent, pk)
+RI_EDGES = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def ri_audit_all_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full referential-integrity sweep: every FK edge of the star
+    schema audited in one report — child row count, distinct FK values,
+    and orphan rows (left anti join on the key). The whole-schema form
+    of `dq_orphan_orders`: the pre-flight a warehouse load gate runs.
+
+    Each edge is one anti-join keyed shuffle on its own tables; the six
+    1-row summaries union into the report."""
+    parts = []
+    for edge, child, fk, parent, pk in RI_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("_pk"))
+        orphans = c.join(p, F.col(fk) == F.col("_pk"), "left_anti")
+        parts.append(
+            c.agg(
+                F.lit(edge).alias("edge"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.countDistinct(fk).alias("n_fk_values"),
+            ).crossJoin(
+                F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+RI_AUDIT_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{edge}' AS edge, CAST(count(*) AS BIGINT) AS n_child_rows,
+       CAST(count(DISTINCT {fk}) AS BIGINT) AS n_fk_values,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+         AS n_orphans
+FROM {child}"""
+    for edge, child, fk, parent, pk in RI_EDGES
+)

@@ -177,6 +177,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "skew_key_profile",                # 1-row key/total-count broadcast
         "split_group_disjoint",            # 1-row leak-count broadcast
         "retrieval_mrr_eval",              # sim_batch_topk core (broadcast query batch)
+        "ri_audit_all_edges",              # 1-row orphan-count broadcasts per edge
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
