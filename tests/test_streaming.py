@@ -400,3 +400,75 @@ def test_stream_left_outer_join_finalizes_unmatched(spark, tmp_path):
         assert any(r["purchase_id"] is None for r in got.collect())
     finally:
         q.stop()
+
+
+def test_eventfeed_python_datasource_streams_deterministically(spark, tmp_path):
+    """Custom streaming Python DataSource: rows generate in executors
+    per offset-range partition; draining the finite feed must yield
+    exactly the deterministic ground truth, once each."""
+    from etl_dashboard_project_1_spark.sources import event_stream_datasource as efd
+
+    efd.register(spark)
+    stream = (
+        spark.readStream.format("eventfeed")
+        .option("rowsPerPartition", "64")
+        .option("maxOffset", "300")
+        .option("numPartitions", "3")
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_eventfeed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["seq"], r["user_id"], r["event_type"], r["value"])
+            for r in spark.sql("SELECT * FROM t_eventfeed").collect()
+        )
+        assert got == efd.expected_rows(300)
+    finally:
+        q.stop()
+
+
+def test_eventfeed_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Stop mid-feed, restart from the checkpoint: the second run must
+    continue from the committed offset — no duplicates, no gaps (the
+    exactly-once property the deterministic offset contract exists for)."""
+    from etl_dashboard_project_1_spark.sources import event_stream_datasource as efd
+
+    efd.register(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_until_drained(max_offset):
+        s = (
+            spark.readStream.format("eventfeed")
+            .option("rowsPerPartition", "50")
+            .option("maxOffset", str(max_offset))
+            .load()
+        )
+        q = (
+            s.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_until_drained(150)   # first run drains the feed capped at 150
+    # restart from the SAME checkpoint with the feed grown to 300: must
+    # resume at the committed offset — rows 150-299 exactly once
+    run_until_drained(300)
+    got = sorted(
+        (r["seq"], r["user_id"], r["event_type"], r["value"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == efd.expected_rows(300)
