@@ -695,3 +695,77 @@ SELECT class_size, count(*) AS n_classes,
        class_size < {K_ANON} AS below_k
 FROM classes GROUP BY 1
 """
+
+
+#: string columns worth a dictionary-encoding assessment: (label, table, col)
+ENC_COLUMNS = [
+    ("orders.o_orderstatus", "orders", "o_orderstatus"),
+    ("orders.o_orderpriority", "orders", "o_orderpriority"),
+    ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+    ("part.p_brand", "part", "p_brand"),
+    ("part.p_type", "part", "p_type"),
+    ("events.event_type", "events", "event_type"),
+]
+
+
+def column_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout advisor: for each candidate string column, the
+    exact dictionary-encoding economics — raw bytes vs (dictionary +
+    bit-packed codes) — the estimate a columnar writer uses to choose
+    PLAIN vs DICT pages. Code width is ceil(log2(ndv)) computed as
+    length(bin(ndv-1)) — pure integer arithmetic, no engine log2.
+
+    One groupBy per column on its own table (value histograms are
+    value-space-bounded); six 1-row summaries union into the report."""
+    parts = []
+    for label, table, col in ENC_COLUMNS:
+        t = load_table(spark, sf_dir, table)
+        h = t.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        parts.append(
+            h.agg(
+                F.lit(label).alias("column_name"),
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("ndv"),
+                F.sum(F.col("c") * F.octet_length("v")).alias("raw_bytes"),
+                F.sum(F.octet_length("v")).alias("dict_bytes"),
+            ).select(
+                "column_name",
+                "n_rows",
+                "ndv",
+                "raw_bytes",
+                "dict_bytes",
+                F.expr(
+                    "CASE WHEN ndv >= 2 THEN length(bin(ndv - 1)) ELSE 1 END"
+                ).cast("long").alias("code_bits"),
+            ).select(
+                "*",
+                F.expr("(n_rows * code_bits + 7) DIV 8").alias("code_bytes"),
+            ).select(
+                "*",
+                F.expr(
+                    "raw_bytes * 10000 DIV (dict_bytes + code_bytes)"
+                ).alias("ratio_bp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ENCODING_ADVISOR_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{label}' AS column_name,
+       CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS ndv,
+       CAST(sum(c * b) AS BIGINT) AS raw_bytes, CAST(sum(b) AS BIGINT) AS dict_bytes,
+       CAST(CASE WHEN count(*) >= 2 THEN length(bin(count(*) - 1)) ELSE 1 END AS BIGINT)
+         AS code_bits,
+       CAST((sum(c) * (CASE WHEN count(*) >= 2 THEN length(bin(count(*) - 1)) ELSE 1 END)
+             + 7) // 8 AS BIGINT) AS code_bytes,
+       CAST(sum(c * b) * 10000 //
+            (sum(b) + (sum(c) * (CASE WHEN count(*) >= 2
+                                      THEN length(bin(count(*) - 1)) ELSE 1 END) + 7) // 8)
+            AS BIGINT) AS ratio_bp
+FROM (SELECT {col} AS v, count(*) AS c, octet_length(encode({col})) AS b
+      FROM {table} GROUP BY 1, 3)"""
+    for label, table, col in ENC_COLUMNS
+)
