@@ -329,6 +329,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         incremental_queries.value_drift_tv,
         incremental_queries.VALUE_DRIFT_SQL,
     ),
+    # r3 addition: CUSUM rate-shift detection via the closed-form
+    # running-min identity — exact integer scaling, window-native
+    "cusum_rate_shift": (
+        incremental_queries.cusum_rate_shift,
+        incremental_queries.CUSUM_SQL,
+    ),
     # r3 addition: bigram conditional-LM scorer (next n-gram order above
     # the unigram filter; prefix-normalized conditionals)
     "text_bigram_logprob": (

@@ -436,3 +436,91 @@ SELECT event_type, n1, n2, count(*) AS n_bins,
 FROM binned JOIN t USING (event_type)
 GROUP BY 1, 2, 3
 """
+
+
+CUSUM_K_NUM = 1  # slack k = mean/10 (k_num/k_den of the mean)
+CUSUM_K_DEN = 10
+CUSUM_H_NUM = 3  # alarm threshold h = 3·mean
+
+
+def cusum_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential change detection (CUSUM) on the daily event-rate per
+    type: alarm days where the one-sided cumulative sum of (count −
+    mean − k) exceeds h — the classic drift detector for "this stream's
+    rate shifted", caught earlier than any fixed-window z-score.
+
+    The textbook recursion S_t = max(0, S_{t-1} + x_t − μ − k) is not a
+    window aggregate, but its CLOSED FORM is: S_t = R_t − min_{j≤t} R_j
+    over the running sum R of (x − μ − k) — two stock window functions.
+    Everything is scaled into exact integers (counts × n_days × k_den),
+    so the alarm decision is bit-stable cross-engine.
+
+    One shuffle to the |types|×|days| daily table; windows partition by
+    type; μ is a 1-row-per-type broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    mu = daily.groupBy("event_type").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).alias("nd")
+    )
+    # integer drift term: (x − μ − k)·nd·k_den = x·nd·k_den − sx·k_den − sx·k_num
+    j = daily.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        "nd",
+        "sx",
+        F.expr(
+            f"x * nd * {CUSUM_K_DEN} - sx * {CUSUM_K_DEN} - sx * {CUSUM_K_NUM}"
+        ).alias("z"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = j.withColumn("run", F.sum("z").over(wr))
+    s = r.withColumn(
+        "cusum_scaled",
+        F.col("run") - F.least(F.lit(0), F.min("run").over(wr)),
+    )
+    # alarm: S_t > h·mean, i.e. cusum_scaled > h_num·sx·k_den
+    return s.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        "cusum_scaled",
+        (F.col("cusum_scaled") > F.expr(f"{CUSUM_H_NUM} * sx * {CUSUM_K_DEN}")).alias(
+            "alarm"
+        ),
+    )
+
+
+CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+mu AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS nd
+       FROM daily GROUP BY 1),
+j AS (
+  SELECT event_type, day, x, nd, sx,
+         x * nd * {CUSUM_K_DEN} - sx * {CUSUM_K_DEN} - sx * {CUSUM_K_NUM} AS z
+  FROM daily JOIN mu USING (event_type)
+),
+r AS (
+  SELECT *, sum(z) OVER w AS run
+  FROM j
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT *, run - least(0, min(run) OVER w) AS cusum_scaled
+  FROM r
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+       CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+       cusum_scaled > {CUSUM_H_NUM} * sx * {CUSUM_K_DEN} AS alarm
+FROM s
+"""

@@ -977,3 +977,33 @@ def test_late_data_audit_bounds(spark):
     for r in rows:
         assert 0 <= r["n_dropped_by_10m_watermark"] <= r["n_out_of_order"] <= r["n_events"]
         assert r["sum_late_us"] >= r["max_late_us"] >= 0
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """The window-native closed form (R_t − min(0, min_{j≤t} R_j)) must
+    equal the textbook recursion S_t = max(0, S_{t−1} + z_t) exactly."""
+    from collections import defaultdict
+
+    from etl_dashboard_project_1_spark.plans.incremental_queries import (
+        CUSUM_K_DEN,
+        CUSUM_K_NUM,
+        cusum_rate_shift,
+    )
+
+    got = {
+        (r["event_type"], r["day"]): r["cusum_scaled"]
+        for r in cusum_rate_shift(spark, SF).collect()
+    }
+    daily = defaultdict(dict)
+    for r in load_table(spark, SF, "events").collect():
+        key = str(r["ts"].date())
+        daily[r["event_type"]][key] = daily[r["event_type"]].get(key, 0) + 1
+    for t, per_day in daily.items():
+        days = sorted(per_day)
+        xs = [per_day[d] for d in days]
+        sx, nd = sum(xs), len(xs)
+        s = 0
+        for d, x in zip(days, xs):
+            z = x * nd * CUSUM_K_DEN - sx * CUSUM_K_DEN - sx * CUSUM_K_NUM
+            s = max(0, s + z)
+            assert got[(t, d)] == s
