@@ -794,11 +794,12 @@ def test_triangle_count_on_known_graphs(spark):
     # duplicates + reversed direction + a self-loop, all to be canonicalized
     edges = k4 + [(b, a) for a, b in k4] + [(0, 1), (2, 2)]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    row = graph.triangle_count(df).collect()[0]
-    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
     path = spark.createDataFrame([(i, i + 1) for i in range(5)], ["src", "dst"])
-    row = graph.triangle_count(path).collect()[0]
-    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (6, 5, 0)
+    for fn in (graph.triangle_count, graph.triangle_count_arrays):
+        row = fn(df).collect()[0]
+        assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+        row = fn(path).collect()[0]
+        assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (6, 5, 0)
 
 
 def test_winsorize_bounds_and_clip_counts(spark):
