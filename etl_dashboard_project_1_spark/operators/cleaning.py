@@ -177,3 +177,47 @@ def ffill_global(
 
     out = part.mapInPandas(fill_part, schema=part.schema)
     return out.drop("_ffill_pid")
+
+
+def histogram_disc_percentiles(
+    df,
+    group_col: str,
+    value_col: str,
+    ps: dict[str, tuple[int, int]],
+):
+    """Exact per-group percentile_disc thresholds WITHOUT a per-group
+    row sort: reduce to a (group, value) histogram (one shuffle, bounded
+    by the value space), cumulative-sum the histogram, and take each
+    threshold as the smallest value whose cumulative count reaches
+    ceil(p·n) — the standard percentile_disc definition, in pure integer
+    arithmetic (``p`` given as a (num, den) rational).
+
+    Returns ``(histogram, thresholds)``: the histogram is
+    (group, value, cnt) lazily checkpointed (callers reuse it for the
+    follow-up aggregate without a second corpus scan); thresholds is one
+    row per group with one column per entry in ``ps``.
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        df.groupBy(F.col(group_col), F.col(value_col).alias("_hv"))
+        .agg(F.count(F.lit(1)).alias("_hc"))
+        .localCheckpoint(eager=False)
+    )
+    wcum = Window.partitionBy(group_col).orderBy("_hv")
+    c = hist.select(
+        group_col,
+        "_hv",
+        F.sum("_hc").over(wcum).alias("_cum"),
+        F.sum("_hc").over(Window.partitionBy(group_col)).alias("_n"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.expr(f"(_n * {num} + {den} - 1) DIV {den}"),
+                F.col("_hv"),
+            )
+        ).alias(name)
+        for name, (num, den) in ps.items()
+    ]
+    return hist, c.groupBy(group_col).agg(*aggs)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import derive
+from ..operators import cleaning, derive
 from ..session import load_table
 
 CUTOFF = "2000-01-01"
@@ -254,28 +254,18 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    hist = (
-        ev.groupBy("event_type", cents.alias("cents"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        # the histogram feeds both the threshold window and the clip
-        # aggregate — materialize it once so the corpus scans ONCE
-        .localCheckpoint(eager=False)
-    )
-    wcum = Window.partitionBy("event_type").orderBy("cents")
-    c = hist.select(
+    # shared histogram-percentile operator (property-tested against a
+    # pure-Python percentile_disc model in tests/test_properties.py);
+    # the returned histogram is lazily checkpointed so the clip
+    # aggregate reuses it without a second corpus scan
+    hist, th = cleaning.histogram_disc_percentiles(
+        ev.select("event_type", cents.alias("cents")),
         "event_type",
         "cents",
-        "cnt",
-        F.sum("cnt").over(wcum).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+        {"lo_cents": (1, 100), "hi_cents": (99, 100)},
     )
-    th = c.groupBy("event_type").agg(
-        F.min(F.when(F.col("cum") >= F.expr("(n + 99) DIV 100"), F.col("cents"))).alias(
-            "lo_cents"
-        ),
-        F.min(
-            F.when(F.col("cum") >= F.expr("(99 * n + 99) DIV 100"), F.col("cents"))
-        ).alias("hi_cents"),
+    hist = hist.select(
+        "event_type", F.col("_hv").alias("cents"), F.col("_hc").alias("cnt")
     )
     clipped = F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
     return (

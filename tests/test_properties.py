@@ -208,3 +208,29 @@ def test_numpy_round_matches_numpy_bitwise(spark, xs, decimals):
     for i, x in enumerate(xs):
         want = float(np.round(np.float64(x), decimals))
         assert got[i] == want or (got[i] != got[i] and want != want), (x, decimals, got[i], want)
+
+
+# --- histogram percentile_disc thresholds vs a pure-Python model ------------
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40),
+    pnum=st.sampled_from([1, 25, 50, 75, 99]),
+)
+@settings(**SETTINGS)
+def test_histogram_disc_percentiles_match_reference(spark, vals, pnum):
+    """Threshold = smallest value whose cumulative count reaches
+    ceil(p·n) — the histogram-window formulation must equal the sorted
+    list indexed directly, including heavy-tie and boundary cases."""
+    import math
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long").withColumn(
+        "g", F.lit("g")
+    )
+    _, th = cleaning.histogram_disc_percentiles(
+        df, "g", "v", {"t": (pnum, 100)}
+    )
+    got = th.collect()[0]["t"]
+    ordered = sorted(vals)
+    want = ordered[math.ceil(pnum * len(vals) / 100) - 1]
+    assert got == want
