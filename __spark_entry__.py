@@ -335,6 +335,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         incremental_queries.cusum_rate_shift,
         incremental_queries.CUSUM_SQL,
     ),
+    # r3 addition: exact rolling median over a constant trailing frame
+    "rolling_median_values": (
+        incremental_queries.rolling_median_values,
+        incremental_queries.ROLLING_MEDIAN_SQL,
+    ),
     # r3 addition: bigram conditional-LM scorer (next n-gram order above
     # the unigram filter; prefix-normalized conditionals)
     "text_bigram_logprob": (

@@ -514,3 +514,49 @@ SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
        cusum_scaled > {CUSUM_H_NUM} * sx * {CUSUM_K_DEN} AS alarm
 FROM s
 """
+
+
+MEDIAN_WINDOW = 20  # current row + 20 preceding
+
+
+def rolling_median_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (robust complement to the rolling z-score):
+    each event's value against the median of its user's trailing 21
+    events — the smoother a spike can't drag, in exact integer cents
+    (percentile_disc semantics: element ceil(n/2) of the sorted frame).
+
+    One shuffle on user_id; the frame collect is bounded by the constant
+    window length, so per-row state is O(window), never O(history)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-MEDIAN_WINDOW, 0)
+    )
+    return (
+        ev.withColumn("cents", cents)
+        .withColumn("_f", F.array_sort(F.collect_list("cents").over(w)))
+        .select(
+            "event_id",
+            "user_id",
+            "cents",
+            F.element_at(
+                F.col("_f"), F.expr("CAST((size(_f) + 1) DIV 2 AS INT)")
+            ).alias("rolling_median_cents"),
+        )
+    )
+
+
+ROLLING_MEDIAN_SQL = f"""
+SELECT event_id, user_id,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+       l[(len(l) + 1) // 2] AS rolling_median_cents
+FROM (
+  SELECT event_id, user_id, value,
+         list_sort(list(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN {MEDIAN_WINDOW} PRECEDING AND CURRENT ROW)) AS l
+  FROM events
+)
+"""
