@@ -110,6 +110,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.ASOF_SQL,
     ),
     "json_props_extract": (timeseries_queries.json_props_extract, timeseries_queries.JSON_PROPS_SQL),
+    # r3 addition: Spark-4 VariantType path — parse_json once, typed
+    # variant_get extraction (vs per-path string re-parse)
+    "variant_props_extract": (
+        timeseries_queries.variant_props_extract,
+        timeseries_queries.VARIANT_PROPS_SQL,
+    ),
     "salted_agg_user_value": (
         timeseries_queries.salted_agg_user_value,
         timeseries_queries.SALTED_AGG_SQL,

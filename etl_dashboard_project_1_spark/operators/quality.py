@@ -69,3 +69,18 @@ def orphan_count(
         dim.select(F.col(dim_key).alias(fact_key)), fact_key, "left_anti"
     )
     return orphans.agg(F.count(F.lit(1)).cast("long").alias("orphans"))
+
+
+def observed(df, name: str, *aggs):
+    """Attach in-flight DQ counters (Spark ``Observation``): the metrics
+    accumulate DURING whatever action consumes ``df`` — row counts, null
+    tallies, sum checks — without a second scan of the data. The 100 TB
+    use: every pipeline stage reports its own audit numbers for free
+    instead of re-reading the input to count it.
+
+    Returns ``(df_with_observation, observation)``; read
+    ``observation.get`` after an action has run."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *aggs), obs

@@ -1323,3 +1323,37 @@ SELECT event_type, count(*) AS n_days_scored,
 FROM scored WHERE pred IS NOT NULL
 GROUP BY 1
 """
+
+
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured props: parse each
+    JSON payload ONCE into the binary variant encoding, then extract
+    typed fields with ``variant_get`` — the engine-native successor to
+    per-path ``get_json_object`` string re-parsing (one parse amortizes
+    across any number of extractions; the variant encoding is also the
+    open-table-format interchange type). Results must equal the
+    string-path ``json_props_extract`` exactly; per-type stats include
+    min/max so more than the sum is pinned."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_with_k"),
+        )
+    )
+
+
+VARIANT_PROPS_SQL = """
+SELECT event_type,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k,
+       count(json_extract_string(props, '$.k')) AS n_with_k
+FROM events
+GROUP BY event_type
+"""

@@ -1008,3 +1008,27 @@ def test_cusum_closed_form_equals_recursion(spark):
             z = x * nd * CUSUM_K_DEN - sx * CUSUM_K_DEN - sx * CUSUM_K_NUM
             s = max(0, s + z)
             assert got[(t, d)] == s
+
+
+def test_observed_metrics_match_direct_aggregates(spark):
+    """Observation counters accumulated in-flight during one action must
+    equal a direct aggregation — audit numbers with no second scan."""
+    from etl_dashboard_project_1_spark.operators import quality
+
+    ev = load_table(spark, SF, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    observed_df, obs = quality.observed(
+        ev.select("event_type", cents.alias("cents")),
+        "audit",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.count(F.when(F.col("cents").isNull(), 1)).alias("n_null"),
+    )
+    downstream = observed_df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    per_type = {r["event_type"]: r["n"] for r in downstream.collect()}
+    direct = ev.select(cents.alias("c")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    ).first()
+    assert obs.get["n_rows"] == direct["n"] == sum(per_type.values())
+    assert obs.get["sum_cents"] == direct["s"]
+    assert obs.get["n_null"] == 0
