@@ -286,6 +286,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.text_feature_hashing,
         extension_queries.FEATURE_HASHING_SQL,
     ),
+    # r3 addition: Python UDTF (lateral table function) — completes the
+    # UDF/UDAF/UDTF triad; native explode remains the production path
+    "udtf_sentence_stats": (
+        extension_queries.udtf_sentence_stats,
+        extension_queries.UDTF_SENTENCES_SQL,
+    ),
+    # r3 addition: grouped-agg pandas UDF (Arrow UDAF) — numpy IQR per
+    # type; quartiles on ints interpolate at exact binary fractions
+    "pandas_udaf_value_iqr": (
+        extension_queries.pandas_udaf_value_iqr,
+        extension_queries.PANDAS_UDAF_IQR_SQL,
+    ),
     # r3 addition: inverted-index build (df/ttf + capped ordered postings)
     "inverted_index_build": (
         extension_queries.inverted_index_build,

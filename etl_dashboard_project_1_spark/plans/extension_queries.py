@@ -2603,3 +2603,90 @@ FROM per_doc
 GROUP BY 1
 HAVING count(*) >= 2
 """
+
+
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+/4 table function) demo completing the
+    UDF/UDAF/UDTF triad the reference never had: a lateral table
+    function exploding each document into per-sentence rows. The
+    production path for THIS particular logic is native
+    explode(split(...)) — the UDTF exists to cover the API surface for
+    genuinely imperative multi-row-per-input Python (parsers, tokenizer
+    bindings), Arrow-batched like every other Python boundary here."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, n_chars int")
+    class SentenceSpans:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, part in enumerate(text.split(".")):
+                s = part.strip()
+                if s:
+                    yield (i, len(s))
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    spark.udtf.register("sentence_spans", SentenceSpans)
+    docs.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.sent_idx, s.n_chars "
+        "FROM _udtf_docs, LATERAL sentence_spans(text) s"
+    )
+
+
+UDTF_SENTENCES_SQL = r"""
+SELECT doc_id, CAST(u.i - 1 AS INT) AS sent_idx,
+       CAST(length(regexp_replace(u.s, '^\s+|\s+$', '', 'g')) AS INT) AS n_chars
+FROM (SELECT doc_id, unnest([{'i': i, 's': w[i]} FOR i IN range(1, len(w) + 1)]) AS u
+      FROM (SELECT doc_id, string_split(text, '.') AS w FROM documents))
+WHERE length(regexp_replace(u.s, '^\s+|\s+$', '', 'g')) > 0
+"""
+
+
+def pandas_udaf_value_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the Arrow UDAF path): per-type
+    interquartile range of integer cents via numpy percentiles. Exact
+    cross-engine despite the float interpolation: quartile positions on
+    integer data always interpolate at fractions {0, ¼, ½, ¾} — exactly
+    representable, so every formula variant yields the same double.
+    Covers the custom-aggregate API for logic percentile()/built-ins
+    can't express (the natural slot for scipy/statsmodels kernels)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _iqr(v):
+        import numpy as np
+
+        x = v.to_numpy()
+        return float(np.percentile(x, 75) - np.percentile(x, 25))
+
+    # real annotation objects: the module's `from __future__ import
+    # annotations` would stringify inline hints beyond pandas_udf's
+    # resolver (pd is function-local here)
+    _iqr.__annotations__ = {"v": pd.Series, "return": float}
+    iqr = pandas_udf(_iqr, "double")
+
+    def _n(v):
+        return len(v)
+
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the count is a second UDAF
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    n_rows = pandas_udf(_n, "long")
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(iqr("cents").alias("iqr_cents"), n_rows("cents").alias("n_events"))
+    )
+
+
+PANDAS_UDAF_IQR_SQL = """
+SELECT event_type,
+       quantile_cont(cents, 0.75) - quantile_cont(cents, 0.25) AS iqr_cents,
+       count(*) AS n_events
+FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+GROUP BY 1
+"""
