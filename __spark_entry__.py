@@ -759,7 +759,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # langid_eval_confusion, text_feature_hashing, inverted_index_build,
 # late_data_audit, session_path_mining, join_cardinality_estimate,
 # k_anonymity_audit, seasonal_naive_backtest, ri_audit_all_edges,
-# value_drift_tv) — more r3 additions than one 50-slot window holds, so
+# value_drift_tv, column_encoding_advisor, cusum_rate_shift,
+# rolling_median_values, variant_props_extract, udtf_sentence_stats,
+# pandas_udaf_value_iqr) — more r3 additions than one 50-slot window holds, so
 # the tail spills to round 5; all are green in the full-registry local
 # sweep at sf0.01 and sf0.1 meanwhile.
 _ROUND3_FRONT: list[str] = [
