@@ -358,6 +358,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         incremental_queries.rolling_median_values,
         incremental_queries.ROLLING_MEDIAN_SQL,
     ),
+    # r3 addition: rolling 7-day Pearson correlation from exact integer
+    # moments (the only float math is the final identical fraction)
+    "rolling_corr_daily": (
+        timeseries_queries.rolling_corr_daily,
+        timeseries_queries.ROLLING_CORR_SQL,
+    ),
     # r3 addition: bigram conditional-LM scorer (next n-gram order above
     # the unigram filter; prefix-normalized conditionals)
     "text_bigram_logprob": (

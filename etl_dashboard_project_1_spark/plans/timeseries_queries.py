@@ -1357,3 +1357,87 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+CORR_WINDOW = 6  # current day + 6 preceding = 7-day window
+
+
+def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between the daily purchase
+    revenue and the daily click count — the co-movement monitor behind
+    "are clicks still converting?". All five moments accumulate as
+    exact BIGINTs over the |days|-sized daily table (one corpus
+    shuffle); the only float math is the final fraction, written
+    identically on both engines (sqrt is correctly rounded IEEE), with
+    a 6-dp portable round. Degenerate windows (zero variance) emit
+    NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-CORR_WINDOW, 0)  # |days|-sized series
+    m = (
+        daily.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sx", F.sum("x").over(w))
+        .withColumn("sy", F.sum("y").over(w))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(w))
+        .withColumn("syy", F.sum(F.col("y") * F.col("y")).over(w))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(w))
+        .filter(F.col("n") == CORR_WINDOW + 1)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        F.floor(
+            num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))) * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000,
+    )
+    return m.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        "y",
+        corr.alias("corr_7d"),
+    )
+
+
+ROLLING_CORR_SQL = f"""
+WITH daily AS (
+  SELECT ts::DATE AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT day, x, y,
+         count(*) OVER w AS n,
+         CAST(sum(x) OVER w AS BIGINT) AS sx, CAST(sum(y) OVER w AS BIGINT) AS sy,
+         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+         CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {CORR_WINDOW} PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, x, y,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN floor((n * sxy - sx * sy)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000 + 0.5)
+                 / 1000000
+       END AS corr_7d
+FROM m WHERE n = {CORR_WINDOW + 1}
+"""
