@@ -1032,3 +1032,16 @@ def test_observed_metrics_match_direct_aggregates(spark):
     assert obs.get["n_rows"] == direct["n"] == sum(per_type.values())
     assert obs.get["sum_cents"] == direct["s"]
     assert obs.get["n_null"] == 0
+
+
+def test_rolling_corr_bounded(spark):
+    """Pearson r must stay within [-1, 1] on every full window."""
+    from etl_dashboard_project_1_spark.plans.timeseries_queries import (
+        rolling_corr_daily,
+    )
+
+    rows = rolling_corr_daily(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["corr_7d"] is not None:
+            assert -1.0 <= r["corr_7d"] <= 1.0
