@@ -225,3 +225,15 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return r.option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", "_corrupt_record"
     ).json(path)
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row", schema=None) -> DataFrame:
+    """XML scan (Spark 4 native): elements matching ``row_tag`` become
+    rows. An explicit schema skips inference (which reads the data
+    twice); XML never pushes filters/projections into the parse, so at
+    scale this is an INGESTION format — land once, convert to parquet,
+    query the parquet."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

@@ -139,3 +139,12 @@ def write_orc(df: DataFrame, path: str | Path, mode: str = "overwrite") -> None:
 
 def read_orc(spark, path: str | Path) -> DataFrame:
     return spark.read.orc(str(path))
+
+
+def write_xml(
+    df: DataFrame, path: str | Path, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink (Spark 4 native, no external package) — the interchange
+    format regulatory/legacy feeds still demand; one element per row
+    under ``row_tag``."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(str(path))

@@ -280,3 +280,18 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert back.count() == 10
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(id,90)" in plan
+
+
+def test_xml_format_roundtrip(spark, tmp_path):
+    """Spark-4 native XML: write nation rows, read them back identically
+    (explicit schema on the read — inference double-scans)."""
+    from etl_dashboard_project_1_spark.sources.readers import read_xml
+    from etl_dashboard_project_1_spark.sources.writers import write_xml
+
+    nation = load_table(spark, SF, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_xml")
+    write_xml(nation, path, row_tag="nation")
+    back = read_xml(spark, path, row_tag="nation", schema=nation.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
