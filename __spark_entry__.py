@@ -364,6 +364,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.rolling_corr_daily,
         timeseries_queries.ROLLING_CORR_SQL,
     ),
+    # r3 addition: inter-event-gap SLA percentiles via the shared
+    # histogram-percentile_disc operator (no per-type row sort)
+    "gap_percentiles_by_type": (
+        timeseries_queries.gap_percentiles_by_type,
+        timeseries_queries.GAP_PERCENTILES_SQL,
+    ),
     # r3 addition: bigram conditional-LM scorer (next n-gram order above
     # the unigram filter; prefix-normalized conditionals)
     "text_bigram_logprob": (

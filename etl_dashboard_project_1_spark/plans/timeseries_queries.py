@@ -1441,3 +1441,59 @@ SELECT strftime(day, '%Y-%m-%d') AS day, x, y,
        END AS corr_7d
 FROM m WHERE n = {CORR_WINDOW + 1}
 """
+
+
+def gap_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-SLA style report: p50/p95/p99 of the inter-event gap (in
+    whole seconds) per event type — the distribution behind "how often
+    does this signal tick?". Gaps come from one user-keyed lag window;
+    the exact percentile_disc thresholds come from the shared
+    histogram-percentile operator (`cleaning.histogram_disc_percentiles`
+    — second call site, property-tested), so no per-type row sort ever
+    happens: the cumulative window runs over the gap-value histogram."""
+    from ..operators import cleaning
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_s = (
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1_000_000
+    ).cast("long")
+    gaps = (
+        ev.withColumn("gap_s", gap_s)
+        .filter(F.col("gap_s").isNotNull())
+        .select("event_type", "gap_s")
+    )
+    _, th = cleaning.histogram_disc_percentiles(
+        gaps,
+        "event_type",
+        "gap_s",
+        {"p50_s": (50, 100), "p95_s": (95, 100), "p99_s": (99, 100)},
+    )
+    counts = gaps.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_gaps"))
+    return th.join(counts, "event_type").select(
+        "event_type", "n_gaps", "p50_s", "p95_s", "p99_s"
+    )
+
+
+GAP_PERCENTILES_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY epoch_us(ts), event_id)) // 1000000 AS BIGINT) AS gap_s
+  FROM events
+),
+g AS (SELECT * FROM gaps WHERE gap_s IS NOT NULL),
+h AS (SELECT event_type, gap_s, count(*) AS c FROM g GROUP BY 1, 2),
+c AS (
+  SELECT event_type, gap_s, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+       min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN gap_s END) AS p50_s,
+       min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN gap_s END) AS p95_s,
+       min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
+FROM c GROUP BY 1
+"""
