@@ -370,6 +370,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.gap_percentiles_by_type,
         timeseries_queries.GAP_PERCENTILES_SQL,
     ),
+    # r3 addition: U-shaped (40/20/40) position attribution — exact
+    # basis-point credits, every purchase sums to exactly 10000 bp
+    "position_attribution": (
+        timeseries_queries.position_attribution,
+        timeseries_queries.POSITION_ATTRIB_SQL,
+    ),
     # r3 addition: bigram conditional-LM scorer (next n-gram order above
     # the unigram filter; prefix-normalized conditionals)
     "text_bigram_logprob": (

@@ -1497,3 +1497,98 @@ SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
        min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
 FROM c GROUP BY 1
 """
+
+
+def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) marketing attribution: each
+    purchase's value credits the user's click touchpoints in the prior
+    7 days — 40% to the first touch, 40% to the last, the middle 20%
+    split across interior touches. Deterministic EXACT integer
+    arithmetic: credits are basis points of the purchase; interior
+    touches get floor(2000/n_mid) bp each and the earliest interior
+    touch absorbs the remainder, so every purchase's credits sum to
+    exactly 10000 bp (single-touch purchases: 10000 to that touch).
+
+    Scale shape: the touch join is the user-keyed interval join (equi
+    key carries the shuffle, the 7-day bound is a post-join filter);
+    ranking runs per purchase (bounded by touches-per-user-week); the
+    final aggregate is one groupBy on the touch."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("touch_id"), F.col("ts").alias("t_ts")
+    )
+    joined = purchases.join(clicks, "user_id").filter(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    w = Window.partitionBy("purchase_id").orderBy("t_ts", "touch_id")
+    ranked = (
+        joined.withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("purchase_id")))
+        .withColumn("n_mid", F.greatest(F.col("n") - 2, F.lit(0)))
+    )
+    bp = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("pos") == 1, F.lit(4000))
+        .when(F.col("pos") == F.col("n"), F.lit(4000))
+        .otherwise(
+            F.expr("2000 DIV n_mid")
+            + F.when(F.col("pos") == 2, F.expr("2000 % n_mid")).otherwise(F.lit(0))
+        )
+    )
+    # n == 2: first and last each take 4000, the undistributed middle
+    # 2000 bp goes to the FIRST touch (documented house rule)
+    bp = F.when((F.col("n") == 2) & (F.col("pos") == 1), F.lit(6000)).otherwise(bp)
+    return (
+        ranked.withColumn("bp", bp)
+        .groupBy("touch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("bp").alias("sum_bp"),
+            F.sum(F.expr("cents * bp")).alias("credit_cents_x10000"),
+        )
+    )
+
+
+POSITION_ATTRIB_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS touch_id, ts AS t_ts
+  FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.*, c.touch_id, c.t_ts
+  FROM p JOIN c USING (user_id)
+  WHERE c.t_ts <= p.p_ts AND c.t_ts > p.p_ts - INTERVAL 7 DAY
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY purchase_id ORDER BY t_ts, touch_id) AS pos,
+         count(*) OVER (PARTITION BY purchase_id) AS n,
+         greatest(count(*) OVER (PARTITION BY purchase_id) - 2, 0) AS n_mid
+  FROM j
+),
+b AS (
+  SELECT *,
+         CASE WHEN n = 1 THEN 10000
+              WHEN n = 2 AND pos = 1 THEN 6000
+              WHEN pos = 1 THEN 4000
+              WHEN pos = n THEN 4000
+              ELSE 2000 // n_mid + CASE WHEN pos = 2 THEN 2000 % n_mid ELSE 0 END
+         END AS bp
+  FROM r
+)
+SELECT touch_id, count(*) AS n_purchases,
+       CAST(sum(bp) AS BIGINT) AS sum_bp,
+       CAST(sum(cents * bp) AS BIGINT) AS credit_cents_x10000
+FROM b GROUP BY 1
+"""

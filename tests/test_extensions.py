@@ -1045,3 +1045,31 @@ def test_rolling_corr_bounded(spark):
     for r in rows:
         if r["corr_7d"] is not None:
             assert -1.0 <= r["corr_7d"] <= 1.0
+
+
+def test_position_attribution_conserves_credit(spark):
+    """Every attributed purchase's credits must sum to exactly 10000 bp
+    — no basis point created or lost by the U-shaped split."""
+    from etl_dashboard_project_1_spark.plans.timeseries_queries import (
+        position_attribution,
+    )
+
+    ev = load_table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    n_attr = (
+        p.join(c, "user_id")
+        .filter(
+            (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    total_bp = position_attribution(spark, SF).agg(F.sum("sum_bp")).first()[0]
+    assert total_bp == 10000 * n_attr
