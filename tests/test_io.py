@@ -295,3 +295,24 @@ def test_xml_format_roundtrip(spark, tmp_path):
     write_xml(nation, path, row_tag="nation")
     back = read_xml(spark, path, row_tag="nation", schema=nation.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet drops: v1 files lack a column v2
+    adds; a mergeSchema read unions the schemas (missing values NULL) —
+    the contract an append-only lake relies on when producers upgrade."""
+    path = str(tmp_path / "evolving")
+    nation = load_table(spark, SF, "nation")
+    nation.select("n_nationkey", "n_name").write.parquet(path, mode="append")
+    nation.select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).withColumn("n_nationkey", F.col("n_nationkey") + 100).write.parquet(
+        path, mode="append"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+    n = nation.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("n_regionkey").isNull()).count() == n  # v1 rows
+    # plain read (no merge) keeps working for consumers pinned to v1
+    assert spark.read.parquet(path).count() == 2 * n
