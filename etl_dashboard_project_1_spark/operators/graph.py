@@ -43,6 +43,9 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
     nodes = e.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # scalar (node count), driver-sized by definition
+    if n == 0:  # empty graph -> empty ranks, declared schema
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node string, rank double")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     for i in range(iterations):

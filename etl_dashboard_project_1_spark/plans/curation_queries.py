@@ -676,6 +676,18 @@ def emb_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import math
 
+    from pyspark.sql import types as T
+
+    _out_schema = T.StructType(
+        [
+            T.StructField("true_label", T.IntegerType()),
+            T.StructField("pred_label", T.IntegerType()),
+            T.StructField("n_vecs", T.LongType()),
+            T.StructField("is_correct", T.BooleanType()),
+        ]
+    )
+    if not moments:  # empty corpus -> empty result, declared schema
+        return spark.createDataFrame([], _out_schema)
     labels = sorted({r["label"] for r in moments})
     cen: dict[int, list[int]] = {}
     for lab in labels:

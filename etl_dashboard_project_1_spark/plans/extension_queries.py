@@ -418,8 +418,10 @@ list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DO
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    top = vector.cosine_topk(emb, "vec_id", "embedding", query, k=10, exclude_id=0)
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    if qrow is None:  # empty corpus -> empty result, declared schema
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
+    top = vector.cosine_topk(emb, "vec_id", "embedding", qrow["embedding"], k=10, exclude_id=0)
     return top.select("vec_id", derive.portable_round(F.col("cosine"), 4).alias("cosine"))
 
 
@@ -552,9 +554,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the exact bucket filter + re-rank; a unit test
     additionally pins the recall floor against brute force."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    if qrow is None:  # empty corpus -> empty result, declared schema
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
     top = vector.hyperplane_lsh_topk(
-        emb, "vec_id", "embedding", query, k=10, num_planes=4, probe_hamming=2,
+        emb, "vec_id", "embedding", qrow["embedding"], k=10, num_planes=4, probe_hamming=2,
         exclude_id=0,
     )
     return top.select("vec_id", derive.portable_round(F.col("cosine"), 4).alias("cosine"))
@@ -596,7 +600,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_raw = load_table(spark, sf_dir, "embeddings")
     emb = fan_out(emb_raw)
     queries = emb_raw.filter(F.col("vec_id") < 4)
-    dim = len(emb_raw.select("embedding").first()["embedding"])
+    drow = emb_raw.select("embedding").first()
+    if drow is None:  # empty corpus -> empty result, declared schema
+        return spark.createDataFrame(
+            [], "qid bigint, n_exact bigint, n_hits bigint, recall_at_10 double"
+        )
+    dim = len(drow["embedding"])
     exact = vector.cosine_topk_batch(
         emb, "vec_id", "embedding", queries, "vec_id", "embedding", k=10
     ).select("qid", "vec_id")
@@ -726,7 +735,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle (iterative centroid fit); recall floor pinned by unit
     test."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    if qrow is None:  # empty corpus -> empty result, declared schema
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
+    query = qrow["embedding"]
     if sf_dir not in _IVF_INDEX:
         _IVF_INDEX[sf_dir] = vector.ivf_build(
             emb, "vec_id", "embedding", num_centroids=16, iterations=2
@@ -1049,8 +1061,10 @@ def mm_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazy plan."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(multimodal.attach_binary(docs), dim=8)
-    qv = feats.filter(F.col("doc_id") == 0).first()["features"]
-    top = vector.cosine_topk(feats, "doc_id", "features", qv, k=10, exclude_id=0)
+    qrow = feats.filter(F.col("doc_id") == 0).first()
+    if qrow is None:  # empty corpus -> empty result, declared schema
+        return spark.createDataFrame([], "doc_id bigint, cosine double")
+    top = vector.cosine_topk(feats, "doc_id", "features", qrow["features"], k=10, exclude_id=0)
     return top.select("doc_id", derive.portable_round(F.col("cosine"), 4).alias("cosine"))
 
 

@@ -329,3 +329,26 @@ def test_aqe_splits_skewed_join_partitions(spark):
     assert rows == (250000 + 50000) * 50
     assert "skew=true" in plan, plan
     assert "skewed" in plan  # AQEShuffleRead split the hot partition
+
+
+def test_every_registered_query_survives_empty_tables(spark, tmp_path_factory):
+    """Cold-start robustness: every registry query must execute (not
+    crash) against structurally-identical EMPTY tables — the first-run /
+    fresh-partition regime. Found live: 7 queries crashed on a missing
+    query vector, empty centroid set, or zero-node graph; all now return
+    empty frames with their declared schema."""
+    import __spark_entry__ as entrymod
+
+    src = SF
+    empty_dir = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+        df.limit(0).write.parquet(os.path.join(empty_dir, f"{t}.parquet"))
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, empty_dir).collect()
+        except Exception as e:  # noqa: BLE001 — collecting ALL failures
+            failures[name] = str(e).split("\n")[0][:160]
+    assert not failures, failures
