@@ -549,6 +549,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         mart_queries.q22_dormant_rich_customers,
         mart_queries.Q22_SQL,
     ),
+    # r3 addition: fulfillment cycle-time analytics — per-priority mean +
+    # p50/p90 via the shared histogram-percentile operator
+    "order_cycle_time": (
+        mart_queries.order_cycle_time,
+        mart_queries.ORDER_CYCLE_SQL,
+    ),
     # r3 addition: the exists/not-exists multi-supplier wait shape —
     # completes the TPC-H join-shape sweep (q12's two-way conditional
     # count is already covered by q4 + pivot_multi_agg; the narrow schema

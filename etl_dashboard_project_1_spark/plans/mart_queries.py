@@ -642,3 +642,67 @@ FROM scored
 ORDER BY lift_raw DESC, brand_a ASC, brand_b ASC
 LIMIT 20
 """
+
+
+def order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment cycle-time analytics: days from order placement to
+    the LAST line shipment, summarized per order priority — count, mean
+    (exact ×100), and the p50/p90 thresholds from the shared
+    histogram-percentile operator (third call site; the cumulative
+    window runs over the bounded day-value histogram, never a per-
+    priority row sort). One fact⋈fact join on the order key reduced to
+    per-order cycle days, then priority-level aggregation."""
+    from ..operators import cleaning
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("_last_ship"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("_last_ship"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("days"),
+        )
+        .localCheckpoint(eager=False)  # feeds thresholds + the summary
+    )
+    _, th = cleaning.histogram_disc_percentiles(
+        per_order, "o_orderpriority", "days", {"p50_days": (50, 100), "p90_days": (90, 100)}
+    )
+    summary = per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("sum(days) * 100 DIV count(*)").alias("avg_days_x100"),
+        F.max("days").alias("max_days"),
+    )
+    return summary.join(th, "o_orderpriority").select(
+        "o_orderpriority", "n_orders", "avg_days_x100", "max_days", "p50_days", "p90_days"
+    )
+
+
+ORDER_CYCLE_SQL = """
+WITH per_order AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', o_orderdate, last_ship) AS BIGINT) AS days
+  FROM (SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1) s
+  JOIN orders ON l_orderkey = o_orderkey
+),
+h AS (SELECT o_orderpriority, days, count(*) AS c FROM per_order GROUP BY 1, 2),
+c AS (
+  SELECT o_orderpriority, days, c,
+         sum(c) OVER (PARTITION BY o_orderpriority ORDER BY days) AS cum,
+         sum(c) OVER (PARTITION BY o_orderpriority) AS n
+  FROM h
+),
+th AS (
+  SELECT o_orderpriority,
+         min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN days END) AS p50_days,
+         min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN days END) AS p90_days
+  FROM c GROUP BY 1
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(days) * 100 // count(*) AS BIGINT) AS avg_days_x100,
+       CAST(max(days) AS BIGINT) AS max_days, p50_days, p90_days
+FROM per_order JOIN th USING (o_orderpriority)
+GROUP BY 1, 5, 6
+"""
