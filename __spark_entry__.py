@@ -376,6 +376,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         timeseries_queries.position_attribution,
         timeseries_queries.POSITION_ATTRIB_SQL,
     ),
+    # r3 addition: sweep-line peak session concurrency (the capacity
+    # number) — +1/−1 boundaries, running sum over the reduced set
+    "session_peak_concurrency": (
+        timeseries_queries.session_peak_concurrency,
+        timeseries_queries.SESSION_PEAK_SQL,
+    ),
     # r3 addition: bigram conditional-LM scorer (next n-gram order above
     # the unigram filter; prefix-normalized conditionals)
     "text_bigram_logprob": (

@@ -1592,3 +1592,108 @@ SELECT touch_id, count(*) AS n_purchases,
        CAST(sum(cents * bp) AS BIGINT) AS credit_cents_x10000
 FROM b GROUP BY 1
 """
+
+
+def session_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: the maximum number of user sessions
+    (6 h gap rule, [start, end) half-open) simultaneously open, and the
+    first instant that peak is reached — the capacity number behind
+    connection pools and autoscaling floors.
+
+    Scale shape: sessions reduce from ONE user-keyed shuffle; the sweep
+    is +1/−1 boundary events ordered by (ts, delta) — ends before
+    starts at the same instant, so touching sessions never double-count
+    — with a running sum over the session-boundary-sized set (2 rows
+    per session, already reduced from the corpus; the global window
+    rides the documented reduced-set exemption). Output is one row of
+    exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > 21600 * 1_000_000)
+    ).cast("long")
+    sess = (
+        ev.withColumn("_new", is_new)
+        .withColumn(
+            "sid",
+            F.sum("_new").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+        )
+    )
+    bounds = sess.select(
+        F.col("start_us").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(sess.select(F.col("end_us").alias("t"), F.lit(-1).alias("delta")))
+    sweep = bounds.withColumn(
+        "running",
+        F.sum("delta").over(
+            Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    peak = sweep.agg(F.max("running").alias("peak_concurrent"))
+    first_at = (
+        sweep.join(F.broadcast(peak), F.col("running") == F.col("peak_concurrent"))
+        .agg(F.min("t").alias("_at_us"))
+    )
+    n = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        n.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(first_at))
+        .select(
+            "n_sessions",
+            "peak_concurrent",
+            F.date_format(
+                F.timestamp_micros(F.col("_at_us")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("first_peak_at"),
+        )
+    )
+
+
+SESSION_PEAK_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 21600 SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+         ts
+  FROM flagged
+),
+spans AS (
+  SELECT user_id, sid, min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+  FROM sess GROUP BY 1, 2
+),
+bounds AS (
+  SELECT start_us AS t, 1 AS delta FROM spans
+  UNION ALL
+  SELECT end_us AS t, -1 AS delta FROM spans
+),
+sweep AS (
+  SELECT t, delta,
+         sum(delta) OVER (ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM bounds
+),
+peak AS (SELECT CAST(max(running) AS BIGINT) AS peak_concurrent FROM sweep)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM spans) AS n_sessions,
+       peak_concurrent,
+       strftime(make_timestamp((SELECT min(t) FROM sweep, peak
+                                WHERE running = peak_concurrent)),
+                '%Y-%m-%d %H:%M:%S') AS first_peak_at
+FROM peak
+"""
