@@ -780,20 +780,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # (tests/test_oracle_parity.py + tools/driver_emulation.py).
 #
 # Round-4 window queue (in priority order): the 8 spill entries below,
-# dedup_minhash_lsh (changed in r3), then the ~45 queries added during
-# round 3 (from ohlc/decontaminate/ts_pattern through the late wave:
-# winsorize_event_values, layout_compaction_bins, bpe_merge_candidates,
-# emb_pca_variance_gate, emb_centroid_classifier_eval, skew_key_profile,
-# split_group_disjoint, table_checksum_daily, fd_violation_profile,
-# dedup_cluster_size_hist, stream_left_outer_join, retrieval_mrr_eval,
-# langid_eval_confusion, text_feature_hashing, inverted_index_build,
-# late_data_audit, session_path_mining, join_cardinality_estimate,
-# k_anonymity_audit, seasonal_naive_backtest, ri_audit_all_edges,
-# value_drift_tv, column_encoding_advisor, cusum_rate_shift,
-# rolling_median_values, variant_props_extract, udtf_sentence_stats,
-# pandas_udaf_value_iqr) — more r3 additions than one 50-slot window holds, so
-# the tail spills to round 5; all are green in the full-registry local
-# sweep at sf0.01 and sf0.1 meanwhile.
+# dedup_minhash_lsh (changed in r3), then the ~60 queries added during
+# round 3 — the full list is every `# r3 addition:` entry in _REGISTRY
+# plus the README round-3 log; more than one 50-slot window holds, so
+# the tail spills to round 5. All are green in the full-registry local
+# sweep at BOTH sf0.01 and sf0.1 meanwhile (tools/driver_emulation.py),
+# so the external check is confirmation, not discovery.
 _ROUND3_FRONT: list[str] = [
     # 49 never-driver-checked entries, in prior registry order
     "ohlc_hourly_bars",
