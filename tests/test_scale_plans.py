@@ -178,6 +178,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "split_group_disjoint",            # 1-row leak-count broadcast
         "retrieval_mrr_eval",              # sim_batch_topk core (broadcast query batch)
         "ri_audit_all_edges",              # 1-row orphan-count broadcasts per edge
+        "session_peak_concurrency",        # 1-row peak/first-instant broadcasts
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
