@@ -49,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("query")
     ex.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
 
+    ver = sub.add_parser(
+        "verify", help="run a query AND its DuckDB oracle, compare results"
+    )
+    ver.add_argument("query")
+    ver.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+
     args = p.parse_args(argv)
     entry = _load_registry()
     registry = entry.queries()
@@ -66,6 +72,21 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"cli:{args.query}")
     t0 = time.time()
+
+    if args.cmd == "verify":
+        oracles = entry.oracle_sql()
+        if args.query not in oracles:
+            print(f"{args.query}: no SQL oracle (rows-only query); running it instead")
+            n = registry[args.query](spark, args.sf_dir).count()
+            print(f"OK rows={n} ({time.time() - t0:.2f}s)")
+            return 0
+        from tests.oracle_harness import compare  # repo-root harness
+
+        ok, msg = compare(spark, registry[args.query], oracles[args.query], args.sf_dir)
+        print(f"{args.query}: {'MATCH' if ok else 'MISMATCH'} — {msg} "
+              f"({time.time() - t0:.2f}s)")
+        return 0 if ok else 1
+
     df = registry[args.query](spark, args.sf_dir)
 
     if args.cmd == "explain":
