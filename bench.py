@@ -6,6 +6,25 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Each query is forced end-to-end with the noop sink (full evaluation,
 JVM-side, no driver materialization) so timings measure the plan, not
 collect serialization.
+
+Variance defenses (r4 — BENCH_r03 showed unchanged trivial queries
+swinging 2x on box load, making the artifact unable to distinguish a
+real regression from noise):
+  * one untimed warmup pass (JVM one-time costs: codegen compiles,
+    broadcast pool, Arrow allocators — amortized on a real cluster),
+  * N_PASSES timed passes INTERLEAVED over the whole query list (a load
+    spike hits one pass of many queries, not every rep of one query),
+  * per-query "spread" [min, median, max] across passes in the output,
+  * a fixed CALIBRATION job (constant JVM-side work, no repo code) timed
+    once per pass — if calibration swings, the box was loaded and
+    cross-round deltas of similar size are noise by the artifact's own
+    evidence,
+  * "extra" timings for alternate operator forms that are NOT part of
+    the headline total (dedup_minhash_lsh hashed=True — the operator's
+    scale default; the registered bench form is the measured-fastest
+    local form, hashed=False — see plans/extension_queries.py).
+"value" remains sum of per-query minimums over the same 15 queries, so
+totals stay comparable with BENCH_r01..r03.
 """
 
 from __future__ import annotations
@@ -13,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -22,6 +42,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 from etl_dashboard_project_1_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
 # headline set: scan-agg, join-heavy, window, fuzzy, dedup sketches, text,
 # vector search, streaming-shaped — one per operator family
@@ -48,6 +69,34 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _extra_queries(spark, sf_dir):
+    """Alternate forms measured but excluded from the headline total."""
+    from pyspark.sql import functions as F
+
+    from etl_dashboard_project_1_spark.operators import dedup, derive
+    from etl_dashboard_project_1_spark.session import fan_out, load_table
+
+    def minhash_hashed(spark, sf_dir):
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=8, band_size=2,
+            threshold=0.2, reuse="checkpoint", hashed=True,
+        )
+        return pairs.select(
+            "id_a", "id_b", derive.portable_round(F.col("jaccard"), 4).alias("jaccard")
+        )
+
+    return {"dedup_minhash_lsh_hashed": minhash_hashed}
+
+
+def _calibrate(spark) -> float:
+    """Fixed JVM-side probe: constant work, zero repo code, no shuffle
+    variance — wall-clock changes here are box load, nothing else."""
+    t0 = time.perf_counter()
+    force(spark.range(0, 100_000_000, 1, 32).selectExpr("sum(id % 97) AS s"))
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -71,26 +120,34 @@ def main() -> None:
     )
 
     registry = entrymod.queries()
-    # Warmup pass: run every headline query once untimed. First execution
-    # pays one-time JVM costs (whole-stage-codegen janino compiles,
-    # broadcast thread-pool init, Arrow allocator setup) that a long-lived
-    # cluster amortizes across thousands of queries; the timed pass below
-    # measures sustained per-query cost, which is what scales.
+    extras = _extra_queries(spark, SF_DIR)
+
+    # warmup: every query (headline + extras) once, untimed
     for name in HEADLINE:
         force(registry[name](spark, SF_DIR))
+    for fn in extras.values():
+        force(fn(spark, SF_DIR))
+    _calibrate(spark)
 
-    # best-of-2 timed passes: a single pass is hostage to transient
-    # machine load; the min is the query's sustained cost
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry[name]
-        best = float("inf")
-        for _ in range(2):
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    extra_samples: dict[str, list[float]] = {n: [] for n in extras}
+    calibration: list[float] = []
+    for _ in range(N_PASSES):
+        calibration.append(_calibrate(spark))
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            force(registry[name](spark, SF_DIR))
+            samples[name].append(time.perf_counter() - t0)
+        for name, fn in extras.items():
             t0 = time.perf_counter()
             force(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            extra_samples[name].append(time.perf_counter() - t0)
 
+    timings = {n: round(min(v), 3) for n, v in samples.items()}
+    spread = {
+        n: [round(min(v), 3), round(statistics.median(v), 3), round(max(v), 3)]
+        for n, v in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -100,6 +157,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "passes": N_PASSES,
+                "spread": spread,
+                "calibration_sec": calibration,
+                "extra": {n: round(min(v), 3) for n, v in extra_samples.items()},
             }
         )
     )
