@@ -715,42 +715,56 @@ def column_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLAIN vs DICT pages. Code width is ceil(log2(ndv)) computed as
     length(bin(ndv-1)) — pure integer arithmetic, no engine log2.
 
-    One groupBy per column on its own table (value histograms are
-    value-space-bounded); six 1-row summaries union into the report."""
-    parts = []
+    Shared-scan shape (adopted after the r4 A/B,
+    tools/diag_shared_scan.py): each table is scanned ONCE and its
+    candidate columns unpivot via stack(); the streams union and a
+    single groupBy(column_name, v) histogram feeds one keyed summary
+    aggregate — 2 exchanges total vs 12 for six independent per-column
+    jobs (measured 0.35 s vs 0.47 s at sf0.1; both shuffles are
+    value-space-bounded, so the fused form also wins at scale where
+    scan cost dominates)."""
+    by_table: dict[str, list[tuple[str, str]]] = {}
     for label, table, col in ENC_COLUMNS:
-        t = load_table(spark, sf_dir, table)
-        h = t.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
-        parts.append(
-            h.agg(
-                F.lit(label).alias("column_name"),
-                F.sum("c").alias("n_rows"),
-                F.count(F.lit(1)).alias("ndv"),
-                F.sum(F.col("c") * F.octet_length("v")).alias("raw_bytes"),
-                F.sum(F.octet_length("v")).alias("dict_bytes"),
-            ).select(
-                "column_name",
-                "n_rows",
-                "ndv",
-                "raw_bytes",
-                "dict_bytes",
-                F.expr(
-                    "CASE WHEN ndv >= 2 THEN length(bin(ndv - 1)) ELSE 1 END"
-                ).cast("long").alias("code_bits"),
-            ).select(
-                "*",
-                F.expr("(n_rows * code_bits + 7) DIV 8").alias("code_bytes"),
-            ).select(
-                "*",
-                F.expr(
-                    "raw_bytes * 10000 DIV (dict_bytes + code_bytes)"
-                ).alias("ratio_bp"),
+        by_table.setdefault(table, []).append((label, col))
+    streams = []
+    for table, cols in by_table.items():
+        exprs = ", ".join(f"'{label}', {col}" for label, col in cols)
+        streams.append(
+            load_table(spark, sf_dir, table).select(
+                F.expr(f"stack({len(cols)}, {exprs}) AS (column_name, v)")
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    u = streams[0]
+    for s in streams[1:]:
+        u = u.unionByName(s)
+    h = u.groupBy("column_name", "v").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        h.groupBy("column_name")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("ndv"),
+            F.sum(F.col("c") * F.octet_length("v")).alias("raw_bytes"),
+            F.sum(F.octet_length("v")).alias("dict_bytes"),
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            "ndv",
+            "raw_bytes",
+            "dict_bytes",
+            F.expr("CASE WHEN ndv >= 2 THEN length(bin(ndv - 1)) ELSE 1 END")
+            .cast("long")
+            .alias("code_bits"),
+        )
+        .select(
+            "*",
+            F.expr("(n_rows * code_bits + 7) DIV 8").alias("code_bytes"),
+        )
+        .select(
+            "*",
+            F.expr("raw_bytes * 10000 DIV (dict_bytes + code_bytes)").alias("ratio_bp"),
+        )
+    )
 
 
 ENCODING_ADVISOR_SQL = "\nUNION ALL\n".join(
