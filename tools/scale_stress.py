@@ -71,6 +71,19 @@ QUERIES = [
     "winsorize_event_values",
     "bpe_merge_candidates",
     "emb_pca_variance_gate",
+    # retrieval/eval family (r4): every query set is FIXED (vec_id/doc_id
+    # below a small constant — only copy 0 qualifies after key shifting),
+    # so replication grows the corpus side 10x while the request side
+    # stays constant: the exact asymmetry the broadcast-probe scale shape
+    # claims to handle. inverted_index stresses the one (token, doc)
+    # shuffle with capped posting assembly (replicated twins saturate the
+    # >=2-docs filter, so its output grows with the vocabulary, not rows).
+    "bm25_retrieval_topk",
+    "retrieval_rrf_fusion",
+    "ann_recall_eval",
+    "retrieval_mrr_eval",
+    "inverted_index_build",
+    "contrastive_hard_negatives",
 ]
 
 
