@@ -31,6 +31,7 @@ from etl_dashboard_project_1_spark.plans import (
     profile_queries,
     streaming_queries,
     timeseries_queries,
+    training_queries,
 )
 
 
@@ -763,6 +764,27 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "mm_image_meta": (extension_queries.mm_image_meta, extension_queries.MM_IMAGE_META_SQL),
     "mm_feature_topk": (extension_queries.mm_feature_topk, extension_queries.MM_FEATURE_TOPK_SQL),
     "mm_frame_sample": (extension_queries.mm_frame_sample, extension_queries.MM_FRAME_SAMPLE_SQL),
+    # r4 additions: training-data ordering / mixture / split planning
+    "epoch_shuffle_order": (
+        training_queries.epoch_shuffle_order,
+        training_queries.EPOCH_SHUFFLE_SQL,
+    ),
+    "dedup_source_matrix": (
+        training_queries.dedup_source_matrix,
+        training_queries.DEDUP_SOURCE_MATRIX_SQL,
+    ),
+    "emb_pair_cosine_hist": (
+        training_queries.emb_pair_cosine_hist,
+        training_queries.EMB_PAIR_COSINE_HIST_SQL,
+    ),
+    "mixture_epoch_plan": (
+        training_queries.mixture_epoch_plan,
+        training_queries.MIXTURE_EPOCH_PLAN_SQL,
+    ),
+    "stratified_kfold_assign": (
+        training_queries.stratified_kfold_assign,
+        training_queries.STRATIFIED_KFOLD_SQL,
+    ),
 }
 
 
@@ -857,7 +879,12 @@ _ROUND5_QUEUE: list[str] = [
     "stream_left_outer_join",
     "approx_quantiles_value_gate",
     "split_group_disjoint",
-    # r4 additions append here
+    # r4 additions (behind every never-checked entry, per the queue rule)
+    "epoch_shuffle_order",
+    "dedup_source_matrix",
+    "emb_pair_cosine_hist",
+    "mixture_epoch_plan",
+    "stratified_kfold_assign",
 ]
 
 _FRONT = _ROUND4_FRONT + _ROUND5_QUEUE
