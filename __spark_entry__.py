@@ -85,6 +85,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         dashboard_queries.q4_priority_with_late_lines,
         dashboard_queries.Q4_SQL,
     ),
+    "q12_latency_priority_mix": (
+        dashboard_queries.q12_latency_priority_mix,
+        dashboard_queries.Q12_SQL,
+    ),
     "unpivot_lineitem_measures": (
         dashboard_queries.unpivot_lineitem_measures,
         dashboard_queries.UNPIVOT_SQL,
@@ -885,6 +889,7 @@ _ROUND5_QUEUE: list[str] = [
     "emb_pair_cosine_hist",
     "mixture_epoch_plan",
     "stratified_kfold_assign",
+    "q12_latency_priority_mix",
 ]
 
 _FRONT = _ROUND4_FRONT + _ROUND5_QUEUE

@@ -493,6 +493,53 @@ GROUP BY o_orderpriority
 """
 
 
+def q12_latency_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shape on the available columns (the synthetic lineitem
+    has no shipmode/commitdate, so the grouping key is the ship-latency
+    bucket instead of l_shipmode): per bucket of days from order to
+    ship (0-30 / 31-60 / 61+), how many lines belong to high-priority
+    orders (1-URGENT / 2-HIGH) vs low — the same join + dual
+    conditional-sum aggregation Q12 exercises.
+
+    Scale shape: one equi-join lineitem⋈orders on the order key (both
+    sides big — shuffle join is correct), bucket derivation is map-side,
+    and the aggregate is 3 groups with partial aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lat <= 30, F.lit("0-30"))
+        .when(lat <= 60, F.lit("31-60"))
+        .otherwise(F.lit("61+"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(bucket.alias("ship_bucket"), high.alias("_h"))
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.col("_h").cast("long")).alias("high_line_count"),
+            F.sum((~F.col("_h")).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30'
+            WHEN datediff('day', o_orderdate, l_shipdate) <= 60 THEN '31-60'
+            ELSE '61+' END AS ship_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-scalar-subquery shape (TPC-H q17): lineitems below 20%
     of their part's average quantity. Decorrelated the way Catalyst wants
