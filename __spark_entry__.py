@@ -643,6 +643,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_queries.stream_left_outer_join,
         streaming_queries.STREAM_LEFT_JOIN_SQL,
     ),
+    "stream_upsert_latest": (
+        streaming_queries.stream_upsert_latest,
+        streaming_queries.STREAM_UPSERT_LATEST_SQL,
+    ),
     "pagerank_supplier_part": (
         graph_queries.pagerank_supplier_part,
         graph_queries.PAGERANK_SQL,
@@ -890,6 +894,7 @@ _ROUND5_QUEUE: list[str] = [
     "mixture_epoch_plan",
     "stratified_kfold_assign",
     "q12_latency_priority_mix",
+    "stream_upsert_latest",
 ]
 
 _FRONT = _ROUND4_FRONT + _ROUND5_QUEUE

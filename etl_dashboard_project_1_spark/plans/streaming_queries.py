@@ -230,3 +230,56 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON e.user_id = p.user_id
  AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
 """
+
+
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed MERGE gated as a REAL stream: the event stream
+    drives ``foreach_batch_upsert`` in its conditional ``max_order``
+    resolve mode (an existing key's row is replaced only by a greater
+    event time, ties broken on event_id), so the final materialized
+    table is each user's LATEST event — a pure function of the event
+    set, independent of micro-batch boundaries or arrival order. That
+    independence is exactly what lets a batch oracle check a streaming
+    sink; multi-batch and out-of-order delivery are exercised in
+    tests/test_streaming.py with a split file source.
+
+    Scale shape: per batch, one window over (previous ∪ batch) keyed by
+    user — on a lakehouse table this is a true keyed MERGE; the
+    parquet-rewrite form here is the portable fallback. Final state is
+    |users|-bounded."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    target = os.path.join(tempfile.gettempdir(), f"upsert_latest_{uuid.uuid4().hex}")
+    q = jobs.foreach_batch_upsert(
+        jobs.read_events_stream(spark, sf_dir),
+        target,
+        key="user_id",
+        order_col="ts",
+        resolve="max_order",
+        tiebreak_col="event_id",
+    )
+    q.stop()
+    out = (
+        spark.read.parquet(target)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_type",
+            F.col("value"),
+        )
+        .localCheckpoint(eager=True)  # detach from the tmp files before cleanup
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    return out
+
+
+STREAM_UPSERT_LATEST_SQL = """
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""

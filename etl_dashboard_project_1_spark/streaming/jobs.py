@@ -273,7 +273,12 @@ def error_purchase_left_interval_join(
 
 
 def foreach_batch_upsert(
-    stream_df: DataFrame, target_dir: str, key: str, order_col: str | None = None
+    stream_df: DataFrame,
+    target_dir: str,
+    key: str,
+    order_col: str | None = None,
+    resolve: str = "replace",
+    tiebreak_col: str | None = None,
 ):
     """Incremental streaming sink: every micro-batch is MERGEd into a
     parquet target (new keys inserted, existing keys replaced) via
@@ -286,8 +291,23 @@ def foreach_batch_upsert(
     when one micro-batch carries several rows per key, the row with the
     greatest ``order_col`` (a version/event-time column) wins. Without
     it, ``dropDuplicates`` keeps an arbitrary row — fine for
-    at-most-once-per-key sources, wrong for rapid updates."""
+    at-most-once-per-key sources, wrong for rapid updates.
+
+    ``resolve`` governs CROSS-batch conflicts: ``"replace"`` (default)
+    is last-batch-wins — right when the source is an ordered changelog.
+    ``"max_order"`` is a conditional MERGE: an existing key's row is
+    only replaced when the incoming ``order_col`` is greater (ties
+    break on ``tiebreak_col`` descending) — right when micro-batches
+    may deliver rows out of event-time order, and what makes the final
+    table a pure function of the event set (the streaming-vs-batch
+    equality the oracle gate checks)."""
     import os
+
+    order_cols = (
+        [F.desc(order_col)] + ([F.desc(tiebreak_col)] if tiebreak_col else [])
+        if order_col is not None
+        else None
+    )
 
     def do_upsert(batch_df: DataFrame, batch_id: int):
         from pyspark.sql import Window
@@ -295,8 +315,8 @@ def foreach_batch_upsert(
         spark = batch_df.sparkSession
         # a micro-batch can carry several rows per key (rapid updates);
         # keep exactly one so the merged target never holds duplicates
-        if order_col is not None:
-            w = Window.partitionBy(key).orderBy(F.desc(order_col))
+        if order_cols is not None:
+            w = Window.partitionBy(key).orderBy(*order_cols)
             batch_df = (
                 batch_df.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
@@ -306,9 +326,18 @@ def foreach_batch_upsert(
             batch_df = batch_df.dropDuplicates([key])
         if os.path.exists(target_dir):
             current = spark.read.parquet(target_dir)
-            merged = batch_df.unionByName(current.join(
-                batch_df.select(key), on=key, how="left_anti"
-            ))
+            if resolve == "max_order" and order_cols is not None:
+                w = Window.partitionBy(key).orderBy(*order_cols)
+                merged = (
+                    batch_df.unionByName(current)
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+            else:
+                merged = batch_df.unionByName(current.join(
+                    batch_df.select(key), on=key, how="left_anti"
+                ))
         else:
             merged = batch_df
         merged.write.mode("overwrite").format("parquet").save(target_dir + "__new")

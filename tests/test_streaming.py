@@ -149,6 +149,74 @@ def test_foreach_batch_upsert_latest_wins(spark, tmp_path):
     assert got == {1: (2, "new"), 2: (7, "only")}
 
 
+def test_foreach_batch_upsert_max_order_out_of_order_batches(spark, tmp_path):
+    """resolve='max_order': a LATER micro-batch carrying an EARLIER
+    version must NOT clobber the target (conditional MERGE), and ties on
+    the order column break on the tiebreak column — so the final table
+    is a pure function of the row set, independent of batching. Two
+    files with maxFilesPerTrigger=1 force two out-of-order batches."""
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "src")
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("payload", T.StringType()),
+    ])
+    # batch files named so the file source lists b1 before b2
+    spark.createDataFrame(
+        [(1, 5, 10, "newer"), (2, 3, 20, "tie-low")], schema
+    ).coalesce(1).write.parquet(src + "/b1=a")
+    spark.createDataFrame(
+        [(1, 4, 11, "stale"), (2, 3, 21, "tie-high"), (3, 1, 30, "fresh-key")],
+        schema,
+    ).coalesce(1).write.parquet(src + "/b1=b")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "tgt")
+    q = jobs.foreach_batch_upsert(
+        stream, target, key="k", order_col="version",
+        resolve="max_order", tiebreak_col="seq",
+    )
+    q.stop()
+    got = {r["k"]: (r["version"], r["payload"])
+           for r in spark.read.parquet(target).select("k", "version", "payload").collect()}
+    assert got == {1: (5, "newer"), 2: (3, "tie-high"), 3: (1, "fresh-key")}
+
+
+def test_stream_upsert_latest_matches_batch_argmax(spark):
+    """The registered streaming-MERGE gate: the materialized final table
+    equals the batch latest-event-per-user argmax."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_dashboard_project_1_spark.plans import streaming_queries as sq
+
+    got = sorted(map(tuple, sq.stream_upsert_latest(spark, SF).collect()))
+    ev = load_table(spark, SF, "events")
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = sorted(
+        map(
+            tuple,
+            ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                "event_type",
+                "value",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_foreach_batch_dedup_ingest_across_batches(spark, tmp_path):
     """Cross-batch dedup: a fingerprint admitted in batch 1 blocks every
     later duplicate; within a batch the smallest id wins."""
