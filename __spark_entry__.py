@@ -793,6 +793,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         training_queries.stratified_kfold_assign,
         training_queries.STRATIFIED_KFOLD_SQL,
     ),
+    "dedup_incremental_minhash": (
+        extension_queries.dedup_incremental_minhash,
+        extension_queries.DEDUP_INCREMENTAL_MINHASH_SQL,
+    ),
 }
 
 
@@ -895,6 +899,7 @@ _ROUND5_QUEUE: list[str] = [
     "stratified_kfold_assign",
     "q12_latency_priority_mix",
     "stream_upsert_latest",
+    "dedup_incremental_minhash",
 ]
 
 _FRONT = _ROUND4_FRONT + _ROUND5_QUEUE

@@ -637,3 +637,65 @@ def duplicated_spans(
         )
         .select(F.col("_id").alias(id_col), "span_start", "span_end", "span_tokens", "n_grams")
     )
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.2,
+    hashed: bool = True,
+) -> DataFrame:
+    """Incremental near-dup admission — the PRODUCTION dedup shape: an
+    incoming batch is checked against the EXISTING corpus, not against
+    itself (``minhash_lsh_pairs`` is the one-shot self-join form; a
+    pipeline ingesting continuously runs this instead, with the corpus
+    band table maintained as an index — see
+    ``streaming.jobs.foreach_batch_lsh_ingest`` for the streaming
+    admission variant of the same idea).
+
+    Candidates are (new-band ⋈ corpus-band) bucket collisions — an
+    equi-join whose LEFT side is batch-sized, so cost tracks the batch,
+    never the corpus squared; verification intersects the two sides'
+    shingle sets per candidate. Returns (new_id, dup_of, jaccard ≥
+    threshold)."""
+    ss_new = shingle_sets(new_df, id_col, text_col, k, hashed=hashed)
+    ss_cor = shingle_sets(corpus_df, id_col, text_col, k, hashed=hashed)
+    bn = minhash_band_table(
+        new_df, id_col, text_col, k, num_hashes, band_size,
+        shingle_sets_df=ss_new, hashed=hashed,
+    )
+    bc = minhash_band_table(
+        corpus_df, id_col, text_col, k, num_hashes, band_size,
+        shingle_sets_df=ss_cor, hashed=hashed,
+    )
+    candidates = (
+        bn.alias("a")
+        .join(
+            bc.alias("b"),
+            (F.col("a._band") == F.col("b._band")) & (F.col("a._bh") == F.col("b._bh")),
+        )
+        .select(F.col("a._id").alias("new_id"), F.col("b._id").alias("dup_of"))
+        .distinct()
+    )
+    left = ss_new.select(
+        F.col("_id").alias("new_id"), F.col("_sh").alias("_sha"), F.col("_n").alias("_na")
+    )
+    right = ss_cor.select(
+        F.col("_id").alias("dup_of"), F.col("_sh").alias("_shb"), F.col("_n").alias("_nb")
+    )
+    shared = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    return (
+        candidates.join(left, "new_id")
+        .join(right, "dup_of")
+        .select(
+            "new_id",
+            "dup_of",
+            (shared / (F.col("_na") + F.col("_nb") - shared)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -2704,3 +2704,74 @@ SELECT event_type,
 FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
 GROUP BY 1
 """
+
+
+# --- incremental MinHash dedup (batch vs corpus) ----------------------------
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape: an incoming BATCH (here the docs with
+    doc_id % 7 == 3 — a deterministic ~14% slice) checked against the
+    EXISTING corpus (everything else) via the banded minhash index —
+    never a self-join over the whole corpus. See
+    ``dedup.minhash_incremental_pairs`` for the scale argument; the
+    one-shot self-join form is ``dedup_minhash_lsh``."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    pairs = dedup.minhash_incremental_pairs(
+        batch, corpus, "doc_id", "text",
+        k=3, num_hashes=8, band_size=2, threshold=0.2, hashed=False,
+    )
+    return pairs.select(
+        "new_id", "dup_of", derive.portable_round(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
+# Same engine-portable minhash mirror as DEDUP_MINHASH_SQL (gram strings
+# md5'd once; md5-mixed multipliers; band hash = md5 of the in-band
+# minhashes), with the candidate join restricted to batch x corpus and
+# the verification pairs likewise unordered across the two sets.
+DEDUP_INCREMENTAL_MINHASH_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+params AS (
+  SELECT i,
+         ((('0x' || substr(md5(i::VARCHAR), 1, 8))::BIGINT % 1073741824) | 1) AS a,
+         (7919 * i + 13)::BIGINT AS b
+  FROM range(8) t(i)
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hs FROM sh
+),
+sig AS (
+  SELECT doc_id, i, min((a * hs + b) % 4294967311) AS m
+  FROM hashed, params GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band,
+         md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bh
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS dup_of, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT new_id, dup_of, shared / (sa.n + sb.n - shared)::DOUBLE AS jaccard
+  FROM pairs JOIN sz sa ON new_id = sa.doc_id JOIN sz sb ON dup_of = sb.doc_id
+)
+SELECT j.new_id, j.dup_of, floor(j.jaccard * 10000 + 0.5) / 10000 AS jaccard
+FROM jac j JOIN cand c ON j.new_id = c.new_id AND j.dup_of = c.dup_of
+WHERE j.jaccard >= 0.2
+"""
+)

@@ -1073,3 +1073,27 @@ def test_position_attribution_conserves_credit(spark):
     )
     total_bp = position_attribution(spark, SF).agg(F.sum("sum_bp")).first()[0]
     assert total_bp == 10000 * n_attr
+
+
+def test_incremental_minhash_equals_cross_set_slice_of_self_join(spark):
+    """The incremental (batch vs corpus) pipeline must find exactly the
+    self-join pairs that span the two sets — same banding, same
+    threshold, so the admission path loses nothing the one-shot
+    pipeline would catch."""
+    docs = load_table(spark, SF, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    incr = {
+        frozenset((r["new_id"], r["dup_of"]))
+        for r in dedup.minhash_incremental_pairs(
+            batch, corpus, "doc_id", "text", threshold=0.2, hashed=False
+        ).collect()
+    }
+    full = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.2, hashed=False
+        ).collect()
+        if (r["id_a"] % 7 == 3) != (r["id_b"] % 7 == 3)
+    }
+    assert incr == full
