@@ -738,14 +738,23 @@ def column_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in streams[1:]:
         u = u.unionByName(s)
     h = u.groupBy("column_name", "v").agg(F.count(F.lit(1)).alias("c"))
+    # left-join from the config-sized label list so an EMPTY table still
+    # yields its columns' rows (ndv 0, NULL byte stats) — the per-column
+    # agg-without-groupBy form and the UNION-ALL oracle both do; a bare
+    # groupBy would silently drop them
+    labels = spark.createDataFrame([(label,) for label, _t, _c in ENC_COLUMNS], ["column_name"])
     return (
-        h.groupBy("column_name")
-        .agg(
-            F.sum("c").alias("n_rows"),
-            F.count(F.lit(1)).alias("ndv"),
-            F.sum(F.col("c") * F.octet_length("v")).alias("raw_bytes"),
-            F.sum(F.octet_length("v")).alias("dict_bytes"),
+        labels.join(
+            h.groupBy("column_name").agg(
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("ndv"),
+                F.sum(F.col("c") * F.octet_length("v")).alias("raw_bytes"),
+                F.sum(F.octet_length("v")).alias("dict_bytes"),
+            ),
+            "column_name",
+            "left",
         )
+        .withColumn("ndv", F.coalesce(F.col("ndv"), F.lit(0)))
         .select(
             "column_name",
             "n_rows",

@@ -16,8 +16,9 @@ training run.
 
 All pure DataFrame plans over the md5 wheel (cross-engine-exact
 "randomness"); every aggregate that feeds a comparison is integer
-arithmetic (x100 / x10000 / bp scalings), so the oracles hash-match
-without float tolerance.
+arithmetic (x100 / x10000 / bp scalings) past at most one house-standard
+``floor(x * 10^k + 0.5)`` rounding of a float input, so the oracles
+hash-match without float tolerance.
 """
 
 from __future__ import annotations
@@ -71,13 +72,17 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EPOCH_KEY = _MD5_BIGINT.format(expr="e.epoch::VARCHAR || ':' || doc_id::VARCHAR")
 
+# epoch list generated from EPOCHS so the oracle can never drift from the
+# Spark loop when the constant changes
+_EPOCH_LIST = " UNION ALL ".join(f"SELECT {ep} AS epoch" for ep in range(EPOCHS))
+
 EPOCH_SHUFFLE_SQL = f"""
 SELECT epoch, position, doc_id FROM (
   SELECT e.epoch, doc_id,
          CAST(row_number() OVER (
            PARTITION BY e.epoch ORDER BY {_EPOCH_KEY}, doc_id
          ) AS BIGINT) AS position
-  FROM documents CROSS JOIN (SELECT 0 AS epoch UNION ALL SELECT 1) e
+  FROM documents CROSS JOIN ({_EPOCH_LIST}) e
 )
 WHERE position <= {EPOCH_TOPN}
 """
@@ -143,14 +148,24 @@ def emb_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut-off keep?" so the dedup threshold is chosen from data, not
     guessed. Same candidate generator (and cost) as the registered
     near-dup query; only the post-cosine filter differs, and the output
-    is bin-bounded (≤ 80 rows at any corpus size)."""
+    is bin-bounded (cosine ∈ [-1, 1] at 0.05 width → at most 41 bins at
+    any corpus size).
+
+    Binning is integer-exact past the ONE house-standard float step:
+    cosine rounds once via floor(c*10000 + 0.5) — the same boundary
+    class as every portable_round in the repo and the near-dup ≥ 0.4
+    threshold, swept at two SFs — then the bin index is pure
+    non-negative integer division (shifted by +10000 first, because
+    Spark's DIV truncates toward zero while DuckDB's // floors, and the
+    two disagree on negatives)."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     pairs = vector.cosine_pairs_blocked(
         emb, "vec_id", "embedding", threshold=-2.0, num_planes=32, band_size=4
     )
+    cx = F.floor(F.col("cosine") * 10000 + F.lit(0.5)).cast("long")
     return (
         pairs.select(
-            (F.floor(F.col("cosine") * 20) * 5).cast("long").alias("bin_lo_x100")
+            (((cx + 10000) / 500).cast("long") * 5 - 100).alias("bin_lo_x100")
         )
         .groupBy("bin_lo_x100")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -176,7 +191,8 @@ cos AS (
   JOIN embeddings ea ON ea.vec_id = cand.id_a
   JOIN embeddings eb ON eb.vec_id = cand.id_b
 )
-SELECT CAST(floor(c * 20) * 5 AS BIGINT) AS bin_lo_x100,
+SELECT CAST((CAST(floor(c * 10000 + 0.5) AS BIGINT) + 10000) // 500 * 5 - 100
+            AS BIGINT) AS bin_lo_x100,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM cos GROUP BY 1
 """

@@ -303,6 +303,12 @@ def foreach_batch_upsert(
     equality the oracle gate checks)."""
     import os
 
+    if resolve not in ("replace", "max_order"):
+        raise ValueError(f"unknown resolve mode {resolve!r}")
+    if resolve == "max_order" and order_col is None:
+        # silently falling back to replace would let an out-of-order batch
+        # clobber newer rows — the exact corruption this mode exists to stop
+        raise ValueError("resolve='max_order' requires order_col")
     order_cols = (
         [F.desc(order_col)] + ([F.desc(tiebreak_col)] if tiebreak_col else [])
         if order_col is not None

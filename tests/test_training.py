@@ -86,3 +86,33 @@ def test_source_matrix_counts_match_pair_list(spark):
     assert matrix.agg(F.sum("n_pairs")).first()[0] == total_pairs
     # unordered normalization held
     assert matrix.filter(F.col("source_a") > F.col("source_b")).count() == 0
+
+
+def test_upsert_resolve_guards(spark):
+    """Misconfigured resolve modes must raise, not silently degrade to
+    last-batch-wins (which would let stale batches clobber newer rows)."""
+    import pytest
+
+    from etl_dashboard_project_1_spark.streaming import jobs
+
+    s = jobs.read_events_stream(spark, SF)
+    with pytest.raises(ValueError, match="unknown resolve"):
+        jobs.foreach_batch_upsert(s, "/tmp/never", key="user_id", resolve="max-order")
+    with pytest.raises(ValueError, match="requires order_col"):
+        jobs.foreach_batch_upsert(s, "/tmp/never", key="user_id", resolve="max_order")
+
+
+def test_encoding_advisor_emits_rows_for_empty_tables(spark, tmp_path):
+    """The fused shared-scan form must keep the per-column report row
+    even when a source table is empty (ndv 0, NULL byte stats) — the
+    UNION-ALL oracle and the old per-column form both do."""
+    from etl_dashboard_project_1_spark.plans.profile_queries import (
+        ENC_COLUMNS, column_encoding_advisor)
+
+    for t in {table for _l, table, _c in ENC_COLUMNS}:
+        (spark.read.parquet(f"{SF}/{t}.parquet").limit(0)
+         .write.mode("overwrite").parquet(str(tmp_path / f"{t}.parquet")))
+    rows = column_encoding_advisor(spark, str(tmp_path)).collect()
+    assert len(rows) == len(ENC_COLUMNS)
+    assert all(r["ndv"] == 0 and r["n_rows"] is None and r["code_bits"] == 1
+               for r in rows)
