@@ -797,6 +797,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.dedup_incremental_minhash,
         extension_queries.DEDUP_INCREMENTAL_MINHASH_SQL,
     ),
+    "dedup_containment": (
+        extension_queries.dedup_containment,
+        extension_queries.DEDUP_CONTAINMENT_SQL,
+    ),
 }
 
 
@@ -900,6 +904,7 @@ _ROUND5_QUEUE: list[str] = [
     "q12_latency_priority_mix",
     "stream_upsert_latest",
     "dedup_incremental_minhash",
+    "dedup_containment",
 ]
 
 _FRONT = _ROUND4_FRONT + _ROUND5_QUEUE

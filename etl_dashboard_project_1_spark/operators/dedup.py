@@ -699,3 +699,88 @@ def minhash_incremental_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Directed near-containment pairs: |A∩B| / |A| ≥ threshold over word
+    k-gram shingle sets — the "document A is mostly a snippet of B"
+    detector. Jaccard-based near-dup structurally MISSES this case (a
+    small doc fully inside a big one has Jaccard |A|/|B| → 0), which is
+    why corpus pipelines run containment as its own pass to drop quoted
+    excerpts and boilerplate-wrapped copies.
+
+    Scale shape: the probe side joins only each doc's PREFIX shingles —
+    under any fixed global order (df ascending here, so prefixes hold
+    the RAREST grams), a pair with overlap ≥ ⌈t·|A|⌉ must share one of
+    A's first |A| - ⌈t·|A|⌉ + 1 shingles (any-subset argument; lossless
+    for exact verification). At t = 0.8 the probe carries ~20% of the
+    shingle table. The index side needs FULL postings (the shared gram
+    can sit anywhere in B's order, and B's own prefix bound degrades to
+    |B| when A is small), so ``max_shingle_df`` is the hot-gram guard to
+    set at corpus scale. Exact containment verifies candidates via
+    per-row set intersection — no pair ever touches a shuffled shingle
+    table."""
+    from pyspark.sql import Window
+
+    sh = _shingle_table(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_s")
+        )
+        sh = sh.join(hot, "_s", "left_anti")
+    dfreq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = (
+        sh.join(dfreq, "_s")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_s"))
+            ),
+        )
+        .join(sizes, "_id")
+    )
+    # same epsilon-before-ceil rationale as ngram_jaccard_pairs: an exact
+    # t·n landing a hair high would silently shorten the prefix
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
+    ).select("_id", "_s")
+    cand = (
+        prefix.alias("a")
+        .join(sh.alias("b"), (F.col("a._s") == F.col("b._s")) & (F.col("a._id") != F.col("b._id")))
+        .select(F.col("a._id").alias("contained_id"), F.col("b._id").alias("container_id"))
+        .distinct()
+    )
+    sets = sh.groupBy("_id").agg(
+        F.collect_set("_s").alias("_sh"), F.count(F.lit(1)).alias("_n")
+    )
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    return (
+        cand.join(
+            sets.select(
+                F.col("_id").alias("contained_id"), F.col("_sh").alias("_sha"),
+                F.col("_n").alias("_na"),
+            ),
+            "contained_id",
+        )
+        .join(
+            sets.select(
+                F.col("_id").alias("container_id"), F.col("_sh").alias("_shb"),
+            ),
+            "container_id",
+        )
+        .withColumn("containment", inter / F.col("_na"))
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )

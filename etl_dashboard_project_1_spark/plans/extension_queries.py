@@ -2775,3 +2775,37 @@ FROM jac j JOIN cand c ON j.new_id = c.new_id AND j.dup_of = c.dup_of
 WHERE j.jaccard >= 0.2
 """
 )
+
+
+# --- directed containment dedup ---------------------------------------------
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet/containment dedup: documents ≥ 80% contained (by word-3-gram
+    set) in another document — the case Jaccard near-dup structurally
+    misses (small-in-big pairs). See ``dedup.containment_pairs`` for the
+    one-sided prefix-filter scale argument."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.containment_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    return pairs.select(
+        "contained_id",
+        "container_id",
+        derive.portable_round(F.col("containment"), 4).alias("containment"),
+    )
+
+
+DEDUP_CONTAINMENT_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + r""",
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT contained_id, container_id,
+       floor(shared / sa.n::DOUBLE * 10000 + 0.5) / 10000 AS containment
+FROM pairs JOIN sz sa ON contained_id = sa.doc_id
+WHERE shared / sa.n::DOUBLE >= 0.8
+"""
+)

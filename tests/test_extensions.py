@@ -1097,3 +1097,33 @@ def test_incremental_minhash_equals_cross_set_slice_of_self_join(spark):
         if (r["id_a"] % 7 == 3) != (r["id_b"] % 7 == 3)
     }
     assert incr == full
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    """The one-sided prefix-filtered candidate generation must reproduce
+    the naive all-postings join exactly (the filter is an any-subset
+    bound, not an approximation)."""
+    from etl_dashboard_project_1_spark.operators.dedup import (
+        _shingle_table, containment_pairs)
+
+    docs = load_table(spark, SF, "documents")
+    got = {
+        (r["contained_id"], r["container_id"], round(r["containment"], 6))
+        for r in containment_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    sh = _shingle_table(docs, "doc_id", "text", 3)
+    sizes = {r["_id"]: r["n"] for r in sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    import collections
+    members = collections.defaultdict(set)
+    for r in sh.collect():
+        members[r["_id"]].add(r["_s"])
+    want = set()
+    for a in members:
+        for b in members:
+            if a == b:
+                continue
+            c = len(members[a] & members[b]) / sizes[a]
+            if c >= 0.8:
+                want.add((a, b, round(c, 6)))
+    assert got == want
+    assert want, "fixture should contain at least one containment pair"
