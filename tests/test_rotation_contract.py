@@ -1,0 +1,40 @@
+"""Rotation-window contract: the external driver evaluates exactly the
+FIRST 50 registry entries per round, so the ordering IS the round's
+check plan. Pin it so a refactor cannot silently shuffle the window
+before the driver runs."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+
+def test_window_is_exactly_the_planned_front():
+    names = list(entrymod.queries())
+    assert names[:50] == entrymod._ROUND4_FRONT
+    assert len(entrymod._ROUND4_FRONT) == 50
+
+
+def test_front_and_queue_are_wellformed():
+    front, queue = entrymod._ROUND4_FRONT, entrymod._ROUND5_QUEUE
+    reg = entrymod.queries()
+    assert len(set(front)) == len(front), "duplicate in window"
+    assert len(set(queue)) == len(queue), "duplicate in queue"
+    assert not set(front) & set(queue), "entry in both window and queue"
+    missing = [n for n in front + queue if n not in reg]
+    assert not missing, f"planned entries absent from registry: {missing}"
+
+
+def test_every_window_entry_has_an_oracle():
+    o = entrymod.oracle_sql()
+    missing = [n for n in entrymod._ROUND4_FRONT if n not in o]
+    assert not missing, f"window entries without oracle (weaker check): {missing}"
+
+
+def test_queries_and_oracles_align():
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert all(callable(fn) for fn in q.values())
+    assert all(isinstance(s, str) and s.strip() for s in o.values())
