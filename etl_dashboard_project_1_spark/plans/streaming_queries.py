@@ -262,6 +262,12 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
     )
     q.stop()
+    if not os.path.exists(target):
+        # an empty source fires no micro-batch, so the sink never
+        # materializes — empty result with the declared schema
+        return spark.createDataFrame(
+            [], "user_id bigint, ts string, event_type string, value double"
+        )
     out = (
         spark.read.parquet(target)
         .select(
