@@ -234,3 +234,76 @@ def test_histogram_disc_percentiles_match_reference(spark, vals, pnum):
     ordered = sorted(vals)
     want = ordered[math.ceil(pnum * len(vals) / 100) - 1]
     assert got == want
+
+
+# --- containment pairs: prefix filter vs brute force on random corpora ------
+
+_words = st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"])
+_doc = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+
+
+@given(docs=st.lists(_doc, min_size=2, max_size=8))
+@settings(**SETTINGS)
+def test_containment_pairs_match_brute_force(spark, docs):
+    """containment_pairs (one-sided prefix filter + exact verify) must
+    equal the brute-force |A∩B|/|A| over word-3-gram sets for ANY corpus
+    — including duplicate texts, sub-3-word docs, and prefix lengths
+    landing exactly on the ceil boundary."""
+    from etl_dashboard_project_1_spark.operators.dedup import containment_pairs
+
+    sdf = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["contained_id"], r["container_id"], round(r["containment"], 9))
+        for r in containment_pairs(sdf, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+
+    def grams(text):
+        w = text.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+
+    sets = {i: grams(d) for i, d in enumerate(docs)}
+    want = set()
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= 0.8:
+                want.add((a, b, round(c, 9)))
+    assert got == want
+
+
+@given(docs=st.lists(_doc, min_size=2, max_size=8), split=st.integers(0, 6))
+@settings(**SETTINGS)
+def test_incremental_minhash_subset_of_exact_jaccard(spark, docs, split):
+    """Every (batch, corpus) pair the incremental pipeline emits must be
+    jaccard-exact and ≥ threshold per the brute-force model (banding may
+    MISS low-similarity pairs — that is its contract — but everything
+    emitted must be verified truth)."""
+    from etl_dashboard_project_1_spark.operators.dedup import (
+        minhash_incremental_pairs)
+
+    sdf = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    batch = sdf.filter(F.col("doc_id") % 7 == split % 7)
+    corpus = sdf.filter(F.col("doc_id") % 7 != split % 7)
+    got = minhash_incremental_pairs(
+        batch, corpus, "doc_id", "text", threshold=0.2, hashed=False
+    ).collect()
+
+    def grams(text):
+        w = text.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+
+    sets = {i: grams(d) for i, d in enumerate(docs)}
+    for r in got:
+        sa, sb = sets[r["new_id"]], sets[r["dup_of"]]
+        want = len(sa & sb) / len(sa | sb)
+        assert abs(r["jaccard"] - want) < 1e-9
+        assert r["jaccard"] >= 0.2
+        assert r["new_id"] % 7 == split % 7 and r["dup_of"] % 7 != split % 7
