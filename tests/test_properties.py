@@ -22,8 +22,10 @@ from pyspark.sql import types as T
 
 from etl_dashboard_project_1_spark.operators import cleaning, sampling, sessionize
 
+# default 15 keeps CI fast (every example round-trips through Spark);
+# set SPARK_GRAFT_HYPO_EXAMPLES=200 for a soak run
 SETTINGS = dict(
-    max_examples=15,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYPO_EXAMPLES", "15")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
