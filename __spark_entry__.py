@@ -801,6 +801,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.dedup_containment,
         extension_queries.DEDUP_CONTAINMENT_SQL,
     ),
+    "dedup_minhash_recall_eval": (
+        training_queries.dedup_minhash_recall_eval,
+        training_queries.DEDUP_MINHASH_RECALL_SQL,
+    ),
+    "quality_tier_inventory": (
+        training_queries.quality_tier_inventory,
+        training_queries.QUALITY_TIER_SQL,
+    ),
+    "split_temporal_embargo": (
+        training_queries.split_temporal_embargo,
+        training_queries.SPLIT_TEMPORAL_SQL,
+    ),
 }
 
 
@@ -905,6 +917,9 @@ _ROUND5_QUEUE: list[str] = [
     "stream_upsert_latest",
     "dedup_incremental_minhash",
     "dedup_containment",
+    "dedup_minhash_recall_eval",
+    "quality_tier_inventory",
+    "split_temporal_embargo",
 ]
 
 _FRONT = _ROUND4_FRONT + _ROUND5_QUEUE

@@ -12,7 +12,13 @@ training run.
 - mixture epoch plan (per-source repeat factors / epochs needed to hit
   a token budget under target mixture weights),
 - stratified k-fold assignment audit (hash-deterministic folds with the
-  per-language balance matrix).
+  per-language balance matrix),
+- minhash banding recall curve vs exact ground truth (the dedup QA
+  loop),
+- quality-tier token inventory (corpus quartiles → per-source "data
+  diet" planning),
+- temporal train/valid split with embargo (leakage-safe for
+  time-correlated data).
 
 All pure DataFrame plans over the md5 wheel (cross-engine-exact
 "randomness"); every aggregate that feeds a comparison is integer
@@ -310,4 +316,248 @@ FROM (
          CAST(count(*) AS BIGINT) AS n_docs
   FROM documents GROUP BY 1, 2
 )
+"""
+
+
+# --- minhash banding recall eval --------------------------------------------
+
+def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA loop for the dedup family (the analog of ``ann_recall_eval``
+    for ANN): per Jaccard bucket (0.1-wide, lower bound x100), how many
+    TRUE near-dup pairs exist (exact all-pairs ground truth at t=0.2)
+    and how many the banded minhash pipeline catches — the measured
+    recall curve that justifies the (num_hashes=8, band_size=2) banding
+    config instead of asserting it. Everything is deterministic, so the
+    whole evaluation hash-matches the oracle.
+
+    Scale note: the exact all-pairs ground truth is the expensive side
+    and exists FOR the eval (run on a sample at corpus scale); the
+    production path stays the banded pipeline being evaluated."""
+    from ..operators import dedup as _dedup
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    truth = _dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.2, method="allpairs"
+    ).select(
+        "id_a", "id_b",
+        F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long").alias("_jx"),
+    )
+    caught = _dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2,
+        threshold=0.2, hashed=False,
+    ).select("id_a", "id_b", F.lit(1).alias("_c"))
+    j = truth.join(caught, ["id_a", "id_b"], "left").select(
+        (F.expr("_jx DIV 1000") * 10).alias("bucket_lo_x100"),
+        F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+    )
+    return (
+        j.groupBy("bucket_lo_x100")
+        .agg(F.count(F.lit(1)).alias("n_true"), F.sum("_c").cast("long").alias("n_caught"))
+        .select(
+            "bucket_lo_x100", "n_true", "n_caught",
+            F.expr("n_caught * 10000 DIV n_true").alias("recall_bp"),
+        )
+    )
+
+
+DEDUP_MINHASH_RECALL_SQL = (
+    "WITH "
+    + _JACCARD_CTE[len("WITH ") :]
+    + r""",
+params AS (
+  SELECT i,
+         ((('0x' || substr(md5(i::VARCHAR), 1, 8))::BIGINT % 1073741824) | 1) AS a,
+         (7919 * i + 13)::BIGINT AS b
+  FROM range(8) t(i)
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hs FROM sh
+),
+sig AS (
+  SELECT doc_id, i, min((a * hs + b) % 4294967311) AS m
+  FROM hashed, params GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band,
+         md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bh
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT id_a, id_b, CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS jx
+  FROM jac WHERE jaccard >= 0.2
+)
+SELECT CAST(jx // 1000 * 10 AS BIGINT) AS bucket_lo_x100,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+       CAST(sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS BIGINT) AS recall_bp
+FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+GROUP BY 1
+"""
+)
+
+
+# --- quality-tier token inventory -------------------------------------------
+
+def quality_tier_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "data diet" planning report: corpus-wide quality quartiles
+    (percentile_disc over the x10000 integer quality score from
+    ``text_quality``) and, per (source, tier), the documents and tokens
+    available — what a mixture designer consults before setting
+    per-quality sampling rates.
+
+    Scale shape: ONE corpus scan reduces to a (source, score) histogram
+    carrying token sums (bounded by |sources| x 10001 score values);
+    the global cumulative window, the quartile thresholds, and the
+    inventory aggregate all run on that compressed table. The global
+    window orders ≤10k histogram rows — bounded by the score space,
+    never row count."""
+    from pyspark.sql import Window
+
+    from .extension_queries import text_quality
+
+    q = text_quality(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long").alias("_qx"),
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    hb = (
+        q.join(src, "doc_id")
+        .groupBy("source", "_qx")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("n_tokens").alias("_toks"))
+        .localCheckpoint(eager=False)
+    )
+    g = hb.groupBy("_qx").agg(F.sum("_n").alias("_c"))
+    wcum = Window.orderBy("_qx")
+    cum = g.select(
+        "_qx",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy()).alias("_tot"),
+    )
+    th = cum.agg(
+        F.min(F.when(F.col("_cum") >= F.expr("(_tot + 3) DIV 4"), F.col("_qx"))).alias("t25"),
+        F.min(F.when(F.col("_cum") >= F.expr("(_tot + 1) DIV 2"), F.col("_qx"))).alias("t50"),
+        F.min(F.when(F.col("_cum") >= F.expr("(3 * _tot + 3) DIV 4"), F.col("_qx"))).alias("t75"),
+    )
+    tier = (
+        F.when(F.col("_qx") <= F.col("t25"), F.lit("q1_low"))
+        .when(F.col("_qx") <= F.col("t50"), F.lit("q2"))
+        .when(F.col("_qx") <= F.col("t75"), F.lit("q3"))
+        .otherwise(F.lit("q4_high"))
+    )
+    return (
+        hb.crossJoin(F.broadcast(th))
+        .select("source", tier.alias("tier"), "_n", "_toks")
+        .groupBy("source", "tier")
+        .agg(F.sum("_n").alias("n_docs"), F.sum("_toks").alias("n_tokens"))
+    )
+
+
+def _quality_tier_sql() -> str:
+    from .extension_queries import TEXT_QUALITY_SQL
+
+    return f"""
+WITH q AS ({TEXT_QUALITY_SQL}),
+base AS (
+  SELECT d.source, CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS qx, q.n_tokens
+  FROM q JOIN documents d USING (doc_id)
+),
+hb AS (
+  SELECT source, qx, count(*) AS n, sum(n_tokens) AS toks
+  FROM base GROUP BY 1, 2
+),
+cum AS (
+  SELECT qx, sum(n) OVER (ORDER BY qx) AS c, sum(n) OVER () AS tot
+  FROM (SELECT qx, sum(n) AS n FROM hb GROUP BY 1)
+),
+th AS (
+  SELECT min(CASE WHEN c >= (tot + 3) // 4 THEN qx END) AS t25,
+         min(CASE WHEN c >= (tot + 1) // 2 THEN qx END) AS t50,
+         min(CASE WHEN c >= (3 * tot + 3) // 4 THEN qx END) AS t75
+  FROM cum
+)
+SELECT source,
+       CASE WHEN qx <= t25 THEN 'q1_low' WHEN qx <= t50 THEN 'q2'
+            WHEN qx <= t75 THEN 'q3' ELSE 'q4_high' END AS tier,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens
+FROM hb CROSS JOIN th
+GROUP BY 1, 2
+"""
+
+
+QUALITY_TIER_SQL = _quality_tier_sql()
+
+
+# --- temporal split with embargo --------------------------------------------
+
+SPLIT_DATE = "2024-01-20"
+EMBARGO_DAYS = 2
+
+
+def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/valid split with an embargo gap — the
+    leakage-safe split for temporally-correlated data (hash splits leak
+    future information into training when rows near the boundary share
+    latent state): train = events strictly before SPLIT_DATE, valid =
+    events at/after SPLIT_DATE + EMBARGO_DAYS, the embargo window
+    dropped entirely. The report carries per-split row/user counts plus
+    the user overlap between splits — non-zero overlap is EXPECTED here
+    (the same user may act in both periods) and is exactly the number a
+    leakage-sensitive design (group-disjoint split, see
+    ``split_group_disjoint``) would drive to zero.
+
+    Scale shape: map-side split labels, one groupBy for counts, one
+    distinct-users join (both sides user-cardinality-bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    lab = ev.select(
+        F.when(F.col("ts") < F.lit(SPLIT_DATE).cast("timestamp"), "train")
+        .when(
+            F.col("ts")
+            >= F.expr(f"timestamp'{SPLIT_DATE}' + INTERVAL {EMBARGO_DAYS} DAYS"),
+            "valid",
+        )
+        .otherwise("embargo")
+        .alias("split"),
+        "user_id",
+    )
+    counts = lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    tr = lab.filter(F.col("split") == "train").select("user_id").distinct()
+    va = lab.filter(F.col("split") == "valid").select("user_id").distinct()
+    overlap = tr.join(va, "user_id").agg(
+        F.count(F.lit(1)).alias("n_overlap_users")
+    )
+    return counts.crossJoin(F.broadcast(overlap))
+
+
+SPLIT_TEMPORAL_SQL = f"""
+WITH lab AS (
+  SELECT CASE WHEN ts < TIMESTAMP '{SPLIT_DATE}' THEN 'train'
+              WHEN ts >= TIMESTAMP '{SPLIT_DATE}' + INTERVAL {EMBARGO_DAYS} DAY
+                THEN 'valid'
+              ELSE 'embargo' END AS split,
+         user_id
+  FROM events
+),
+ov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_overlap_users FROM (
+    SELECT user_id FROM lab WHERE split = 'train'
+    INTERSECT
+    SELECT user_id FROM lab WHERE split = 'valid'
+  )
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       n_overlap_users
+FROM lab CROSS JOIN ov
+GROUP BY 1, 4
 """

@@ -179,6 +179,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "retrieval_mrr_eval",              # sim_batch_topk core (broadcast query batch)
         "ri_audit_all_edges",              # 1-row orphan-count broadcasts per edge
         "session_peak_concurrency",        # 1-row peak/first-instant broadcasts
+        "quality_tier_inventory",          # 1-row quartile-thresholds broadcast
+        "split_temporal_embargo",          # 1-row user-overlap-count broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
