@@ -813,6 +813,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         training_queries.split_temporal_embargo,
         training_queries.SPLIT_TEMPORAL_SQL,
     ),
+    "mm_phash_dedup": (
+        extension_queries.mm_phash_dedup,
+        extension_queries.MM_PHASH_DEDUP_SQL,
+    ),
 }
 
 
@@ -922,6 +926,7 @@ _ROUND5_QUEUE: list[str] = [
     "dedup_minhash_recall_eval",
     "quality_tier_inventory",
     "split_temporal_embargo",
+    "mm_phash_dedup",
 ]
 
 _FRONT = _ROUND4_FRONT + _ROUND5_QUEUE

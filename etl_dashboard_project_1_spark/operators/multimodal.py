@@ -262,3 +262,44 @@ def audio_window_peaks(
     prev = F.coalesce(F.lag("energy").over(w), F.lit(-1))
     nxt = F.coalesce(F.lead("energy").over(w), F.lit(-1))
     return wins.withColumn("is_peak", (F.col("energy") > prev) & (F.col("energy") > nxt))
+
+
+def phash_stub(payload_col: str = "payload"):
+    """Fake 32-bit perceptual hash of a binary payload — the STUB
+    standing in for a real pHash (grayscale thumbnail → 2D DCT → sign of
+    the top-left coefficients), which needs the image stack this
+    container lacks. The fake is the payload's md5 prefix: identical
+    payloads collide at hamming 0 and everything else is ~random, so the
+    banding/verification machinery downstream is exercised for real
+    while the perceptual property waits on the real decoder (swap ONE
+    expression, like ``decode_image_stub``)."""
+    return F.conv(F.substring(F.md5(F.col(payload_col)), 1, 8), 16, 10).cast("bigint")
+
+
+def phash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    prefix_bits: int = 8,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Image near-dup candidates by perceptual-hash hamming distance —
+    the multimodal analog of ``dedup.simhash_pairs``: candidates must
+    share the fingerprint's top ``prefix_bits`` (block-bounded
+    self-join, never n²), verified by exact ``bit_count(xor)``. At
+    corpus scale the standard multi-rotation extension widens recall;
+    one rotation keeps the oracle mirror exact."""
+    sig = df.select(
+        F.col(id_col).alias("_id"), phash_stub(payload_col).alias("_ph")
+    ).withColumn("_blk", F.shiftright(F.col("_ph"), 32 - prefix_bits))
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a._ph").bitwiseXOR(F.col("b._ph"))).cast("long")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

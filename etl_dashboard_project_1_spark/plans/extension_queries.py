@@ -2809,3 +2809,44 @@ FROM pairs JOIN sz sa ON contained_id = sa.doc_id
 WHERE shared / sa.n::DOUBLE >= 0.8
 """
 )
+
+
+# --- multimodal: perceptual-hash image dedup --------------------------------
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual-hash banding
+    (``multimodal.phash_pairs``): payloads attach as binary, hash to a
+    32-bit fingerprint (decode stubbed, md5-derived — see
+    ``multimodal.phash_stub``), candidates share the top 8 fingerprint
+    bits, and exact hamming ≤ 2 verifies. Completes the dedup matrix's
+    multimodal column: exact (md5), text (jaccard/minhash/simhash/
+    containment), embedding (cosine LSH), and now payload-level
+    perceptual."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # payloads attach from the CANONICAL text form (sorted distinct
+    # tokens — the exact-dedup fingerprint): a real pHash is invariant
+    # to small perceptual edits, and canonicalization is the stub's
+    # stand-in for that invariance, so reordered near-copies collide at
+    # hamming 0 instead of hashing randomly (raw-byte payloads made the
+    # gate trivially empty on this corpus).
+    canon = docs.withColumn(
+        "_canon",
+        F.concat_ws(" ", F.array_sort(F.array_distinct(dedup.tokens("text")))),
+    )
+    with_bin = multimodal.attach_binary(canon, "_canon")
+    return multimodal.phash_pairs(with_bin, "doc_id", "payload")
+
+
+MM_PHASH_DEDUP_SQL = """
+WITH ph AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(lower(text), '\\s+'))), ' ')), 1, 8))::BIGINT AS p
+  FROM documents
+),
+blk AS (SELECT doc_id, p, p >> 24 AS b FROM ph)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.p, b.p)) AS BIGINT) AS hamming
+FROM blk a JOIN blk b ON a.b = b.b AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.p, b.p)) <= 2
+"""
