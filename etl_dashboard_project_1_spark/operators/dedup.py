@@ -729,7 +729,14 @@ def containment_pairs(
     table."""
     from pyspark.sql import Window
 
-    sh = _shingle_table(df, id_col, text_col, k)
+    # per-doc shingle SETS come from the zero-shuffle projection (the
+    # same orientation minhash verification uses); the exploded postings
+    # derive from it, so the arrays the verify step needs are never
+    # rebuilt via a collect_set shuffle of the shingle table. Only the
+    # max_shingle_df branch — which changes the universe — reassembles
+    # filtered arrays.
+    ss = shingle_sets(df, id_col, text_col, k)
+    sh = ss.select("_id", F.explode("_sh").alias("_s"))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("_s")
@@ -738,8 +745,13 @@ def containment_pairs(
             .select("_s")
         )
         sh = sh.join(hot, "_s", "left_anti")
+        sets = sh.groupBy("_id").agg(
+            F.collect_set("_s").alias("_sh"), F.count(F.lit(1)).alias("_n")
+        )
+    else:
+        sets = ss
+    sizes = sets.select("_id", "_n")
     dfreq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     ranked = (
         sh.join(dfreq, "_s")
         .withColumn(
@@ -761,9 +773,6 @@ def containment_pairs(
         .join(sh.alias("b"), (F.col("a._s") == F.col("b._s")) & (F.col("a._id") != F.col("b._id")))
         .select(F.col("a._id").alias("contained_id"), F.col("b._id").alias("container_id"))
         .distinct()
-    )
-    sets = sh.groupBy("_id").agg(
-        F.collect_set("_s").alias("_sh"), F.count(F.lit(1)).alias("_n")
     )
     inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     return (

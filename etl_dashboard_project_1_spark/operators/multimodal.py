@@ -273,7 +273,9 @@ def phash_stub(payload_col: str = "payload"):
     banding/verification machinery downstream is exercised for real
     while the perceptual property waits on the real decoder (swap ONE
     expression, like ``decode_image_stub``)."""
-    return F.conv(F.substring(F.md5(F.col(payload_col)), 1, 8), 16, 10).cast("bigint")
+    from .dedup import md5_int  # the shared engine-portable md5-prefix hash
+
+    return md5_int(F.col(payload_col))
 
 
 def phash_pairs(
