@@ -817,6 +817,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.mm_phash_dedup,
         extension_queries.MM_PHASH_DEDUP_SQL,
     ),
+    "dedup_verdict_per_doc": (
+        curation_queries.dedup_verdict_per_doc,
+        curation_queries.DEDUP_VERDICT_SQL,
+    ),
 }
 
 
@@ -927,6 +931,7 @@ _ROUND5_QUEUE: list[str] = [
     "quality_tier_inventory",
     "split_temporal_embargo",
     "mm_phash_dedup",
+    "dedup_verdict_per_doc",
 ]
 
 _FRONT = _ROUND4_FRONT + _ROUND5_QUEUE

@@ -816,3 +816,144 @@ SELECT sz AS cluster_size, count(*) AS n_clusters,
        CAST(sum(total_chars - keeper_chars) AS BIGINT) AS chars_dropped
 FROM g GROUP BY 1
 """
+
+
+# --- end-to-end dedup verdict ------------------------------------------------
+
+def dedup_verdict_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone dedup decision a curation pipeline actually ships:
+    every document labeled keep/drop with a reason and the doc it
+    duplicates, by deterministic precedence over the three pair
+    generators —
+      1. ``exact``: not the min-id member of its normalized-fingerprint
+         group (drops point at the group keeper),
+      2. ``near_dup``: else, minhash near-dup (t=0.2) of some LOWER-id
+         doc (greedy-by-id policy: the partner need not itself survive —
+         the non-iterative approximation production passes use; an
+         exact cluster treatment is ``dedup_keep_best``),
+      3. ``contained``: else, ≥80% gram-contained in ANY other doc,
+      4. ``keep`` otherwise.
+
+    Scale shape: three bounded-candidate pair tables (each individually
+    audited as its own query) left-join onto the corpus by id — no new
+    shuffle shapes, just the composition; the verdict is one row per
+    document."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+
+    keepers = dedup.exact_dedup_groups(docs, "doc_id", "text", normalized=True)
+    fp = dedup.normalized_fingerprint("text")
+    exact = (
+        docs.select(F.col("doc_id"), fp.alias("fingerprint"))
+        .join(keepers.select("fingerprint", "keep_id"), "fingerprint")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.col("keep_id").alias("_exact_of"))
+    )
+
+    mh = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2,
+        threshold=0.2, hashed=False,
+    )
+    near = (
+        mh.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("_p"))
+        .groupBy("doc_id")
+        .agg(F.min("_p").alias("_near_of"))
+    )
+
+    cont = (
+        dedup.containment_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+        .select(F.col("contained_id").alias("doc_id"), F.col("container_id").alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.min("_c").alias("_cont_of"))
+    )
+
+    return (
+        docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_exact_of").isNotNull(), F.lit("exact"))
+            .when(F.col("_near_of").isNotNull(), F.lit("near_dup"))
+            .when(F.col("_cont_of").isNotNull(), F.lit("contained"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.coalesce("_exact_of", "_near_of", "_cont_of").alias("dup_of"),
+        )
+    )
+
+
+def _dedup_verdict_sql() -> str:
+    from .extension_queries import _JACCARD_CTE
+
+    jac_ctes = _JACCARD_CTE[len("WITH ") :]
+    return f"""
+WITH {jac_ctes},
+keepers AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(lower(text), '\\s+'))), ' ')) AS fingerprint,
+         min(doc_id) AS keep_id
+  FROM documents GROUP BY 1
+),
+exact_drop AS (
+  SELECT d.doc_id, k.keep_id AS exact_of
+  FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+            regexp_split_to_array(lower(text), '\\s+'))), ' ')) AS fingerprint
+        FROM documents) d
+  JOIN keepers k USING (fingerprint)
+  WHERE d.doc_id <> k.keep_id
+),
+params AS (
+  SELECT i,
+         ((('0x' || substr(md5(i::VARCHAR), 1, 8))::BIGINT % 1073741824) | 1) AS a,
+         (7919 * i + 13)::BIGINT AS b
+  FROM range(8) t(i)
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hs FROM sh
+),
+sig AS (
+  SELECT doc_id, i, min((a * hs + b) % 4294967311) AS m
+  FROM hashed, params GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 2 AS band,
+         md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bh
+  FROM sig GROUP BY 1, 2
+),
+mh_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+near AS (
+  SELECT c.id_b AS doc_id, min(c.id_a) AS near_of
+  FROM mh_cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+  WHERE j.jaccard >= 0.2
+  GROUP BY 1
+),
+cont_pairs AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+cont AS (
+  SELECT contained_id AS doc_id, min(container_id) AS cont_of
+  FROM cont_pairs JOIN sz ON contained_id = sz.doc_id
+  WHERE shared / sz.n::DOUBLE >= 0.8
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+            WHEN nr.near_of IS NOT NULL THEN 'near_dup'
+            WHEN c.cont_of IS NOT NULL THEN 'contained'
+            ELSE 'keep' END AS verdict,
+       coalesce(e.exact_of, nr.near_of, c.cont_of) AS dup_of
+FROM documents d
+LEFT JOIN exact_drop e ON d.doc_id = e.doc_id
+LEFT JOIN near nr ON d.doc_id = nr.doc_id
+LEFT JOIN cont c ON d.doc_id = c.doc_id
+"""
+
+
+DEDUP_VERDICT_SQL = _dedup_verdict_sql()
