@@ -821,6 +821,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         curation_queries.dedup_verdict_per_doc,
         curation_queries.DEDUP_VERDICT_SQL,
     ),
+    "dedup_minhash_estimate_gate": (
+        extension_queries.dedup_minhash_estimate_gate,
+        extension_queries.DEDUP_MINHASH_EST_SQL,
+    ),
 }
 
 
@@ -836,9 +840,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # never-checked entries in registry order. The 16 that spill again (listed
 # in _ROUND5_QUEUE below, all green in the local full-registry sweep at
 # sf0.01 AND sf0.1 — tools/driver_emulation.py) head round 5's window,
-# which closes the tail: 188 of 218 ever-checked after r4 (the window's 48
-# never-checked + 2 re-certifications), all 218 after r5 (16 spill + the
-# 14 round-4 additions = 30 queued, well inside one window). Any query
+# which closes the tail: 188 of 219 ever-checked after r4 (the window's 48
+# never-checked + 2 re-certifications), all 219 after r5 (16 spill + the
+# 15 round-4 additions = 31 queued, well inside one window). Any query
 # ADDED during round 4 goes to the BACK of _ROUND5_QUEUE so it never
 # displaces the planned check set.
 _ROUND4_FRONT: list[str] = [
@@ -932,6 +936,7 @@ _ROUND5_QUEUE: list[str] = [
     "split_temporal_embargo",
     "mm_phash_dedup",
     "dedup_verdict_per_doc",
+    "dedup_minhash_estimate_gate",
 ]
 
 _FRONT = _ROUND4_FRONT + _ROUND5_QUEUE

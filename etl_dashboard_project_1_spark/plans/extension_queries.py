@@ -104,7 +104,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5'd once, gram hash = rolling polynomial (g*B + h) % P with
 # B=1000003, P=4294967311 — identical int64 arithmetic in both engines;
 # signatures, banding, and Jaccard verification all run on the hash sets.
-DEDUP_MINHASH_SQL = (
+# The CTE chain is shared with the estimate-gate query below, so the two
+# oracles can never drift from each other.
+_MINHASH_CTE = (
     "WITH "
     + _SHINGLES_CTE
     + r""",
@@ -141,9 +143,66 @@ jac AS (
   SELECT id_a, id_b, shared / (sa.n + sb.n - shared)::DOUBLE AS jaccard
   FROM pairs JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
 )
-SELECT j.id_a, j.id_b, floor(j.jaccard * 10000 + 0.5) / 10000 AS jaccard
+"""
+)
+
+DEDUP_MINHASH_SQL = (
+    _MINHASH_CTE
+    + """SELECT j.id_a, j.id_b, floor(j.jaccard * 10000 + 0.5) / 10000 AS jaccard
 FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
 WHERE j.jaccard >= 0.2
+"""
+)
+
+
+# --- MinHash estimate-vs-exact gate -----------------------------------------
+
+def dedup_minhash_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-vs-exact gate for the minhash SIGNATURE itself: for every
+    verified near-dup pair (true Jaccard ≥ 0.2), count how many of the 8
+    signature components agree. E[matches/8] = J, so the pair table is the
+    empirical accuracy record of the sketch the LSH bands are built from —
+    the same hard-checkable design as the HLL/KMV/GK gates (every number
+    is md5-wheel deterministic; no tolerance needed, the driver hash-
+    compares the exact component-match counts).
+
+    Scale shape: reuses the audited minhash pipeline for the pairs, plus
+    one shuffle-free signature projection and two id-equi-joins to attach
+    each side's signature — candidate-bounded, never n²."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2,
+        threshold=0.2, reuse="checkpoint", hashed=False,
+    )
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", k=3, num_hashes=8, hashed=False)
+    a = sig.select(F.col("_id").alias("id_a"), *[F.col(f"_m{i}").alias(f"_a{i}") for i in range(8)])
+    b = sig.select(F.col("_id").alias("id_b"), *[F.col(f"_m{i}").alias(f"_b{i}") for i in range(8)])
+    matches = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(8)
+    ).cast("long")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            matches.alias("sig_matches"),
+            derive.portable_round(F.col("jaccard"), 4).alias("jaccard"),
+        )
+    )
+
+
+DEDUP_MINHASH_EST_SQL = (
+    _MINHASH_CTE
+    + """SELECT v.id_a, v.id_b,
+       CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT) AS sig_matches,
+       floor(max(v.jaccard) * 10000 + 0.5) / 10000 AS jaccard
+FROM (SELECT j.id_a, j.id_b, j.jaccard
+      FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.2) v
+JOIN sig sa ON sa.doc_id = v.id_a
+JOIN sig sb ON sb.doc_id = v.id_b AND sb.i = sa.i
+GROUP BY 1, 2
 """
 )
 
