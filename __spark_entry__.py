@@ -825,6 +825,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.dedup_minhash_estimate_gate,
         extension_queries.DEDUP_MINHASH_EST_SQL,
     ),
+    "vocab_roundtrip_gate": (
+        extension_queries.vocab_roundtrip_gate,
+        extension_queries.VOCAB_ROUNDTRIP_SQL,
+    ),
 }
 
 
@@ -840,9 +844,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # never-checked entries in registry order. The 16 that spill again (listed
 # in _ROUND5_QUEUE below, all green in the local full-registry sweep at
 # sf0.01 AND sf0.1 — tools/driver_emulation.py) head round 5's window,
-# which closes the tail: 188 of 219 ever-checked after r4 (the window's 48
-# never-checked + 2 re-certifications), all 219 after r5 (16 spill + the
-# 15 round-4 additions = 31 queued, well inside one window). Any query
+# which closes the tail: 188 of 220 ever-checked after r4 (the window's 48
+# never-checked + 2 re-certifications), all 220 after r5 (16 spill + the
+# 16 round-4 additions = 32 queued, well inside one window). Any query
 # ADDED during round 4 goes to the BACK of _ROUND5_QUEUE so it never
 # displaces the planned check set.
 _ROUND4_FRONT: list[str] = [
@@ -937,6 +941,7 @@ _ROUND5_QUEUE: list[str] = [
     "mm_phash_dedup",
     "dedup_verdict_per_doc",
     "dedup_minhash_estimate_gate",
+    "vocab_roundtrip_gate",
 ]
 
 _FRONT = _ROUND4_FRONT + _ROUND5_QUEUE

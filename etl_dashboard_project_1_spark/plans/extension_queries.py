@@ -11,7 +11,7 @@ outputs carry ids (ints), keeping the value-hash float-stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, derive, multimodal, sampling, textops, vector
@@ -2278,6 +2278,79 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        (list(token_id ORDER BY pos))[1:32] AS ids
 FROM tok JOIN vocab USING (t)
 GROUP BY doc_id
+"""
+
+
+def vocab_roundtrip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip gate: encode every document to its dense-id
+    sequence, decode back through the reverse vocabulary join, and check
+    decode(encode(doc)) reproduces the exact token sequence — the
+    invariant that makes a vocabulary usable (bijective mapping, stable
+    position order). One row per document with its token count and the
+    md5-compared verdict; any False row is a broken tokenizer.
+
+    Scale shape: same range-partitioned dense-id vocabulary as
+    ``vocab_encode_docs``; the decode direction is one more token-keyed
+    equi-join (id → token), and both reassemblies are per-doc aggregates
+    — nothing beyond the encode query's shuffle budget."""
+    from ..operators import layout
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.posexplode(dedup.tokens("text")).alias("pos", "_t")
+    ).filter(F.col("_t") != "")
+    freq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    vocab = layout.dense_ids_by(
+        freq, [F.desc("_c"), F.asc("_t")], id_name="token_id"
+    ).select("_t", "token_id")
+
+    def _seq_md5(col: str) -> Column:
+        return F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", col))),
+                    lambda s: s[col],
+                ),
+            )
+        )
+
+    enc = tok.join(vocab, "_t").select("doc_id", "pos", "token_id")
+    dec = enc.join(
+        vocab.select("token_id", F.col("_t").alias("_dec")), "token_id"
+    )
+    decoded = dec.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        _seq_md5("_dec").alias("_rt"),
+    )
+    original = tok.groupBy("doc_id").agg(_seq_md5("_t").alias("_orig"))
+    return decoded.join(original, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_rt") == F.col("_orig")).alias("roundtrip_ok"),
+    )
+
+
+VOCAB_ROUNDTRIP_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, u.p AS pos, u.t AS t
+  FROM (SELECT doc_id, unnest([{'p': i, 't': w[i]} FOR i IN range(1, len(w) + 1)]) AS u
+        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+              FROM documents))
+  WHERE u.t <> ''
+),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+vocab AS (SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) AS token_id FROM freq),
+enc AS (SELECT doc_id, pos, token_id FROM tok JOIN vocab USING (t)),
+dec AS (SELECT e.doc_id, e.pos, v.t AS dt FROM enc e JOIN vocab v USING (token_id)),
+rt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         md5(string_agg(dt, ' ' ORDER BY pos)) AS h
+  FROM dec GROUP BY 1
+),
+og AS (SELECT doc_id, md5(string_agg(t, ' ' ORDER BY pos)) AS h FROM tok GROUP BY 1)
+SELECT rt.doc_id, rt.n_tokens, rt.h = og.h AS roundtrip_ok
+FROM rt JOIN og ON rt.doc_id = og.doc_id
 """
 
 
