@@ -957,3 +957,77 @@ LEFT JOIN cont c ON d.doc_id = c.doc_id
 
 
 DEDUP_VERDICT_SQL = _dedup_verdict_sql()
+
+
+# --- corpus datacard ---------------------------------------------------------
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(source, lang) summary grid a dataset release ships in its
+    datacard: document and token counts, mean document length, exact-
+    duplicate count (non-keeper members of global normalized-fingerprint
+    groups), and the cell's distinct-token vocabulary size.
+
+    Scale shape: three independent aggregations joined on the bounded
+    (source, lang) grid — a per-doc projection feeding a grid groupBy, a
+    fingerprint groupBy (the audited exact-dedup shuffle), and one
+    token-explode count-distinct; the join keys are cell-cardinality, so
+    the final join is broadcast at any corpus size."""
+    from ..operators import derive
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        dedup.normalized_fingerprint("text").alias("_fp"),
+        F.size(F.filter(dedup.tokens("text"), lambda t: t != ""))
+        .cast("long")
+        .alias("_nt"),
+    )
+    keepers = base.groupBy("_fp").agg(F.min("doc_id").alias("_keep"))
+    flagged = base.join(keepers, "_fp")
+    cells = flagged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        derive.portable_round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum((F.col("doc_id") != F.col("_keep")).cast("long")).alias("n_exact_dups"),
+    )
+    vocab = (
+        docs.select(
+            "source", "lang", F.explode(dedup.tokens("text")).alias("_t")
+        )
+        .filter(F.col("_t") != "")
+        .groupBy("source", "lang")
+        .agg(F.count_distinct("_t").alias("distinct_tokens"))
+    )
+    return cells.join(vocab, ["source", "lang"])
+
+
+CORPUS_DATACARD_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source, lang, n_chars,
+         md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> ''))::BIGINT AS nt
+  FROM documents
+),
+keepers AS (SELECT fp, min(doc_id) AS keep FROM base GROUP BY 1),
+cells AS (
+  SELECT source, lang,
+         count(*)::BIGINT AS n_docs,
+         sum(nt)::BIGINT AS n_tokens,
+         floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars,
+         sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END)::BIGINT AS n_exact_dups
+  FROM base JOIN keepers USING (fp)
+  GROUP BY 1, 2
+),
+vocab AS (
+  SELECT source, lang, count(DISTINCT t)::BIGINT AS distinct_tokens
+  FROM (SELECT source, lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+  GROUP BY 1, 2
+)
+SELECT c.*, v.distinct_tokens
+FROM cells c JOIN vocab v USING (source, lang)
+"""
