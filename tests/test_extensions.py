@@ -1127,3 +1127,55 @@ def test_containment_prefix_filter_is_lossless(spark):
                 want.add((a, b, round(c, 6)))
     assert got == want
     assert want, "fixture should contain at least one containment pair"
+
+
+def test_minhash_estimate_gate_twins_agree_fully(spark):
+    """Planted corpus: identical twin docs must surface as a verified
+    pair with true Jaccard 1.0 and ALL 8 signature components agreeing
+    (identical shingle set => identical signature — the invariant the
+    estimate gate reports per pair); a disjoint doc must share nothing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different words about spark partitions and shuffles here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2,
+        threshold=0.2, hashed=False,
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] == 1.0
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", 3, 8, hashed=False).collect()
+    s = {r["_id"]: [r[f"_m{i}"] for i in range(8)] for r in sig}
+    assert s[1] == s[2]
+    assert s[1] != s[3]
+
+
+def test_vocab_roundtrip_gate_holds_on_corpus(spark):
+    """decode(encode(doc)) must reproduce every document exactly — a
+    False row means the vocabulary mapping or position order broke."""
+    from etl_dashboard_project_1_spark.plans import extension_queries as ex
+
+    rows = ex.vocab_roundtrip_gate(spark, SF).collect()
+    assert rows
+    bad = [r["doc_id"] for r in rows if not r["roundtrip_ok"]]
+    assert not bad, f"roundtrip failed for docs {bad[:5]}"
+
+
+def test_corpus_datacard_invariants(spark):
+    """Grid cells must partition the corpus: n_docs sums to the corpus
+    size, dups never exceed docs, and a cell's vocabulary can't exceed
+    its token count."""
+    from etl_dashboard_project_1_spark.plans import curation_queries as cq
+
+    rows = cq.corpus_datacard(spark, SF).collect()
+    n_corpus = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_corpus
+    # a cell CAN be 100% dups: fingerprint groups are global, so the
+    # keeper may sit in a different (source, lang) cell
+    assert all(0 <= r["n_exact_dups"] <= r["n_docs"] for r in rows)
+    assert all(r["distinct_tokens"] <= r["n_tokens"] for r in rows)
+    assert all(r["avg_chars"] > 0 for r in rows)
