@@ -87,6 +87,14 @@ QUERIES = [
 ]
 
 
+# optional comma-separated subset (big decades: run the shuffle-heavy +
+# CPU-bound representatives without paying for the whole list)
+_SUBSET = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
+if _SUBSET:
+    keep = {s.strip() for s in _SUBSET.split(",") if s.strip()}
+    QUERIES = [q for q in QUERIES if q in keep]
+
+
 def build(spark, copies: int, out_dir: str) -> None:
     for table, keys in SHIFT_KEYS.items():
         src = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
