@@ -1031,3 +1031,53 @@ vocab AS (
 SELECT c.*, v.distinct_tokens
 FROM cells c JOIN vocab v USING (source, lang)
 """
+
+
+# --- soft dedup (reweight instead of drop) -----------------------------------
+
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, keep every
+    document and down-weight each member of a near-dup cluster by
+    1/cluster_size (exact integer basis points), so a cluster contributes
+    one document's worth of sampling mass in total — the reweighting
+    alternative to hard dedup that preserves distribution coverage.
+
+    Singletons (docs in no near-dup pair) form their own cluster at full
+    weight. Clusters are the audited connected components over the n-gram
+    Jaccard pairs; weight_bp = 10000 DIV cluster_size is floor integer
+    division on non-negative values — identical in Spark and DuckDB.
+
+    Scale shape: the pair generator and min-label propagation are the
+    audited bounded-candidate pipelines; on top there is one corpus-keyed
+    left join, one cluster-sized groupBy, and one cluster-keyed join —
+    all equi-joins on bounded keys."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        docs.select("doc_id")
+        .join(cc.select(F.col("node").alias("doc_id"), "cluster"), "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster"))
+    )
+    sizes = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster").select(
+        "doc_id",
+        "cluster",
+        "cluster_size",
+        F.expr("CAST(10000 DIV cluster_size AS BIGINT)").alias("weight_bp"),
+    )
+
+
+SOFT_DEDUP_SQL = f"""
+WITH assigned AS ({DEDUP_CLUSTERS_SQL}),
+labeled AS (
+  SELECT d.doc_id, coalesce(a.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN assigned a USING (doc_id)
+),
+sizes AS (SELECT cluster, count(*)::BIGINT AS cluster_size FROM labeled GROUP BY 1)
+SELECT doc_id, cluster, cluster_size,
+       CAST(10000 // cluster_size AS BIGINT) AS weight_bp
+FROM labeled JOIN sizes USING (cluster)
+"""

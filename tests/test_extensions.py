@@ -1179,3 +1179,25 @@ def test_corpus_datacard_invariants(spark):
     assert all(0 <= r["n_exact_dups"] <= r["n_docs"] for r in rows)
     assert all(r["distinct_tokens"] <= r["n_tokens"] for r in rows)
     assert all(r["avg_chars"] > 0 for r in rows)
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    """Every document gets a weight; cluster_size matches the actual
+    member count; weight is exactly 10000 DIV size; and each cluster's
+    total mass lands within one floor-division step of one document's
+    worth (10000 bp) — the invariant that makes soft dedup a
+    reweighting, not a lossy filter."""
+    from collections import Counter
+
+    from etl_dashboard_project_1_spark.plans import curation_queries as cq
+
+    rows = cq.soft_dedup_weights(spark, SF).collect()
+    assert len(rows) == load_table(spark, SF, "documents").count()
+    sizes = Counter(r["cluster"] for r in rows)
+    for r in rows:
+        assert sizes[r["cluster"]] == r["cluster_size"]
+        assert r["weight_bp"] == 10000 // r["cluster_size"]
+    mass = Counter()
+    for r in rows:
+        mass[r["cluster"]] += r["weight_bp"]
+    assert all(10000 - sizes[c] < m <= 10000 for c, m in mass.items())
