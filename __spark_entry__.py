@@ -837,6 +837,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         curation_queries.soft_dedup_weights,
         curation_queries.SOFT_DEDUP_SQL,
     ),
+    "stream_incremental_stats": (
+        streaming_queries.stream_incremental_stats,
+        streaming_queries.STREAM_INCREMENTAL_STATS_SQL,
+    ),
 }
 
 
@@ -852,9 +856,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # never-checked entries in registry order. The 16 that spill again (listed
 # in _ROUND5_QUEUE below, all green in the local full-registry sweep at
 # sf0.01 AND sf0.1 — tools/driver_emulation.py) head round 5's window,
-# which closes the tail: 188 of 222 ever-checked after r4 (the window's 48
-# never-checked + 2 re-certifications), all 222 after r5 (16 spill + the
-# 18 round-4 additions = 34 queued, well inside one window). Any query
+# which closes the tail: 188 of 223 ever-checked after r4 (the window's 48
+# never-checked + 2 re-certifications), all 223 after r5 (16 spill + the
+# 19 round-4 additions = 35 queued, well inside one window). Any query
 # ADDED during round 4 goes to the BACK of _ROUND5_QUEUE so it never
 # displaces the planned check set.
 _ROUND4_FRONT: list[str] = [
@@ -952,6 +956,7 @@ _ROUND5_QUEUE: list[str] = [
     "vocab_roundtrip_gate",
     "corpus_datacard",
     "soft_dedup_weights",
+    "stream_incremental_stats",
 ]
 
 _FRONT = _ROUND4_FRONT + _ROUND5_QUEUE

@@ -289,3 +289,55 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
       FROM events)
 WHERE rn = 1
 """
+
+
+def stream_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-type stats table, gated as a REAL
+    stream: the event stream drives ``foreach_batch_stats_merge`` —
+    every micro-batch's monoid aggregates (count, exact-cents sum,
+    min/max ts) MERGE into the persistent summary — and the final
+    materialized table must equal the one-shot batch aggregation, the
+    streaming face of the corpus datacard. Multi-batch delivery is
+    exercised in tests/test_streaming.py with maxFilesPerTrigger=1.
+
+    Scale shape: per batch one groups-sized groupBy plus a merge against
+    the groups-sized table — state lives in storage, never in executor
+    memory, so ingestion is unbounded."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    target = os.path.join(tempfile.gettempdir(), f"inc_stats_{uuid.uuid4().hex}")
+    q = jobs.foreach_batch_stats_merge(jobs.read_events_stream(spark, sf_dir), target)
+    q.stop()
+    if not os.path.exists(target):
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_events bigint, sum_value_cents bigint, "
+            "min_ts string, max_ts string",
+        )
+    out = (
+        spark.read.parquet(target)
+        .select(
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+            F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+            F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        )
+        .localCheckpoint(eager=True)  # detach from the tmp files before cleanup
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    return out
+
+
+STREAM_INCREMENTAL_STATS_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+FROM events
+GROUP BY 1
+"""

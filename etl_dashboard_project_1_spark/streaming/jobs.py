@@ -346,24 +346,75 @@ def foreach_batch_upsert(
                 ))
         else:
             merged = batch_df
-        merged.write.mode("overwrite").format("parquet").save(target_dir + "__new")
-        # swap order matters for crash-safety: move the old target ASIDE
-        # first, then promote __new, then delete the old copy — a crash
-        # between steps always leaves a readable target or a recoverable
-        # __old, never a window with no data (object stores use
-        # versioned/committed writes instead)
-        import shutil
-
-        old_dir = target_dir + "__old"
-        if os.path.exists(old_dir):
-            shutil.rmtree(old_dir)
-        if os.path.exists(target_dir):
-            os.rename(target_dir, old_dir)
-        os.rename(target_dir + "__new", target_dir)
-        if os.path.exists(old_dir):
-            shutil.rmtree(old_dir)
+        _atomic_swap_write(merged, target_dir)
 
     q = stream_df.writeStream.outputMode("update").foreachBatch(do_upsert).start()
+    q.processAllAvailable()
+    return q
+
+
+def _atomic_swap_write(df: DataFrame, target_dir: str) -> None:
+    """Overwrite ``target_dir`` with ``df`` via write-new → swap. The swap
+    order matters for crash-safety: move the old target ASIDE first, then
+    promote __new, then delete the old copy — a crash between steps
+    always leaves a readable target or a recoverable __old, never a
+    window with no data (object stores use versioned/committed writes
+    instead)."""
+    import os
+    import shutil
+
+    df.write.mode("overwrite").format("parquet").save(target_dir + "__new")
+    old_dir = target_dir + "__old"
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
+    if os.path.exists(target_dir):
+        os.rename(target_dir, old_dir)
+    os.rename(target_dir + "__new", target_dir)
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
+
+
+def foreach_batch_stats_merge(
+    stream_df: DataFrame, target_dir: str, by: str = "event_type"
+):
+    """Incrementally-maintained summary table: each micro-batch reduces
+    to per-group MONOID aggregates (count, exact-cents sum, min/max
+    event time) and MERGEs them into the persistent stats table —
+    sum-of-sums, min-of-mins, max-of-maxes. Because every aggregate is
+    associative and commutative, the final table is a pure function of
+    the event set, independent of micro-batch boundaries or arrival
+    order — which is exactly what lets a batch oracle check it.
+
+    This is the production shape for release-stats that update as data
+    lands (the streaming face of ``corpus_datacard``): state is the
+    groups-sized table itself, not executor memory, so ingestion can run
+    forever; on a lakehouse table the overwrite becomes a keyed MERGE.
+    Value sums are exact BIGINT cents (events.value is 2-decimal), so
+    merge order can never perturb a float."""
+    import os
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(by).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+
+    def do_merge(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        part = agg(batch_df)
+        if os.path.exists(target_dir):
+            part = part.unionByName(spark.read.parquet(target_dir))
+        merged = part.groupBy(by).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_cents").alias("sum_value_cents"),
+            F.min("min_ts").alias("min_ts"),
+            F.max("max_ts").alias("max_ts"),
+        )
+        _atomic_swap_write(merged, target_dir)
+
+    q = stream_df.writeStream.outputMode("update").foreachBatch(do_merge).start()
     q.processAllAvailable()
     return q
 

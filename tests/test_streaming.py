@@ -540,3 +540,73 @@ def test_eventfeed_checkpoint_restart_no_duplicates(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == efd.expected_rows(300)
+
+
+def test_foreach_batch_stats_merge_multi_batch_equals_batch(spark, tmp_path):
+    """Two out-of-order micro-batches (maxFilesPerTrigger=1) merged
+    through the incremental stats sink must equal the one-shot batch
+    aggregation of the union — monoid merge makes the final table
+    independent of batching."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = str(tmp_path / "src")
+    rows_b1 = [("click", "2024-01-02 10:00:00", 2.50), ("view", "2024-01-02 11:00:00", 0.75)]
+    rows_b2 = [("click", "2024-01-01 09:00:00", 1.25), ("error", "2024-01-03 08:00:00", None)]
+
+    def write(rows, sub):
+        df = spark.createDataFrame(rows, ["event_type", "ts", "value"]).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        df.coalesce(1).write.parquet(src + sub)
+
+    write(rows_b1, "/b=a")
+    write(rows_b2, "/b=b")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    target = str(tmp_path / "tgt")
+    q = jobs.foreach_batch_stats_merge(stream, target)
+    q.stop()
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_value_cents"], r["min_ts"], r["max_ts"])
+        for r in spark.read.parquet(target).collect()
+    }
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+    assert got == {
+        "click": (2, 375, t("2024-01-01 09:00:00"), t("2024-01-02 10:00:00")),
+        "view": (1, 75, t("2024-01-02 11:00:00"), t("2024-01-02 11:00:00")),
+        "error": (1, None, t("2024-01-03 08:00:00"), t("2024-01-03 08:00:00")),
+    }
+
+
+def test_stream_incremental_stats_matches_batch(spark):
+    """The registered incremental-stats gate: the materialized final
+    table equals the one-shot batch aggregation over the corpus."""
+    from pyspark.sql import functions as F
+
+    from etl_dashboard_project_1_spark.plans import streaming_queries as sq
+
+    got = sorted(map(tuple, sq.stream_incremental_stats(spark, SF).collect()))
+    ev = load_table(spark, SF, "events")
+    want = sorted(
+        map(
+            tuple,
+            ev.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+                F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+                F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
