@@ -50,14 +50,23 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 
 def read_events_stream(spark, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events parquet (one file = one
-    micro-batch in tests; object-store directories at scale)."""
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        # the file source wants a directory; glob-filter to the events file
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    micro-batch in tests; object-store directories at scale).
+
+    ``events.parquet`` may be a single FILE (the driver's testdata) or a
+    DIRECTORY of part files (any Spark-written dataset, e.g. the
+    scale-stress replicas). The file source's basePath must be a
+    directory, so: directory layout → load it directly (all its part
+    files stream); file layout → load the parent with a glob-filter on
+    the file name. The old unconditional glob-filter silently matched
+    ZERO part files in the directory layout and streamed nothing."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if os.path.isdir(path):
+        raw = reader.load(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     return normalize_event_ts(raw)
 
 

@@ -610,3 +610,20 @@ def test_stream_incremental_stats_matches_batch(spark):
         )
     )
     assert got == want
+
+
+def test_atomic_swap_write_recovers_from_stale_dirs(spark, tmp_path):
+    """A crash can leave __old (or __new) behind; the next swap must
+    still promote fresh data and clean both side dirs."""
+    import os
+
+    target = str(tmp_path / "tgt")
+    spark.createDataFrame([(1, "stale")], ["k", "v"]).write.parquet(target)
+    spark.createDataFrame([(9, "leftover")], ["k", "v"]).write.parquet(target + "__old")
+    spark.createDataFrame([(8, "halfdone")], ["k", "v"]).write.parquet(target + "__new")
+    fresh = spark.createDataFrame([(2, "fresh")], ["k", "v"])
+    jobs._atomic_swap_write(fresh, target)
+    got = [(r["k"], r["v"]) for r in spark.read.parquet(target).collect()]
+    assert got == [(2, "fresh")]
+    assert not os.path.exists(target + "__old")
+    assert not os.path.exists(target + "__new")

@@ -84,6 +84,13 @@ QUERIES = [
     "retrieval_mrr_eval",
     "inverted_index_build",
     "contrastive_hard_negatives",
+    # r4 capstones. The pair-based capstones (estimate gate, soft dedup,
+    # verdict) are ABSENT for the same replication-artifact reason as
+    # dedup_minhash_lsh: replicated twins fabricate quadratic pair growth
+    # that real 10x data doesn't have. These three are reduce-shaped:
+    "corpus_datacard",
+    "vocab_roundtrip_gate",
+    "stream_incremental_stats",
 ]
 
 
