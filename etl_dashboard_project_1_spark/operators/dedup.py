@@ -377,6 +377,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.2,
     reuse: str = "recompute",
     hashed: bool = True,
+    shingle_sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signature → bands → bucket join
     → candidate pairs → verify with true Jaccard ≥ threshold.
@@ -425,7 +426,14 @@ def minhash_lsh_pairs(
     #   recomputable after executor loss.
     # - 'persist': lineage kept (executor-loss safe) but lives until the
     #   caller unpersists — leak-prone across repeated invocations.
-    ss = shingle_sets(df, id_col, text_col, k, hashed=hashed)
+    # A caller that ALSO needs the shingle sets (e.g. the estimate gate,
+    # which attaches signatures built from them) passes shingle_sets_df
+    # so the corpus is shingled once, not per consumer.
+    ss = (
+        shingle_sets_df
+        if shingle_sets_df is not None
+        else shingle_sets(df, id_col, text_col, k, hashed=hashed)
+    )
     if reuse == "checkpoint":
         ss = ss.localCheckpoint(eager=False)
     elif reuse == "persist":

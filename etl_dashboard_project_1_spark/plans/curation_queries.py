@@ -1001,7 +1001,12 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "lang")
         .agg(F.count_distinct("_t").alias("distinct_tokens"))
     )
-    return cells.join(vocab, ["source", "lang"])
+    # LEFT join: a cell whose docs are all empty/whitespace has no vocab
+    # row — it must still appear in the datacard (with 0 tokens), or the
+    # grid stops partitioning the corpus
+    return cells.join(vocab, ["source", "lang"], "left").withColumn(
+        "distinct_tokens", F.coalesce("distinct_tokens", F.lit(0).cast("long"))
+    )
 
 
 CORPUS_DATACARD_SQL = r"""
@@ -1028,8 +1033,8 @@ vocab AS (
   WHERE t <> ''
   GROUP BY 1, 2
 )
-SELECT c.*, v.distinct_tokens
-FROM cells c JOIN vocab v USING (source, lang)
+SELECT c.*, coalesce(v.distinct_tokens, 0)::BIGINT AS distinct_tokens
+FROM cells c LEFT JOIN vocab v USING (source, lang)
 """
 
 

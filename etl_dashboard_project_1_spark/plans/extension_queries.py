@@ -157,28 +157,36 @@ WHERE j.jaccard >= 0.2
 
 # --- MinHash estimate-vs-exact gate -----------------------------------------
 
-def dedup_minhash_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Estimate-vs-exact gate for the minhash SIGNATURE itself: for every
-    verified near-dup pair (true Jaccard ≥ 0.2), count how many of the 8
-    signature components agree. E[matches/8] = J, so the pair table is the
-    empirical accuracy record of the sketch the LSH bands are built from —
-    the same hard-checkable design as the HLL/KMV/GK gates (every number
-    is md5-wheel deterministic; no tolerance needed, the driver hash-
-    compares the exact component-match counts).
-
-    Scale shape: reuses the audited minhash pipeline for the pairs, plus
-    one shuffle-free signature projection and two id-equi-joins to attach
-    each side's signature — candidate-bounded, never n²."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2,
-        threshold=0.2, reuse="checkpoint", hashed=False,
+def minhash_estimate_records(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Per verified near-dup pair: how many signature components agree,
+    next to the true Jaccard. The shingle sets are built and
+    checkpointed ONCE here and shared by the pair pipeline and the
+    signature attach (reuse='recompute' tells the pipeline not to stack
+    a second checkpoint on them); the two id-equi-joins that attach each
+    side's signature are candidate-bounded, never n²."""
+    ss = dedup.shingle_sets(docs, id_col, text_col, k, hashed=False).localCheckpoint(
+        eager=False
     )
-    sig = dedup.minhash_signatures(docs, "doc_id", "text", k=3, num_hashes=8, hashed=False)
-    a = sig.select(F.col("_id").alias("id_a"), *[F.col(f"_m{i}").alias(f"_a{i}") for i in range(8)])
-    b = sig.select(F.col("_id").alias("id_b"), *[F.col(f"_m{i}").alias(f"_b{i}") for i in range(8)])
+    pairs = dedup.minhash_lsh_pairs(
+        docs, id_col, text_col, k=k, num_hashes=num_hashes, band_size=band_size,
+        threshold=threshold, reuse="recompute", hashed=False, shingle_sets_df=ss,
+    )
+    sig = dedup.minhash_signatures(
+        docs, id_col, text_col, k, num_hashes, shingle_sets_df=ss, hashed=False
+    )
+    n = num_hashes
+    a = sig.select(F.col("_id").alias("id_a"), *[F.col(f"_m{i}").alias(f"_a{i}") for i in range(n)])
+    b = sig.select(F.col("_id").alias("id_b"), *[F.col(f"_m{i}").alias(f"_b{i}") for i in range(n)])
     matches = sum(
-        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(8)
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(n)
     ).cast("long")
     return (
         pairs.join(a, "id_a")
@@ -190,6 +198,17 @@ def dedup_minhash_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             derive.portable_round(F.col("jaccard"), 4).alias("jaccard"),
         )
     )
+
+
+def dedup_minhash_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-vs-exact gate for the minhash SIGNATURE itself: for every
+    verified near-dup pair (true Jaccard ≥ 0.2), count how many of the 8
+    signature components agree. E[matches/8] = J, so the pair table is the
+    empirical accuracy record of the sketch the LSH bands are built from —
+    the same hard-checkable design as the HLL/KMV/GK gates (every number
+    is md5-wheel deterministic; no tolerance needed, the driver hash-
+    compares the exact component-match counts)."""
+    return minhash_estimate_records(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 DEDUP_MINHASH_EST_SQL = (

@@ -253,33 +253,36 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     target = os.path.join(tempfile.gettempdir(), f"upsert_latest_{uuid.uuid4().hex}")
-    q = jobs.foreach_batch_upsert(
-        jobs.read_events_stream(spark, sf_dir),
-        target,
-        key="user_id",
-        order_col="ts",
-        resolve="max_order",
-        tiebreak_col="event_id",
-    )
-    q.stop()
-    if not os.path.exists(target):
-        # an empty source fires no micro-batch, so the sink never
-        # materializes — empty result with the declared schema
-        return spark.createDataFrame(
-            [], "user_id bigint, ts string, event_type string, value double"
+    try:
+        q = jobs.foreach_batch_upsert(
+            jobs.read_events_stream(spark, sf_dir),
+            target,
+            key="user_id",
+            order_col="ts",
+            resolve="max_order",
+            tiebreak_col="event_id",
         )
-    out = (
-        spark.read.parquet(target)
-        .select(
-            "user_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
-            "event_type",
-            F.col("value"),
+        q.stop()
+        if not os.path.exists(target):
+            # an empty source fires no micro-batch, so the sink never
+            # materializes — empty result with the declared schema
+            return spark.createDataFrame(
+                [], "user_id bigint, ts string, event_type string, value double"
+            )
+        return (
+            spark.read.parquet(target)
+            .select(
+                "user_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                "event_type",
+                F.col("value"),
+            )
+            .localCheckpoint(eager=True)  # detach from the tmp files before cleanup
         )
-        .localCheckpoint(eager=True)  # detach from the tmp files before cleanup
-    )
-    shutil.rmtree(target, ignore_errors=True)
-    return out
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.rmtree(target + "__old", ignore_errors=True)
+        shutil.rmtree(target + "__new", ignore_errors=True)
 
 
 STREAM_UPSERT_LATEST_SQL = """
@@ -309,27 +312,30 @@ def stream_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     target = os.path.join(tempfile.gettempdir(), f"inc_stats_{uuid.uuid4().hex}")
-    q = jobs.foreach_batch_stats_merge(jobs.read_events_stream(spark, sf_dir), target)
-    q.stop()
-    if not os.path.exists(target):
-        return spark.createDataFrame(
-            [],
-            "event_type string, n_events bigint, sum_value_cents bigint, "
-            "min_ts string, max_ts string",
+    try:
+        q = jobs.foreach_batch_stats_merge(jobs.read_events_stream(spark, sf_dir), target)
+        q.stop()
+        if not os.path.exists(target):
+            return spark.createDataFrame(
+                [],
+                "event_type string, n_events bigint, sum_value_cents bigint, "
+                "min_ts string, max_ts string",
+            )
+        return (
+            spark.read.parquet(target)
+            .select(
+                "event_type",
+                "n_events",
+                "sum_value_cents",
+                F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+                F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+            )
+            .localCheckpoint(eager=True)  # detach from the tmp files before cleanup
         )
-    out = (
-        spark.read.parquet(target)
-        .select(
-            "event_type",
-            "n_events",
-            "sum_value_cents",
-            F.date_format("min_ts", "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
-            F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
-        )
-        .localCheckpoint(eager=True)  # detach from the tmp files before cleanup
-    )
-    shutil.rmtree(target, ignore_errors=True)
-    return out
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.rmtree(target + "__old", ignore_errors=True)
+        shutil.rmtree(target + "__new", ignore_errors=True)
 
 
 STREAM_INCREMENTAL_STATS_SQL = """

@@ -58,12 +58,17 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     directory, so: directory layout → load it directly (all its part
     files stream); file layout → load the parent with a glob-filter on
     the file name. The old unconditional glob-filter silently matched
-    ZERO part files in the directory layout and streamed nothing."""
-    import os
+    ZERO part files in the directory layout and streamed nothing.
 
-    path = os.path.join(sf_dir, "events.parquet")
+    The layout probe goes through the Hadoop FileSystem of the path's
+    scheme (not ``os.path``), so object-store URIs (s3a://, gs://, …)
+    take the directory branch correctly instead of silently falling
+    into the file-glob branch and streaming nothing."""
+    path = sf_dir.rstrip("/") + "/events.parquet"
     reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
-    if os.path.isdir(path):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.isDirectory(jpath):
         raw = reader.load(path)
     else:
         raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
@@ -202,7 +207,7 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str | Non
         .queryName(name)
         .start()
     )
-    q.processAllAvailable()
+    _drain_or_stop(q)
     return q
 
 
@@ -328,6 +333,7 @@ def foreach_batch_upsert(
         from pyspark.sql import Window
 
         spark = batch_df.sparkSession
+        _recover_target(target_dir)
         # a micro-batch can carry several rows per key (rapid updates);
         # keep exactly one so the merged target never holds duplicates
         if order_cols is not None:
@@ -358,20 +364,47 @@ def foreach_batch_upsert(
         _atomic_swap_write(merged, target_dir)
 
     q = stream_df.writeStream.outputMode("update").foreachBatch(do_upsert).start()
-    q.processAllAvailable()
+    _drain_or_stop(q)
     return q
+
+
+def _drain_or_stop(q) -> None:
+    """processAllAvailable, stopping the query instead of leaving it
+    running if the drain raises (a failed batch otherwise strands a live
+    StreamingQuery handle behind the exception)."""
+    try:
+        q.processAllAvailable()
+    except Exception:
+        try:
+            q.stop()
+        finally:
+            pass
+        raise
+
+
+def _recover_target(target_dir: str) -> None:
+    """Crash recovery for the swap protocol: a crash between 'move old
+    aside' and 'promote __new' leaves NO target and a complete __old —
+    restore it BEFORE any read, or the accumulated state silently resets
+    to the next batch (and the next swap would delete the only copy)."""
+    import os
+
+    old_dir = target_dir + "__old"
+    if not os.path.exists(target_dir) and os.path.exists(old_dir):
+        os.rename(old_dir, target_dir)
 
 
 def _atomic_swap_write(df: DataFrame, target_dir: str) -> None:
     """Overwrite ``target_dir`` with ``df`` via write-new → swap. The swap
     order matters for crash-safety: move the old target ASIDE first, then
     promote __new, then delete the old copy — a crash between steps
-    always leaves a readable target or a recoverable __old, never a
-    window with no data (object stores use versioned/committed writes
-    instead)."""
+    always leaves a readable target or a recoverable __old (restored by
+    ``_recover_target`` before the next read), never a window with no
+    data (object stores use versioned/committed writes instead)."""
     import os
     import shutil
 
+    _recover_target(target_dir)
     df.write.mode("overwrite").format("parquet").save(target_dir + "__new")
     old_dir = target_dir + "__old"
     if os.path.exists(old_dir):
@@ -384,7 +417,10 @@ def _atomic_swap_write(df: DataFrame, target_dir: str) -> None:
 
 
 def foreach_batch_stats_merge(
-    stream_df: DataFrame, target_dir: str, by: str = "event_type"
+    stream_df: DataFrame,
+    target_dir: str,
+    by: str = "event_type",
+    checkpoint_dir: str | None = None,
 ):
     """Incrementally-maintained summary table: each micro-batch reduces
     to per-group MONOID aggregates (count, exact-cents sum, min/max
@@ -399,7 +435,16 @@ def foreach_batch_stats_merge(
     groups-sized table itself, not executor memory, so ingestion can run
     forever; on a lakehouse table the overwrite becomes a keyed MERGE.
     Value sums are exact BIGINT cents (events.value is 2-decimal), so
-    merge order can never perturb a float."""
+    merge order can never perturb a float.
+
+    An additive merge is NOT naturally idempotent under foreachBatch's
+    at-least-once delivery (a retried batch would double-count, unlike
+    the keyed upsert), so the table carries the last applied batch id
+    and a replayed ``batch_id <= stored`` merge is a no-op. Within one
+    query run batch ids are monotone; to RESUME over an existing target
+    after a restart, pass the ``checkpoint_dir`` that produced it (the
+    engine then continues the batch-id sequence instead of restarting
+    at 0 and re-reading everything)."""
     import os
 
     def agg(df: DataFrame) -> DataFrame:
@@ -412,19 +457,33 @@ def foreach_batch_stats_merge(
 
     def do_merge(batch_df: DataFrame, batch_id: int):
         spark = batch_df.sparkSession
-        part = agg(batch_df)
+        _recover_target(target_dir)
+        current = None
         if os.path.exists(target_dir):
-            part = part.unionByName(spark.read.parquet(target_dir))
-        merged = part.groupBy(by).agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_value_cents").alias("sum_value_cents"),
-            F.min("min_ts").alias("min_ts"),
-            F.max("max_ts").alias("max_ts"),
+            current = spark.read.parquet(target_dir)
+            stored = current.agg(F.max("_last_batch_id")).first()[0]
+            if stored is not None and batch_id <= stored:
+                return  # at-least-once replay of an already-applied batch
+        part = agg(batch_df)
+        if current is not None:
+            part = part.unionByName(current.drop("_last_batch_id"))
+        merged = (
+            part.groupBy(by)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value_cents").alias("sum_value_cents"),
+                F.min("min_ts").alias("min_ts"),
+                F.max("max_ts").alias("max_ts"),
+            )
+            .withColumn("_last_batch_id", F.lit(batch_id).cast("long"))
         )
         _atomic_swap_write(merged, target_dir)
 
-    q = stream_df.writeStream.outputMode("update").foreachBatch(do_merge).start()
-    q.processAllAvailable()
+    writer = stream_df.writeStream.outputMode("update")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.foreachBatch(do_merge).start()
+    _drain_or_stop(q)
     return q
 
 
@@ -493,7 +552,7 @@ def foreach_batch_dedup_ingest(
         fresh.select(fingerprint_col).write.mode("append").parquet(fp_dir)
 
     q = stream_df.writeStream.outputMode("append").foreachBatch(do_ingest).start()
-    q.processAllAvailable()
+    _drain_or_stop(q)
     return q
 
 
@@ -622,7 +681,7 @@ def foreach_batch_lsh_ingest(
         ).write.mode("append").parquet(bands_dir)
 
     q = stream_df.writeStream.outputMode("append").foreachBatch(do_ingest).start()
-    q.processAllAvailable()
+    _drain_or_stop(q)
     return q
 
 

@@ -1142,12 +1142,12 @@ def test_minhash_estimate_gate_twins_agree_fully(spark):
         ],
         "doc_id long, text string",
     )
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=8, band_size=2,
-        threshold=0.2, hashed=False,
-    ).collect()
-    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
-    assert pairs[0]["jaccard"] == 1.0
+    from etl_dashboard_project_1_spark.plans import extension_queries as ex
+
+    rows = ex.minhash_estimate_records(docs).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["jaccard"] == 1.0
+    assert rows[0]["sig_matches"] == 8  # identical shingle set => identical signature
     sig = dedup.minhash_signatures(docs, "doc_id", "text", 3, 8, hashed=False).collect()
     s = {r["_id"]: [r[f"_m{i}"] for i in range(8)] for r in sig}
     assert s[1] == s[2]

@@ -627,3 +627,62 @@ def test_atomic_swap_write_recovers_from_stale_dirs(spark, tmp_path):
     assert got == [(2, "fresh")]
     assert not os.path.exists(target + "__old")
     assert not os.path.exists(target + "__new")
+
+
+def test_stats_merge_replay_does_not_double_count(spark, tmp_path):
+    """At-least-once defense: re-running the same source against an
+    existing stats target (batch ids restart at 0 ≤ stored) must leave
+    the totals unchanged — an additive merge without the batch-id guard
+    would double every count."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "stats_tgt")
+    s1 = jobs.read_events_stream(spark, SF)
+    jobs.foreach_batch_stats_merge(s1, target).stop()
+    first = {r["event_type"]: (r["n_events"], r["sum_value_cents"])
+             for r in spark.read.parquet(target).collect()}
+    s2 = jobs.read_events_stream(spark, SF)
+    jobs.foreach_batch_stats_merge(s2, target).stop()
+    again = {r["event_type"]: (r["n_events"], r["sum_value_cents"])
+             for r in spark.read.parquet(target).collect()}
+    assert again == first
+
+
+def test_stats_merge_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash window between 'old moved aside' and '__new promoted': only
+    __old exists. A checkpointed RESTART (the documented resume pairing:
+    same checkpoint_dir + existing target) must restore __old and keep
+    accumulating — the engine resumes the batch-id sequence, so the new
+    file merges instead of being mistaken for a replay."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "tgt")
+
+    def add_file(rows, sub):
+        spark.createDataFrame(rows, ["event_type", "ts", "value"]).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.parquet(src + sub)
+
+    add_file([("click", "2024-01-01 10:00:00", 1.00)], "/b=a")
+    jobs.foreach_batch_stats_merge(
+        spark.readStream.schema(schema).parquet(src), target, checkpoint_dir=ckpt
+    ).stop()
+    # simulate the crash window: target moved aside, promotion never happened
+    os.rename(target, target + "__old")
+    add_file([("click", "2024-01-02 10:00:00", 2.00)], "/b=b")
+    jobs.foreach_batch_stats_merge(
+        spark.readStream.schema(schema).parquet(src), target, checkpoint_dir=ckpt
+    ).stop()
+    got = {r["event_type"]: (r["n_events"], r["sum_value_cents"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {"click": (2, 300)}  # both events survive the crash window
