@@ -1056,11 +1056,19 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited bounded-candidate pipelines; on top there is one corpus-keyed
     left join, one cluster-sized groupBy, and one cluster-keyed join —
     all equi-joins on bounded keys."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    return soft_dedup_weight_records(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+def soft_dedup_weight_records(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, threshold: float = 0.2,
+) -> DataFrame:
+    """DataFrame-level core of ``soft_dedup_weights`` (property-tested
+    against a union-find reference model on random corpora)."""
+    pairs = dedup.ngram_jaccard_pairs(docs, id_col, text_col, k=k, threshold=threshold)
     cc = dedup.connected_components(pairs, "id_a", "id_b")
     labeled = (
-        docs.select("doc_id")
+        docs.select(F.col(id_col).alias("doc_id"))
         .join(cc.select(F.col("node").alias("doc_id"), "cluster"), "doc_id", "left")
         .select("doc_id", F.coalesce("cluster", F.col("doc_id")).alias("cluster"))
     )

@@ -309,3 +309,56 @@ def test_incremental_minhash_subset_of_exact_jaccard(spark, docs, split):
         assert abs(r["jaccard"] - want) < 1e-9
         assert r["jaccard"] >= 0.2
         assert r["new_id"] % 7 == split % 7 and r["dup_of"] % 7 != split % 7
+
+
+# --- soft dedup weights vs union-find reference model -----------------------
+
+@given(docs=st.lists(_doc, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_soft_dedup_weights_match_union_find_model(spark, docs):
+    """soft_dedup_weight_records (pair generator → min-label components →
+    1/size basis points) must equal a Python union-find over brute-force
+    ≥0.2-Jaccard 3-gram pairs for ANY corpus — duplicate texts, sub-3-word
+    docs (gramless singletons), and chains that merge clusters
+    transitively."""
+    from etl_dashboard_project_1_spark.plans.curation_queries import (
+        soft_dedup_weight_records)
+
+    sdf = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["cluster"], r["cluster_size"], r["weight_bp"])
+        for r in soft_dedup_weight_records(sdf).collect()
+    }
+
+    def grams(text):
+        w = text.lower().split()
+        return {" ".join(w[i: i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+
+    sets = {i: grams(d) for i, d in enumerate(docs)}
+    parent = {i: i for i in range(len(docs))}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.2:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    members = {}
+    for i in range(len(docs)):
+        members.setdefault(find(i), []).append(i)
+    want = {}
+    for root, ms in members.items():
+        label = min(ms)
+        for m in ms:
+            want[m] = (label, len(ms), 10000 // len(ms))
+    assert got == want
