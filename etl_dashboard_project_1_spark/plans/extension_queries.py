@@ -2271,13 +2271,23 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.slice(
+            # driver-canon shape: first-32 id sequence as ONE comma-joined
+            # string (pandas canon can't hash list cells — r4 failure class)
+            F.concat_ws(
+                ",",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
-                    lambda s: s.token_id,
+                    F.slice(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "token_id"))
+                            ),
+                            lambda s: s.token_id,
+                        ),
+                        1,
+                        32,
+                    ),
+                    lambda i: i.cast("string"),
                 ),
-                1,
-                32,
             ).alias("ids"),
         )
     )
@@ -2294,7 +2304,7 @@ WITH tok AS (
 freq AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
 vocab AS (SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) AS token_id FROM freq)
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
-       (list(token_id ORDER BY pos))[1:32] AS ids
+       array_to_string((list(token_id ORDER BY pos))[1:32], ',') AS ids
 FROM tok JOIN vocab USING (t)
 GROUP BY doc_id
 """
@@ -2686,9 +2696,14 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
         lambda i: F.coalesce(F.element_at("m", i.cast("int")), F.lit(0).cast("long")),
     )
+    # Driver-canon shape: the vector is emitted as ONE comma-joined string
+    # (the agg_ordered_collect house pattern) — the external gate's pandas
+    # canonicalizer cannot sort/hash list cells (r4 failure, CORRECTNESS_r04).
     return assembled.select(
         "doc_id",
-        features.alias("features"),
+        F.concat_ws(
+            ",", F.transform(features, lambda v: v.cast("string"))
+        ).alias("features"),
         F.aggregate(
             features, F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
         ).alias("l1_norm"),
@@ -2713,7 +2728,7 @@ cells AS (
   CROSS JOIN range({FH_DIM}) r(i)
   LEFT JOIN bu ON bu.doc_id = d.doc_id AND bu.b = r.i
 )
-SELECT doc_id, list(val ORDER BY i) AS features,
+SELECT doc_id, string_agg(val::VARCHAR, ',' ORDER BY i) AS features,
        CAST(sum(abs(val)) AS BIGINT) AS l1_norm,
        CAST(sum(CASE WHEN val != 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
 FROM cells GROUP BY 1
@@ -2745,9 +2760,15 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("df"),
             F.sum("tf").alias("ttf"),
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP).alias(
-                "postings"
-            ),
+            # driver-canon shape: capped posting list as ONE comma-joined
+            # string (pandas canon can't hash list cells — r4 failure)
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP),
+                    lambda d: d.cast("string"),
+                ),
+            ).alias("postings"),
         )
         .filter(F.col("df") >= 2)
         .select(F.col("t").alias("token"), "df", "ttf", "postings")
@@ -2763,7 +2784,7 @@ WITH tok AS (
 ),
 per_doc AS (SELECT t, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
 SELECT t AS token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf,
-       (list(doc_id ORDER BY doc_id))[1:{POSTINGS_CAP}] AS postings
+       array_to_string((list(doc_id ORDER BY doc_id))[1:{POSTINGS_CAP}], ',') AS postings
 FROM per_doc
 GROUP BY 1
 HAVING count(*) >= 2

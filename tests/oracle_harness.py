@@ -28,6 +28,15 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _norm_cell(v) -> str:
     if v is None:
         return "<null>"
+    # Faithful to the driver's pandas canonicalizer: sort_values over a
+    # frame with list/dict cells raises `unhashable type` (r4 failure) —
+    # reject here instead of silently stringifying.
+    if isinstance(v, (list, tuple, dict, set)):
+        raise TypeError(
+            f"complex cell {type(v).__name__} — the driver canon cannot "
+            "hash array/map/struct outputs; emit concat_ws/array_to_string "
+            "scalars or explode to rows"
+        )
     if isinstance(v, float):
         if math.isnan(v):
             return "<nan>"
@@ -45,8 +54,25 @@ def _canonical(rows: list[dict], cols: list[str]) -> list[tuple]:
     return sorted(out)
 
 
+#: Spark type classes the driver's pandas canonicalizer cannot hash.
+def _complex_fields(schema) -> list[str]:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def compare(spark, fn, sql: str, sf_dir: str) -> tuple[bool, str]:
     sdf = fn(spark, sf_dir)
+    bad_cols = _complex_fields(sdf.schema)
+    if bad_cols:
+        return False, (
+            f"complex output columns {bad_cols} — driver canon rejects "
+            "array/map/struct (r4 failure class)"
+        )
     spark_rows = [r.asDict() for r in sdf.collect()]
     spark_cols = list(sdf.columns)
 

@@ -39,18 +39,15 @@ def test_output_dtypes_match_oracle(spark, sf_dir):
 
     from tests.oracle_harness import duckdb_connect
 
+    # NO array/list entries on purpose: the driver's pandas canon cannot
+    # hash list cells (r4 failure class) — an array output must mismatch.
     canon_duck = {
         "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "DOUBLE": "f64",
         "FLOAT": "f32", "VARCHAR": "str", "DATE": "date", "BOOLEAN": "bool",
-        # list types: DuckDB spells them ELEM[], Spark array<elem>
-        "BIGINT[]": "arr<i64>", "INTEGER[]": "arr<i32>", "DOUBLE[]": "arr<f64>",
-        "VARCHAR[]": "arr<str>",
     }
     canon_spark = {
         "bigint": "i64", "int": "i32", "smallint": "i16", "double": "f64",
         "float": "f32", "string": "str", "date": "date", "boolean": "bool",
-        "array<bigint>": "arr<i64>", "array<int>": "arr<i32>",
-        "array<double>": "arr<f64>", "array<string>": "arr<str>",
     }
     con = duckdb_connect(sf_dir)
     q = entrymod.queries()

@@ -33,6 +33,24 @@ def test_every_window_entry_has_an_oracle():
     assert not missing, f"window entries without oracle (weaker check): {missing}"
 
 
+def test_no_complex_output_columns_anywhere(spark):
+    """Registry-wide driver-shape guard (r4 lesson): the external gate's
+    pandas canonicalizer sorts the result frame by every column, and list
+    /dict cells raise `unhashable type: 'list'` (CORRECTNESS_r04:
+    text_feature_hashing, inverted_index_build). NO registered query may
+    emit an ArrayType/MapType/StructType column — vectors/postings go out
+    as concat_ws scalars or exploded rows."""
+    from tests.oracle_harness import _complex_fields
+
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in entrymod.queries().items():
+        fields = _complex_fields(fn(spark, sf).schema)
+        if fields:
+            bad[name] = fields
+    assert not bad, f"complex output columns (driver canon cannot hash): {bad}"
+
+
 def test_queries_and_oracles_align():
     q, o = entrymod.queries(), entrymod.oracle_sql()
     assert set(o) <= set(q)

@@ -42,18 +42,17 @@ def main() -> int:
     # canonical dtype buckets: Spark result types must agree with what the
     # DuckDB oracle yields (the external driver compares schemas — a bare
     # `F.size` int32 vs DuckDB's BIGINT is a red even when values match)
+    # NOTE: deliberately NO array/list entries — the external driver's pandas
+    # canonicalizer cannot hash list cells (r4: text_feature_hashing /
+    # inverted_index_build err rows), so an array-typed output column must
+    # surface here as a canon mismatch, never be legitimized.
     canon_duck = {
         "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "DOUBLE": "f64",
         "FLOAT": "f32", "VARCHAR": "str", "DATE": "date", "BOOLEAN": "bool",
-        # list types: DuckDB spells them ELEM[], Spark array<elem>
-        "BIGINT[]": "arr<i64>", "INTEGER[]": "arr<i32>", "DOUBLE[]": "arr<f64>",
-        "VARCHAR[]": "arr<str>",
     }
     canon_spark = {
         "bigint": "i64", "int": "i32", "smallint": "i16", "double": "f64",
         "float": "f32", "string": "str", "date": "date", "boolean": "bool",
-        "array<bigint>": "arr<i64>", "array<int>": "arr<i32>",
-        "array<double>": "arr<f64>", "array<string>": "arr<str>",
     }
     con = duckdb_connect(sf)
 
