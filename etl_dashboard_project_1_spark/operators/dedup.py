@@ -657,6 +657,7 @@ def minhash_incremental_pairs(
     band_size: int = 2,
     threshold: float = 0.2,
     hashed: bool = True,
+    reuse: str = "recompute",
 ) -> DataFrame:
     """Incremental near-dup admission — the PRODUCTION dedup shape: an
     incoming batch is checked against the EXISTING corpus, not against
@@ -670,9 +671,23 @@ def minhash_incremental_pairs(
     equi-join whose LEFT side is batch-sized, so cost tracks the batch,
     never the corpus squared; verification intersects the two sides'
     shingle sets per candidate. Returns (new_id, dup_of, jaccard ≥
-    threshold)."""
+    threshold).
+
+    Each side's shingle sets feed BOTH its band build and the
+    verification join; ``reuse`` picks the recompute/checkpoint/persist
+    strategy exactly as in ``minhash_lsh_pairs`` (see the tradeoff note
+    there — 'recompute' stays the 100 TB default because the shingle
+    table is ~k× the corpus)."""
     ss_new = shingle_sets(new_df, id_col, text_col, k, hashed=hashed)
     ss_cor = shingle_sets(corpus_df, id_col, text_col, k, hashed=hashed)
+    if reuse == "checkpoint":
+        ss_new = ss_new.localCheckpoint(eager=False)
+        ss_cor = ss_cor.localCheckpoint(eager=False)
+    elif reuse == "persist":
+        ss_new = ss_new.persist()
+        ss_cor = ss_cor.persist()
+    elif reuse != "recompute":
+        raise ValueError(f"unknown reuse mode {reuse!r}")
     bn = minhash_band_table(
         new_df, id_col, text_col, k, num_hashes, band_size,
         shingle_sets_df=ss_new, hashed=hashed,

@@ -1,0 +1,876 @@
+"""Round-5 additions: the reference-parity capstone (vehicle pipeline
+summary through an EXTERNAL oracle — the reference's own committed
+artifact), plus a widened analytics/curation surface: skyline, KS drift,
+Gini concentration, Benford audit, KMV set-intersection estimation,
+sequence-continuity audit, per-user drawdown, fixed-k deterministic
+sampling, order-backlog timeline, kNN label-vote eval, log2 length
+histograms and a zone-map skip audit.
+
+House rules (see oracle_harness / driver canon): scalar outputs only
+(never array/map/struct), counts cast to long, ratios as floor-form
+integer basis points, cents via ``floor(x*100 + 0.5)`` (never
+``round`` — the engines disagree on half-boundaries), randomness from
+the md5 wheel, constants interpolated into BOTH engines from the same
+Python value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, sampling, vector
+from ..session import fan_out, load_table
+
+_FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+)
+
+
+def _cents(col: Column | str) -> Column:
+    """floor(x*100 + 0.5) — the portable_round form; F.round would
+    half-round differently from DuckDB's round on boundary values."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
+#: DuckDB spelling of _cents — keep the two in sync.
+_CENTS_SQL = "CAST(floor({x} * 100 + 0.5) AS BIGINT)"
+
+
+# --- vehicle pipeline summary (reference-parity capstone) -------------------
+
+def vehicle_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EP2 vehicle-homologation pipeline, gated against the
+    reference's OWN committed artifact: run the full chain (sentinel
+    ffill, date parse + year, D3 category normalization, D5 propulsion
+    categorization, D8 weight bucketing, the J1/J2 fuzzy importer join)
+    on the RAW column slice of the reference's intermediate dump, then
+    aggregate by (year, propulsion category, vehicle class). The DuckDB
+    oracle reads the reference's derived values from the SAME dump — so
+    a green row certifies our derivations against the reference's, not
+    against a mirror of our own logic. The full per-row, per-cell replay
+    (7,569 rows, measure columns, gas-family means, RUT/IMP_COD) lives in
+    tests/test_golden_replay.py; this query surfaces the categorical
+    spine of that evidence through the external driver gate.
+
+    Reference behavior: /root/reference/src/transform_pipeline.py:218-251
+    (pandas chain), re-expressed as one Column-expression DAG in
+    plans/vehicle_pipeline.py. Fixture inputs are data artifacts
+    materialized once by tools/make_vehicle_fixture.py and committed.
+
+    Scale shape: the pipeline itself is narrow transforms + one ffill
+    (O(partitions) carry) + one blocked fuzzy join; the summary adds a
+    single groupBy over ~100 (year × category × class) groups."""
+    from . import vehicle_pipeline as vp
+
+    raw = spark.read.parquet(os.path.join(_FIXTURES, "vehicle_raw.parquet"))
+    catalog = spark.read.parquet(os.path.join(_FIXTURES, "vehicle_importers.parquet"))
+    out = vp.vehicle_pipeline(raw, importer_catalog=catalog)
+    return out.groupBy(
+        F.col("AÑO").alias("anio"),
+        F.col("CATEGORIA_PROPULSION").alias("cat_prop"),
+        F.col("TIPO_LDV").alias("tipo_ldv"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("MARCA").alias("n_marcas"),
+        F.count("RUT").cast("long").alias("n_rut"),
+    )
+
+
+VEHICLE_SUMMARY_SQL = f"""
+SELECT CAST("AÑO" AS INT) AS anio,
+       CATEGORIA_PROPULSION AS cat_prop,
+       TIPO_LDV AS tipo_ldv,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT MARCA)::BIGINT AS n_marcas,
+       sum(CASE WHEN RUT <> '' THEN 1 ELSE 0 END)::BIGINT AS n_rut
+FROM read_parquet('{os.path.join(_FIXTURES, "vehicle_golden.parquet")}')
+GROUP BY 1, 2, 3
+"""
+
+
+# --- skyline (pareto-front) query -------------------------------------------
+
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-D skyline: the parts not dominated on (cheaper price,
+    larger size) — the pareto front every "best value" dashboard needs.
+    Part a dominates b when a.price <= b.price AND a.size >= b.size with
+    at least one strict; kept rows are those where (1) no strictly
+    cheaper part has size >= ours (RANGE-frame running max over price)
+    and (2) no same-price part has size > ours (partition max).
+
+    Scale shape: the classic O(n log n) sorted-sweep skyline as two
+    window passes — one range-partitioned sort per brand, no self-join,
+    no |parts|² candidate pairs (the anti-join formulation would be
+    quadratic per brand)."""
+    part = fan_out(load_table(spark, sf_dir, "part"))
+    p = part.select(
+        "p_brand",
+        "p_partkey",
+        _cents("p_retailprice").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "price_cents")
+    flagged = p.select(
+        "p_brand",
+        "p_partkey",
+        "price_cents",
+        "size",
+        F.max("size").over(w_cheaper).alias("_cheaper_max"),
+        F.max("size").over(w_same).alias("_same_max"),
+    )
+    return flagged.filter(
+        (F.col("_cheaper_max").isNull() | (F.col("size") > F.col("_cheaper_max")))
+        & (F.col("size") == F.col("_same_max"))
+    ).select(F.col("p_brand").alias("brand"), "p_partkey", "price_cents", "size")
+
+
+SKYLINE_SQL = f"""
+WITH p AS (
+  SELECT p_brand, p_partkey,
+         {_CENTS_SQL.format(x="p_retailprice")} AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+flagged AS (
+  SELECT p_brand, p_partkey, price_cents, size,
+         max(size) OVER (PARTITION BY p_brand ORDER BY price_cents
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS cheaper_max,
+         max(size) OVER (PARTITION BY p_brand, price_cents) AS same_max
+  FROM p
+)
+SELECT p_brand AS brand, p_partkey, price_cents, size
+FROM flagged
+WHERE (cheaper_max IS NULL OR size > cheaper_max) AND size = same_max
+"""
+
+
+# --- two-sample KS drift gate ------------------------------------------------
+
+def ks_value_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the purchase
+    value distributions of two md5-split user cohorts: D = max over the
+    pooled value domain of |F_a(v) - F_b(v)|, the standard distribution-
+    equality test a data pipeline runs between a new ingest batch and its
+    history (value_drift_tv bins first; KS works on the exact CDF and
+    catches shifts binning smears).
+
+    Exactness: D is computed in pure integer arithmetic —
+    max |cum_a·N_b − cum_b·N_a| over distinct cents values, scaled to
+    basis points only at the end — so both engines agree bit-for-bit.
+
+    Scale shape: one groupBy to (cents, cohort) counts, then running
+    sums over the DISTINCT VALUE DOMAIN (cents of a bounded price range
+    — domain-bounded like column_encoding_advisor, not data-bounded);
+    the cohort split is a map-side hash."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    g = ev.select(
+        _cents("value").alias("v"),
+        (sampling.hash_bucket(F.col("user_id"), "ks", 2) == 0).alias("_a"),
+    )
+    per_v = g.groupBy("v").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("_a"), 1).otherwise(0)).alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    )
+    tot = cum.agg(F.max("ca").alias("na"), F.max("cb").alias("nb"))
+    joined = cum.crossJoin(F.broadcast(tot))
+    return joined.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        (
+            F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+            * F.lit(10000)
+            / (F.max("na") * F.max("nb"))
+        )
+        .cast("long")
+        .alias("ks_bp"),
+    )
+
+
+KS_DRIFT_SQL = f"""
+WITH g AS (
+  SELECT {_CENTS_SQL.format(x="value")} AS v,
+         ('0x' || substr(md5(user_id::VARCHAR || 'ks'), 1, 8))::BIGINT % 2 = 0 AS a
+  FROM events WHERE event_type = 'purchase'
+),
+per_v AS (
+  SELECT v,
+         sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN a THEN 0 ELSE 1 END) AS nb
+  FROM g GROUP BY 1
+),
+cum AS (
+  SELECT sum(na) OVER (ORDER BY v) AS ca,
+         sum(nb) OVER (ORDER BY v) AS cb
+  FROM per_v
+),
+tot AS (SELECT max(ca) AS na, max(cb) AS nb FROM cum)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(max(abs(ca * nb - cb * na)) * 10000 // (na * nb) AS BIGINT) AS ks_bp
+FROM cum, tot
+GROUP BY na, nb
+"""
+
+
+# --- Gini concentration ------------------------------------------------------
+
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration as a Gini coefficient over per-customer
+    order totals (customers with no orders count as zero) — the
+    inequality scalar behind "top-x% of customers drive y%" claims
+    (user_value_pareto gives the curve; this gives the index).
+
+    G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) with x ascending — rank-weighted and
+    tie-invariant on VALUE ties because the tiebreaker (c_custkey) is
+    part of the declared total order on both engines. Output in
+    floor-form basis points.
+
+    Scale shape: per-customer cents is one shuffle; the ascending rank
+    uses layout.dense_ids_by — a range-partitioned sort with
+    O(partitions) driver state, NOT a single-partition window; the
+    rank-weighted sum accumulates in decimal(38) (an int64 sum would
+    overflow past ~sf100)."""
+    from ..operators import layout
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+        .join(cust, cust.c_custkey == F.col("o_custkey"), "right")
+        .select("c_custkey", F.coalesce("cents", F.lit(0)).alias("cents"))
+    )
+    ranked = layout.dense_ids_by(
+        rev, [F.asc("cents"), F.asc("c_custkey")], id_name="i"
+    )
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("t"))
+    joined = ranked.crossJoin(F.broadcast(tot))
+    return joined.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("t").cast("long").alias("total_cents"),
+        F.floor(
+            F.lit(10000.0)
+            * F.sum(
+                ((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / (F.max("n").cast("double") * F.max("t").cast("double"))
+        )
+        .cast("long")
+        .alias("gini_bp"),
+    )
+
+
+GINI_SQL = f"""
+WITH rev AS (
+  SELECT c.c_custkey,
+         coalesce(sum({_CENTS_SQL.format(x="o_totalprice")}), 0) AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents ASC, c_custkey ASC) AS i FROM rev
+),
+tot AS (SELECT count(*) AS n, sum(cents) AS t FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(t AS BIGINT) AS total_cents,
+       CAST(floor(10000.0 * CAST(sum((2 * i - n - 1) * cents) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))) AS BIGINT) AS gini_bp
+FROM ranked, tot
+GROUP BY n, t
+"""
+
+
+# --- id-sequence continuity audit -------------------------------------------
+
+def id_continuity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-allocation audit over the event-id space, per event type
+    plus an __all__ rollup row: span occupancy (missing = span − distinct
+    ids) and duplication (dups = rows − distinct ids). The ingestion
+    health check that catches dropped batches (holes in the global
+    sequence) and at-least-once replays (duplicate ids) before they skew
+    downstream counts.
+
+    Scale shape: one ROLLUP aggregate — count / distinct / min / max per
+    group, no sort, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.min("event_id").cast("long").alias("min_id"),
+            F.max("event_id").cast("long").alias("max_id"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("__all__")).alias("scope"),
+            "n_rows",
+            "n_ids",
+            "min_id",
+            "max_id",
+            (F.col("max_id") - F.col("min_id") + 1 - F.col("n_ids"))
+            .cast("long")
+            .alias("n_missing_in_span"),
+            (F.col("n_rows") - F.col("n_ids")).cast("long").alias("n_dup_rows"),
+        )
+    )
+
+
+ID_CONTINUITY_SQL = """
+SELECT coalesce(event_type, '__all__') AS scope,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT event_id)::BIGINT AS n_ids,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id,
+       CAST(max(event_id) - min(event_id) + 1 - count(DISTINCT event_id) AS BIGINT)
+         AS n_missing_in_span,
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dup_rows
+FROM events
+GROUP BY ROLLUP(event_type)
+"""
+
+
+# --- Benford first-digit audit ----------------------------------------------
+
+#: round(log10(1 + 1/d) * 10000) for d = 1..9 — sums to exactly 10000.
+BENFORD_BP = [3010, 1761, 1249, 969, 792, 669, 580, 512, 458]
+
+
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the observed first-digit
+    share of o_totalprice against the Benford expectation — the
+    fraud/synthetic-data smell test for any financial measure column.
+    Expected shares are interpolated into BOTH engines from the same
+    Python constant (BENFORD_BP), per the shared-constant house rule.
+
+    Scale shape: one digit-extraction map + one 9-group aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.floor("o_totalprice").cast("string"), 1, 1).cast("int")
+    exp = F.element_at(F.array(*[F.lit(v) for v in BENFORD_BP]), F.col("digit"))
+    counted = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counted.agg(F.sum("n").alias("t"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n_orders"),
+            F.floor(F.col("n") * 10000 / F.col("t")).cast("long").alias("observed_bp"),
+            exp.cast("long").alias("expected_bp"),
+            F.abs(F.floor(F.col("n") * 10000 / F.col("t")) - exp)
+            .cast("long")
+            .alias("dev_bp"),
+        )
+    )
+
+
+BENFORD_SQL = f"""
+WITH exp(digit, expected_bp) AS (
+  VALUES {", ".join(f"({d + 1}, {v})" for d, v in enumerate(BENFORD_BP))}
+),
+counted AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(n) AS t FROM counted)
+SELECT c.digit,
+       CAST(c.n AS BIGINT) AS n_orders,
+       CAST(c.n * 10000 // t AS BIGINT) AS observed_bp,
+       CAST(e.expected_bp AS BIGINT) AS expected_bp,
+       CAST(abs(c.n * 10000 // t - e.expected_bp) AS BIGINT) AS dev_bp
+FROM counted c JOIN exp e USING (digit), tot
+"""
+
+
+# --- KMV set-intersection estimate ------------------------------------------
+
+KMV_INTER_K = 64
+
+
+def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection cardinality via KMV sketch algebra: estimate
+    |purchasing user-days ∩ erroring user-days| as est(A) + est(B) −
+    est(A∪B), each from a k-minimum-values sketch over the md5 wheel,
+    next to the exact join answer and the error in basis points — the
+    sketch-vs-exact gate pattern (kmv_weekly_merge_gate) extended to set
+    ALGEBRA, which is what sketches exist for at 100 TB (the exact join
+    is the thing you can no longer afford).
+
+    Scale shape: each sketch is distinct → hash → global k-smallest via
+    sort().limit(k) (Spark executes bounded sort-limit as a distributed
+    top-k, never a single-partition full sort); the union sketch reuses
+    the two key sets. The exact side is one equi-join on the bounded
+    distinct key sets, present only because this IS the gate. The
+    driver-side .first() calls each pull ONE row (bounded state)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat_ws(
+        "#", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+    )
+
+    def keys_of(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(key.alias("k"))
+            .distinct()
+        )
+
+    def kmv_est(keys: DataFrame) -> float:
+        """est = (k-1)/h_k from the k smallest hashes; exact count when < k."""
+        h = keys.select(
+            ((dedup.md5_int(F.col("k")) + F.lit(0.5)) / F.lit(float(2**32))).alias("h")
+        )
+        topk = h.sort("h").limit(KMV_INTER_K)
+        row = topk.agg(F.count(F.lit(1)).alias("kn"), F.max("h").alias("hk")).first()
+        if row["kn"] < KMV_INTER_K:
+            return float(row["kn"])
+        return float(KMV_INTER_K - 1) / row["hk"]
+
+    a, b = keys_of("purchase"), keys_of("error")
+    u = a.union(b).distinct()
+    n_exact = a.join(b, "k").count()
+    est = kmv_est(a) + kmv_est(b) - kmv_est(u)
+    return spark.createDataFrame(
+        [(int(n_exact), float(est))], "n_exact_inter bigint, est_inter double"
+    ).select(
+        "n_exact_inter",
+        F.floor(F.col("est_inter") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("est_inter_x100"),
+    )
+
+
+KMV_INTER_SQL = f"""
+WITH a AS (SELECT DISTINCT user_id::VARCHAR || '#' || strftime(ts::DATE, '%Y-%m-%d') AS k
+           FROM events WHERE event_type = 'purchase'),
+b AS (SELECT DISTINCT user_id::VARCHAR || '#' || strftime(ts::DATE, '%Y-%m-%d') AS k
+      FROM events WHERE event_type = 'error'),
+u AS (SELECT k FROM a UNION SELECT k FROM b),
+ah AS (SELECT (('0x' || substr(md5(k), 1, 8))::BIGINT + 0.5) / 4294967296.0 AS h
+       FROM a ORDER BY 1 LIMIT {KMV_INTER_K}),
+bh AS (SELECT (('0x' || substr(md5(k), 1, 8))::BIGINT + 0.5) / 4294967296.0 AS h
+       FROM b ORDER BY 1 LIMIT {KMV_INTER_K}),
+uh AS (SELECT (('0x' || substr(md5(k), 1, 8))::BIGINT + 0.5) / 4294967296.0 AS h
+       FROM u ORDER BY 1 LIMIT {KMV_INTER_K}),
+est AS (
+  SELECT
+    (SELECT CASE WHEN count(*) < {KMV_INTER_K} THEN count(*)::DOUBLE
+                 ELSE {KMV_INTER_K - 1}.0 / max(h) END FROM ah) AS ea,
+    (SELECT CASE WHEN count(*) < {KMV_INTER_K} THEN count(*)::DOUBLE
+                 ELSE {KMV_INTER_K - 1}.0 / max(h) END FROM bh) AS eb,
+    (SELECT CASE WHEN count(*) < {KMV_INTER_K} THEN count(*)::DOUBLE
+                 ELSE {KMV_INTER_K - 1}.0 / max(h) END FROM uh) AS eu
+)
+SELECT (SELECT count(*) FROM a JOIN b USING (k))::BIGINT AS n_exact_inter,
+       CAST(floor((ea + eb - eu) * 100 + 0.5) AS BIGINT) AS est_inter_x100
+FROM est
+"""
+
+
+# --- log2 document-length histogram -----------------------------------------
+
+def doclen_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: documents per (source, ⌊log2 token-count⌋)
+    bucket — the standard long-tail length histogram a datacard carries,
+    with the bucket floor emitted as a power of two. Integer-exact log2
+    via the binary-representation length (no libm), per the house
+    no-transcendentals rule.
+
+    Scale shape: tokenize-count map + one (source, bucket) aggregate."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counted = docs.select(
+        "source",
+        F.size(F.filter(dedup.tokens("text"), lambda t: t != "")).alias("n_tok"),
+    ).filter(F.col("n_tok") >= 1)
+    with_bucket = counted.select(
+        "source",
+        (F.length(F.conv(F.col("n_tok").cast("string"), 10, 2)) - 1)
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        with_bucket.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn(
+            "bucket_lo",
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), bucket) AS BIGINT)"),
+        )
+    )
+
+
+DOCLEN_HIST_SQL = r"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+           AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT source, CAST(length(to_base(n_tok, 2)) - 1 AS INT) AS bucket
+  FROM t WHERE n_tok >= 1
+)
+SELECT source, bucket,
+       count(*)::BIGINT AS n_docs,
+       CAST(1 << bucket AS BIGINT) AS bucket_lo
+FROM b
+GROUP BY 1, 2
+"""
+
+
+# --- per-user max drawdown ---------------------------------------------------
+
+def max_drawdown_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown over the signed purchase/error balance
+    series (purchases credit, errors debit, ordered by time): the
+    largest peak-to-trough drop of the running balance — the risk
+    metric shape (running extremum of a running aggregate) that also
+    powers inventory-low-water and quota-burn alerts. All arithmetic in
+    integer cents.
+
+    Scale shape: two stacked user-partitioned windows (running sum, then
+    running max over the materialized balance — window functions can't
+    nest, so the passes are sequential) + one per-user aggregate;
+    everything shuffles once on user_id and the second window reuses the
+    first's sort order."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    signed = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", _cents("value"))
+        .otherwise(-_cents("value"))
+        .alias("delta"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    run = (
+        signed.withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("bal", F.sum("delta").over(w_run))
+        .withColumn("peak", F.max("bal").over(w_run))
+    )
+    return run.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tx"),
+        F.max("bal").cast("long").alias("peak_cents"),
+        # arg-max over the row counter, not a struct key: DuckDB's max_by
+        # has no struct-ordered overload, so both engines order by rn
+        F.max_by("bal", "rn").cast("long").alias("final_cents"),
+        F.max(F.col("peak") - F.col("bal")).cast("long").alias("max_drawdown_cents"),
+    )
+
+
+MAX_DRAWDOWN_SQL = f"""
+WITH signed AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN {_CENTS_SQL.format(x="value")}
+              ELSE -{_CENTS_SQL.format(x="value")} END AS delta
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+bal AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS bal
+  FROM signed
+),
+run AS (
+  SELECT user_id, rn, bal,
+         max(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM bal
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_tx,
+       CAST(max(bal) AS BIGINT) AS peak_cents,
+       CAST(max_by(bal, rn) AS BIGINT) AS final_cents,
+       CAST(max(peak - bal) AS BIGINT) AS max_drawdown_cents
+FROM run
+GROUP BY user_id
+"""
+
+
+# --- deterministic fixed-k sample per stratum --------------------------------
+
+SAMPLE_K = 25
+
+
+def sample_fixed_k_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: exactly k events per
+    event type, chosen as the k smallest md5 hashes — the distributed
+    stand-in for reservoir sampling (same fixed-k guarantee, but stable
+    under reordering and re-runs, and mergeable across partitions: the
+    k smallest of a union is computable from each side's k smallest).
+    Emitted as per-stratum membership aggregates so the gate pins the
+    exact chosen set, not just its size.
+
+    Scale shape: one type-partitioned window rank over the hash (top-k
+    per group — sort-based, spillable), then a 5-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    h = sampling.hash_bucket(F.col("event_id"), "fixk")
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    picked = ev.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= SAMPLE_K
+    )
+    return picked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k_actual"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )
+
+
+SAMPLE_FIXED_K_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY ('0x' || substr(md5(event_id::VARCHAR || 'fixk'), 1, 8))::BIGINT
+                    % 10000 ASC,
+                    event_id ASC) AS rn
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS k_actual,
+       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM ranked WHERE rn <= {SAMPLE_K}
+GROUP BY 1
+"""
+
+
+# --- order backlog timeline --------------------------------------------------
+
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog timeline: each order opens at o_orderdate and
+    closes when its last lineitem ships; the daily backlog is the
+    running difference of opened-vs-closed counts — the interval-
+    stabbing ("how many in flight on day X") query behind every ops
+    dashboard, computed by event-izing the intervals instead of joining
+    each day against every order.
+
+    Scale shape: one per-order max (shuffle on orderkey), one daily
+    delta aggregate, then a running sum over the DATE DOMAIN (calendar-
+    bounded single partition, like order_cycle_time's percentile step —
+    ~2.5k rows regardless of data size)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_date"))
+    opened = orders.select(
+        F.to_date("o_orderdate").alias("day"), F.lit(1).alias("op"), F.lit(0).alias("cl")
+    )
+    closed = closes.select(
+        F.to_date("close_date").alias("day"), F.lit(0).alias("op"), F.lit(1).alias("cl")
+    )
+    daily = (
+        opened.unionByName(closed)
+        .groupBy("day")
+        .agg(F.sum("op").alias("n_opened"), F.sum("cl").alias("n_closed"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("long").alias("backlog"),
+    )
+
+
+ORDER_BACKLOG_SQL = """
+WITH closes AS (
+  SELECT l_orderkey, max(l_shipdate) AS close_date FROM lineitem GROUP BY 1
+),
+deltas AS (
+  SELECT o_orderdate::DATE AS day, 1 AS op, 0 AS cl FROM orders
+  UNION ALL
+  SELECT close_date::DATE AS day, 0 AS op, 1 AS cl FROM closes
+),
+daily AS (
+  SELECT day, sum(op) AS n_opened, sum(cl) AS n_closed FROM deltas GROUP BY 1
+)
+SELECT day,
+       CAST(n_opened AS BIGINT) AS n_opened,
+       CAST(n_closed AS BIGINT) AS n_closed,
+       CAST(sum(n_opened - n_closed) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+FROM daily
+"""
+
+
+# --- kNN label-vote eval -----------------------------------------------------
+
+KNN_SAMPLE_BP = 1280  # ~12.8% of the wheel -> ~64 eval vectors at sf0.01
+KNN_K = 5
+
+
+def emb_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier evaluation on the embedding corpus: for an
+    md5-sampled eval set, take each vector's top-5 cosine neighbors
+    (self excluded), majority-vote their labels (ties to the smallest
+    label), and report per-true-label accuracy — the label-quality /
+    embedding-quality probe run before trusting either for curation
+    (complements emb_centroid_classifier_eval: kNN is local, centroids
+    are global).
+
+    Scale shape: the eval batch is broadcast; neighbor search is ONE
+    corpus scan via vector.cosine_topk_batch (bucketed partial top-k,
+    no corpus self-join); votes and accuracy are batch-sized
+    aggregates. At production scale the eval set would be capped
+    (fixed-k sample), not a fixed fraction."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(
+        sampling.hash_bucket(F.col("vec_id"), "knn") < KNN_SAMPLE_BP
+    )
+    top = vector.cosine_topk_batch(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k=KNN_K
+    )
+    labels = emb.select(F.col("vec_id").alias("_nid"), F.col("label").alias("_nlabel"))
+    votes = (
+        top.join(labels, top.vec_id == labels._nid)
+        .groupBy("qid", "_nlabel")
+        .agg(F.count(F.lit(1)).alias("_votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_votes"), F.asc("_nlabel"))
+    pred = votes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    truth = queries.select(F.col("vec_id").alias("qid"), F.col("label").alias("true_label"))
+    scored = pred.join(truth, "qid").select(
+        "true_label", (F.col("_nlabel") == F.col("true_label")).alias("_ok")
+    )
+    return scored.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("_ok"), 1).otherwise(0)).cast("long").alias("n_correct"),
+        F.floor(
+            F.sum(F.when(F.col("_ok"), 1).otherwise(0)) * 10000 / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("acc_bp"),
+    )
+
+
+_COS = """
+list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+ / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))
+  * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+KNN_EVAL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS true_label
+  FROM embeddings
+  WHERE ('0x' || substr(md5(vec_id::VARCHAR || 'knn'), 1, 8))::BIGINT % 10000
+        < {KNN_SAMPLE_BP}
+),
+scored AS (
+  SELECT q.qid, q.true_label, e.vec_id, e.label AS nlabel,
+         {_COS.format(a="e.embedding", b="q.qv")} AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != q.qid
+),
+top AS (
+  SELECT qid, true_label, nlabel,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored
+),
+votes AS (
+  SELECT qid, true_label, nlabel, count(*) AS v
+  FROM top WHERE rn <= {KNN_K}
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT qid, true_label, nlabel,
+         row_number() OVER (PARTITION BY qid ORDER BY v DESC, nlabel ASC) AS pr
+  FROM votes
+)
+SELECT true_label,
+       count(*)::BIGINT AS n_eval,
+       CAST(sum(CASE WHEN nlabel = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN nlabel = true_label THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS BIGINT) AS acc_bp
+FROM pred WHERE pr = 1
+GROUP BY 1
+"""
+
+
+# --- zone-map skip audit -----------------------------------------------------
+
+#: value_cents thresholds audited for partition skipping
+ZONEMAP_THRESHOLDS = [5000, 10000, 20000, 30000]
+
+
+def zonemap_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness audit: build the per-day zone map
+    (min/max of value-cents per daily partition of events) and report,
+    for each audited predicate `value_cents >= T`, how many daily
+    partitions a reader could skip outright (zone max < T) — the
+    file-pruning payoff estimate that decides whether a layout/partition
+    scheme earns its keep (layout_zorder_locality's cousin for min/max
+    stats).
+
+    Scale shape: one per-day min/max aggregate (the zone map is
+    partition-count-sized), cross-joined against the config-literal
+    threshold list; everything downstream is metadata-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    zones = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.max(_cents("value")).alias("zmax")
+    )
+    thresholds = F.explode(
+        F.array(*[F.lit(t) for t in ZONEMAP_THRESHOLDS])
+    ).alias("threshold")
+    audited = zones.select("day", "zmax", thresholds)
+    return (
+        audited.groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum(F.when(F.col("zmax") < F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_skippable"),
+        )
+        .select(
+            F.col("threshold").cast("long").alias("threshold_cents"),
+            "n_partitions",
+            "n_skippable",
+            F.floor(F.col("n_skippable") * 10000 / F.col("n_partitions"))
+            .cast("long")
+            .alias("skip_bp"),
+        )
+    )
+
+
+ZONEMAP_SQL = f"""
+WITH zones AS (
+  SELECT ts::DATE AS day, max({_CENTS_SQL.format(x="value")}) AS zmax
+  FROM events GROUP BY 1
+),
+th(threshold) AS (VALUES {", ".join(f"({t})" for t in ZONEMAP_THRESHOLDS)})
+SELECT CAST(threshold AS BIGINT) AS threshold_cents,
+       count(*)::BIGINT AS n_partitions,
+       CAST(sum(CASE WHEN zmax < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+       CAST(sum(CASE WHEN zmax < threshold THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS BIGINT) AS skip_bp
+FROM zones, th
+GROUP BY threshold
+"""

@@ -66,9 +66,18 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     into the file-glob branch and streaming nothing."""
     path = sf_dir.rstrip("/") + "/events.parquet"
     reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.isDirectory(jpath):
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        is_dir = bool(fs.isDirectory(jpath))
+    except AttributeError:
+        # Spark Connect session: no _jvm bridge. Connect callers only ever
+        # hand us local filesystem paths, so os.path answers the same
+        # question (object-store URIs require the classic JVM probe).
+        import os
+
+        is_dir = os.path.isdir(path)
+    if is_dir:
         raw = reader.load(path)
     else:
         raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
@@ -377,8 +386,8 @@ def _drain_or_stop(q) -> None:
     except Exception:
         try:
             q.stop()
-        finally:
-            pass
+        except Exception:
+            pass  # a failing stop() must not mask the drain's root cause
         raise
 
 
@@ -444,8 +453,22 @@ def foreach_batch_stats_merge(
     query run batch ids are monotone; to RESUME over an existing target
     after a restart, pass the ``checkpoint_dir`` that produced it (the
     engine then continues the batch-id sequence instead of restarting
-    at 0 and re-reading everything)."""
+    at 0 and re-reading everything). An UNCHECKPOINTED call against an
+    existing target raises up front — its ids would restart at 0 and
+    the replay guard would silently drop every batch of new data."""
     import os
+
+    if checkpoint_dir is None and os.path.exists(target_dir):
+        # An uncheckpointed run restarts batch ids at 0, so the replay
+        # guard (batch_id <= stored) would silently no-op EVERY batch of
+        # new source data against the existing table — refuse instead of
+        # dropping data.
+        raise ValueError(
+            f"target {target_dir!r} already exists but no checkpoint_dir was "
+            "given: a fresh query's batch ids restart at 0 and the replay "
+            "guard would discard every batch. Pass the checkpoint_dir that "
+            "produced the table (resume) or remove the target (rebuild)."
+        )
 
     def agg(df: DataFrame) -> DataFrame:
         return df.groupBy(by).agg(

@@ -929,8 +929,11 @@ def test_inverted_index_consistency_and_caps(spark):
         assert r["df"] >= 2
         assert r["df"] == df_c[r["token"]]
         assert r["ttf"] == ttf_c[r["token"]]
-        assert r["postings"] == sorted(r["postings"])
-        assert len(r["postings"]) == min(r["df"], POSTINGS_CAP)
+        # postings ship as ONE comma-joined string (driver canon cannot
+        # hash list cells) — decode before checking order and cap
+        postings = [int(x) for x in r["postings"].split(",")]
+        assert postings == sorted(postings)
+        assert len(postings) == min(r["df"], POSTINGS_CAP)
 
 
 def test_feature_hashing_invariants(spark):
@@ -947,9 +950,11 @@ def test_feature_hashing_invariants(spark):
     for d in docs:
         n_tok = len([t for t in d["text"].lower().split() if t])
         r = rows[d["doc_id"]]
-        assert len(r["features"]) == FH_DIM
-        assert r["l1_norm"] == sum(abs(v) for v in r["features"]) <= n_tok
-        assert r["nnz"] == sum(1 for v in r["features"] if v != 0) <= FH_DIM
+        # the vector ships as ONE comma-joined string (driver canon)
+        features = [int(x) for x in r["features"].split(",")]
+        assert len(features) == FH_DIM
+        assert r["l1_norm"] == sum(abs(v) for v in features) <= n_tok
+        assert r["nnz"] == sum(1 for v in features if v != 0) <= FH_DIM
 
 
 def test_mrr_eval_internal_consistency(spark):

@@ -181,6 +181,11 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "session_peak_concurrency",        # 1-row peak/first-instant broadcasts
         "quality_tier_inventory",          # 1-row quartile-thresholds broadcast
         "split_temporal_embargo",          # 1-row user-overlap-count broadcast
+        "ks_value_drift_gate",             # 1-row cohort-totals broadcast
+        "revenue_gini",                    # 1-row (n, sum) totals broadcast
+        "benford_first_digit_audit",       # scalar grand-total (1-row broadcast)
+        "emb_knn_eval",                    # sim_batch_topk core (broadcast eval batch)
+        "vehicle_pipeline_summary",        # j1 broadcast catalog cross (see j1_*)
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

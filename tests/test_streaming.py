@@ -629,12 +629,13 @@ def test_atomic_swap_write_recovers_from_stale_dirs(spark, tmp_path):
     assert not os.path.exists(target + "__new")
 
 
-def test_stats_merge_replay_does_not_double_count(spark, tmp_path):
-    """At-least-once defense: re-running the same source against an
-    existing stats target (batch ids restart at 0 ≤ stored) must leave
-    the totals unchanged — an additive merge without the batch-id guard
-    would double every count."""
-    from pyspark.sql import functions as F
+def test_stats_merge_uncheckpointed_rerun_refuses(spark, tmp_path):
+    """Pointing a fresh UNCHECKPOINTED query at an existing stats target
+    must refuse up front: the new run's batch ids restart at 0, so the
+    at-least-once replay guard (batch_id <= stored) would silently
+    discard every batch of genuinely new data. The table must be left
+    untouched by the refused run."""
+    import pytest
 
     target = str(tmp_path / "stats_tgt")
     s1 = jobs.read_events_stream(spark, SF)
@@ -642,7 +643,8 @@ def test_stats_merge_replay_does_not_double_count(spark, tmp_path):
     first = {r["event_type"]: (r["n_events"], r["sum_value_cents"])
              for r in spark.read.parquet(target).collect()}
     s2 = jobs.read_events_stream(spark, SF)
-    jobs.foreach_batch_stats_merge(s2, target).stop()
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        jobs.foreach_batch_stats_merge(s2, target)
     again = {r["event_type"]: (r["n_events"], r["sum_value_cents"])
              for r in spark.read.parquet(target).collect()}
     assert again == first
