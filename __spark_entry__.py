@@ -889,6 +889,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round5_queries.zonemap_skip_audit,
         round5_queries.ZONEMAP_SQL,
     ),
+    # --- added after the r5 window was sealed (r6 queue) ---
+    "interval_overlap_join": (
+        round5_queries.interval_overlap_join,
+        round5_queries.INTERVAL_OVERLAP_SQL,
+    ),
+    "ols_daily_trend_by_type": (
+        round5_queries.ols_daily_trend_by_type,
+        round5_queries.OLS_TREND_SQL,
+    ),
+    "quota_largest_remainder": (
+        round5_queries.quota_largest_remainder,
+        round5_queries.QUOTA_SQL,
+    ),
 }
 
 
@@ -966,7 +979,11 @@ _ROUND5_FRONT: list[str] = [
 # Round-6 window queue: queries added AFTER the r5 window was sealed go here
 # (never displacing a planned check), plus any query whose implementation
 # changes after its last driver row (re-certification rule).
-_ROUND6_QUEUE: list[str] = []
+_ROUND6_QUEUE: list[str] = [
+    "interval_overlap_join",
+    "ols_daily_trend_by_type",
+    "quota_largest_remainder",
+]
 
 _FRONT = _ROUND5_FRONT + _ROUND6_QUEUE
 

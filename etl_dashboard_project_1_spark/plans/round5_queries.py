@@ -4,7 +4,9 @@ artifact), plus a widened analytics/curation surface: skyline, KS drift,
 Gini concentration, Benford audit, KMV set-intersection estimation,
 sequence-continuity audit, per-user drawdown, fixed-k deterministic
 sampling, order-backlog timeline, kNN label-vote eval, log2 length
-histograms and a zone-map skip audit.
+histograms and a zone-map skip audit; post-window (round-6 queue):
+interval-overlap join, per-group closed-form OLS trend, and
+largest-remainder quota allocation.
 
 House rules (see oracle_harness / driver canon): scalar outputs only
 (never array/map/struct), counts cast to long, ratios as floor-form
@@ -873,4 +875,270 @@ SELECT CAST(threshold AS BIGINT) AS threshold_cents,
             AS BIGINT) AS skip_bp
 FROM zones, th
 GROUP BY threshold
+"""
+
+# --- interval-overlap join ----------------------------------------------------
+
+OVERLAP_GAP_S = 1800  # session gap, shared by both engines
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval proximity join: per user, sessionize purchase
+    activity and error activity independently (30-min gap), then join
+    the two INTERVAL SETS on proximity — a (purchase session, error
+    session) pair qualifies when the intervals come within the session
+    gap of each other; distance 0 means they genuinely intersect. "Did
+    errors coincide with purchase activity?" as interval algebra — the
+    missing sibling of the point-in-interval range join
+    (range_join_error_purchases): both sides are intervals and the
+    predicate is the banded start_a <= end_b + gap AND start_b <= end_a
+    + gap. (Strict intersection alone would be degenerate here: sparse
+    per-user activity makes most sessions single-event POINT intervals,
+    which never strictly intersect — the tolerance IS the semantics.)
+    All arithmetic in exact integer microseconds.
+
+    Scale shape: sessionization is the audited single-shuffle operator
+    (operators/sessionize.py); the proximity join is an EQUI-join on
+    user_id with the banded interval predicate as a residual filter —
+    per-user interval counts are bounded (sessions per user), so no
+    block ever goes quadratic in the corpus."""
+    from ..operators.sessionize import session_stats
+
+    gap_us = OVERLAP_GAP_S * 1_000_000
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    iv = session_stats(
+        ev, "ts", by=["user_id", "event_type"], gap_seconds=OVERLAP_GAP_S,
+        tiebreak=["event_id"],
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("session_start").alias("s"),
+        F.unix_micros("session_end").alias("e"),
+    )
+    p = iv.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("s").alias("ps"), F.col("e").alias("pe")
+    )
+    er = iv.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("_uid"), F.col("s").alias("es"), F.col("e").alias("ee")
+    )
+    dist = F.greatest(
+        F.lit(0).cast("long"),
+        F.greatest(F.col("ps"), F.col("es")) - F.least(F.col("pe"), F.col("ee")),
+    )
+    ov = p.join(
+        er,
+        (p.user_id == er._uid)
+        & (F.col("ps") <= F.col("ee") + F.lit(gap_us))
+        & (F.col("es") <= F.col("pe") + F.lit(gap_us)),
+    ).select("user_id", dist.alias("dist_us"))
+    return ov.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("dist_us") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_intersecting"),
+        F.min("dist_us").cast("long").alias("min_dist_us"),
+        F.sum("dist_us").cast("long").alias("sum_dist_us"),
+    )
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+flags AS (
+  SELECT user_id, event_type, tus,
+         CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w > {OVERLAP_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tus, event_id)
+),
+sess AS (
+  SELECT user_id, event_type, tus,
+         sum(brk) OVER (PARTITION BY user_id, event_type ORDER BY tus
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flags
+),
+iv AS (
+  SELECT user_id, event_type, sid, min(tus) AS s, max(tus) AS e
+  FROM sess GROUP BY 1, 2, 3
+),
+p AS (SELECT user_id, s AS ps, e AS pe FROM iv WHERE event_type = 'purchase'),
+er AS (SELECT user_id, s AS es, e AS ee FROM iv WHERE event_type = 'error'),
+ov AS (
+  SELECT p.user_id,
+         greatest(0, greatest(ps, es) - least(pe, ee)) AS dist_us
+  FROM p JOIN er ON p.user_id = er.user_id
+   AND ps <= ee + {OVERLAP_GAP_S * 1_000_000}
+   AND es <= pe + {OVERLAP_GAP_S * 1_000_000}
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_pairs,
+       CAST(sum(CASE WHEN dist_us = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_intersecting,
+       CAST(min(dist_us) AS BIGINT) AS min_dist_us,
+       CAST(sum(dist_us) AS BIGINT) AS sum_dist_us
+FROM ov GROUP BY 1
+"""
+
+
+# --- per-group closed-form OLS trend ------------------------------------------
+
+def ols_daily_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of the daily event count: closed-form
+    OLS over (epoch-day, count) — slope in parts-per-million events/day
+    plus the fit's r² in basis points. The per-key regression every
+    monitoring system runs to answer "is this stream growing?" without a
+    window scan (seasonal_trend_decompose smooths; this fits).
+
+    Exactness: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+    exact integers; slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) and
+    r² = num² / (den·(nΣy² − (Σy)²)) are each ONE double division over
+    identically-converted integers, floored on both engines — no float
+    accumulation anywhere.
+
+    Scale shape: one (type, day) aggregate, then a 5-accumulator
+    aggregate per type — the sufficient-statistics pattern means the
+    regression itself never sees row-level data."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    syy_c = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sy").cast("long").alias("n_events"),
+        F.floor(F.lit(1000000.0) * num.cast("double") / den.cast("double"))
+        .cast("long")
+        .alias("slope_ppm"),
+        F.floor(
+            F.lit(10000.0)
+            * num.cast("double")
+            * num.cast("double")
+            / (den.cast("double") * syy_c.cast("double"))
+        )
+        .cast("long")
+        .alias("r2_bp"),
+    )
+
+
+OLS_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         (ts::DATE - DATE '1970-01-01') AS x,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM daily GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(sy AS BIGINT) AS n_events,
+       CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_ppm,
+       CAST(floor(10000.0
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) AS r2_bp
+FROM stats
+"""
+
+
+# --- largest-remainder quota allocation ---------------------------------------
+
+QUOTA_SLOTS = 1000
+
+
+def quota_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer quota allocation across sources by document count using
+    the largest-remainder (Hamilton) method: floor shares first, then the
+    leftover slots go to the largest fractional remainders — quotas sum
+    to EXACTLY the budget, the property proportional-rounding loses and
+    every sampling/packing planner needs (mixture_epoch_plan consumes
+    such quotas; this produces them).
+
+    Exactness: shares = slots·count; floor = shares div total; remainder
+    = shares mod total — all non-negative integers (div/mod agree across
+    engines on non-negatives); the tie order (remainder DESC, source ASC)
+    is total.
+
+    Scale shape: one count aggregate, one 1-row total broadcast, one
+    |sources|-row window — everything after the scan is config-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counted.agg(F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("k"))
+    j = counted.crossJoin(F.broadcast(tot))
+    shares = j.select(
+        "source",
+        "cnt",
+        "t",
+        (F.col("cnt") * QUOTA_SLOTS).alias("_sh"),
+    ).select(
+        "source",
+        "cnt",
+        "t",
+        F.expr("_sh div t").alias("fl"),
+        F.pmod(F.col("_sh"), F.col("t")).alias("rem"),
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    leftover = F.lit(QUOTA_SLOTS) - F.sum("fl").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = shares.select(
+        "source",
+        "cnt",
+        "fl",
+        "rem",
+        F.row_number().over(w).alias("rk"),
+        leftover.alias("lo"),
+    )
+    return ranked.select(
+        "source",
+        F.col("cnt").cast("long").alias("n_docs"),
+        (F.col("fl") + F.when(F.col("rk") <= F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+        F.col("rem").cast("long").alias("remainder"),
+    )
+
+
+QUOTA_SQL = f"""
+WITH counted AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+tot AS (SELECT sum(cnt) AS t FROM counted),
+shares AS (
+  SELECT source, cnt,
+         (cnt * {QUOTA_SLOTS}) // t AS fl,
+         (cnt * {QUOTA_SLOTS}) % t AS rem
+  FROM counted, tot
+),
+ranked AS (
+  SELECT source, cnt, fl, rem,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+         {QUOTA_SLOTS} - sum(fl) OVER () AS lo
+  FROM shares
+)
+SELECT source,
+       CAST(cnt AS BIGINT) AS n_docs,
+       CAST(fl + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS BIGINT) AS quota,
+       CAST(rem AS BIGINT) AS remainder
+FROM ranked
 """

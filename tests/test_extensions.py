@@ -1206,3 +1206,88 @@ def test_soft_dedup_weights_mass_conservation(spark):
     for r in rows:
         mass[r["cluster"]] += r["weight_bp"]
     assert all(10000 - sizes[c] < m <= 10000 for c, m in mass.items())
+
+
+def test_quota_largest_remainder_sums_to_budget(spark):
+    """Hamilton-method invariants: quotas sum to EXACTLY the slot budget,
+    every source gets at least its floor share and at most floor+1, and
+    the +1s go to the largest remainders (tie: source asc)."""
+    from etl_dashboard_project_1_spark.plans import round5_queries as r5
+
+    rows = r5.quota_largest_remainder(spark, SF).collect()
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert sum(r["quota"] for r in rows) == r5.QUOTA_SLOTS
+    bumped, unbumped = [], []
+    for r in rows:
+        fl = r["n_docs"] * r5.QUOTA_SLOTS // total_docs
+        assert r["quota"] in (fl, fl + 1)
+        (bumped if r["quota"] == fl + 1 else unbumped).append(
+            (r["remainder"], r["source"])
+        )
+    # every bumped source outranks every unbumped one in (rem DESC, src ASC)
+    if bumped and unbumped:
+        worst_bumped = min((rem, src) for rem, src in
+                           [(-r, s) for r, s in bumped])
+        best_unbumped = min((-r, s) for r, s in unbumped)
+        assert worst_bumped <= best_unbumped
+
+
+def test_interval_overlap_join_invariants(spark):
+    """Qualifying pairs stay within the gap tolerance, distances are
+    non-negative, every reported user really has both purchase and error
+    activity — and the gate is non-degenerate (rows exist at sf0.01,
+    where 35 purchase/error event pairs sit within 30 min)."""
+    from etl_dashboard_project_1_spark.plans import round5_queries as r5
+
+    sf = "/root/testdata/sf0.01"
+    rows = r5.interval_overlap_join(spark, sf).collect()
+    assert rows, "proximity join degenerated to empty — gate proves nothing"
+    ev = load_table(spark, sf, "events")
+    both = {
+        r["user_id"]
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct().collect()
+    } & {
+        r["user_id"]
+        for r in ev.filter(F.col("event_type") == "error")
+        .select("user_id").distinct().collect()
+    }
+    gap_us = r5.OVERLAP_GAP_S * 1_000_000
+    for r in rows:
+        assert r["n_pairs"] >= 1
+        assert 0 <= r["n_intersecting"] <= r["n_pairs"]
+        assert 0 <= r["min_dist_us"] <= gap_us
+        assert r["sum_dist_us"] >= r["min_dist_us"]
+        assert r["user_id"] in both
+
+
+def test_ols_trend_internal_consistency(spark):
+    """The closed-form slope/r² agree with a NumPy-free reference fit on
+    the same daily counts; r² bounded in [0, 10000] basis points."""
+    from collections import Counter
+    import math
+
+    from etl_dashboard_project_1_spark.plans import round5_queries as r5
+
+    rows = {r["event_type"]: r for r in r5.ols_daily_trend_by_type(spark, SF).collect()}
+    ev = load_table(spark, SF, "events").select(
+        "event_type", F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x")
+    ).collect()
+    per_type = {}
+    for r in ev:
+        per_type.setdefault(r["event_type"], Counter())[r["x"]] += 1
+    for etype, daily in per_type.items():
+        xs, ys = list(daily.keys()), list(daily.values())
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        num, den, syc = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        r = rows[etype]
+        assert r["n_days"] == n and r["n_events"] == sy
+        assert r["slope_ppm"] == math.floor(1_000_000.0 * float(num) / float(den))
+        assert 0 <= r["r2_bp"] <= 10000
+        assert r["r2_bp"] == math.floor(
+            10000.0 * float(num) * float(num) / (float(den) * float(syc))
+        )
