@@ -420,44 +420,63 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALGEBRA, which is what sketches exist for at 100 TB (the exact join
     is the thing you can no longer afford).
 
-    Scale shape: each sketch is distinct → hash → global k-smallest via
-    sort().limit(k) (Spark executes bounded sort-limit as a distributed
-    top-k, never a single-partition full sort); the union sketch reuses
-    the two key sets. The exact side is one equi-join on the bounded
-    distinct key sets, present only because this IS the gate. The
-    driver-side .first() calls each pull ONE row (bounded state)."""
+    Scale shape: ONE declarative plan, no driver-side loop. The three
+    sketches (A, B, A∪B) ride one tagged union; each tag's k smallest
+    hashes come from the two-phase distributed top-k (per-(tag, hash
+    bucket) partial top-k, then a final top-k over the 32·k survivors —
+    the cosine_topk_batch pattern, so no single task ever sorts a whole
+    tag). The exact side is one count-over-groupBy on the bounded
+    distinct key set, present only because this IS the gate."""
     ev = load_table(spark, sf_dir, "events")
     key = F.concat_ws(
         "#", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
     )
-
-    def keys_of(etype: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .select(key.alias("k"))
-            .distinct()
-        )
-
-    def kmv_est(keys: DataFrame) -> float:
-        """est = (k-1)/h_k from the k smallest hashes; exact count when < k."""
-        h = keys.select(
-            ((dedup.md5_int(F.col("k")) + F.lit(0.5)) / F.lit(float(2**32))).alias("h")
-        )
-        topk = h.sort("h").limit(KMV_INTER_K)
-        row = topk.agg(F.count(F.lit(1)).alias("kn"), F.max("h").alias("hk")).first()
-        if row["kn"] < KMV_INTER_K:
-            return float(row["kn"])
-        return float(KMV_INTER_K - 1) / row["hk"]
-
-    a, b = keys_of("purchase"), keys_of("error")
-    u = a.union(b).distinct()
-    n_exact = a.join(b, "k").count()
-    est = kmv_est(a) + kmv_est(b) - kmv_est(u)
-    return spark.createDataFrame(
-        [(int(n_exact), float(est))], "n_exact_inter bigint, est_inter double"
-    ).select(
-        "n_exact_inter",
-        F.floor(F.col("est_inter") * 100 + F.lit(0.5))
+    base = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .select(F.col("event_type").alias("et"), key.alias("k"))
+        .distinct()
+    )
+    a = base.filter(F.col("et") == "purchase").select(F.lit("a").alias("tag"), "k")
+    b = base.filter(F.col("et") == "error").select(F.lit("b").alias("tag"), "k")
+    u = base.select("k").distinct().select(F.lit("u").alias("tag"), "k")
+    tagged = a.unionByName(b).unionByName(u)
+    hashed = tagged.select(
+        "tag",
+        "k",
+        ((dedup.md5_int(F.col("k")) + F.lit(0.5)) / F.lit(float(2**32))).alias("h"),
+    ).withColumn("_b", F.pmod(F.hash("k"), F.lit(32)))
+    w1 = Window.partitionBy("tag", "_b").orderBy("h")
+    s1 = (
+        hashed.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= KMV_INTER_K)
+        .drop("_rn", "_b")
+    )
+    w2 = Window.partitionBy("tag").orderBy("h")
+    topk = s1.withColumn("_rn", F.row_number().over(w2)).filter(
+        F.col("_rn") <= KMV_INTER_K
+    )
+    per_tag = topk.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("kn"), F.max("h").alias("hk")
+    )
+    est = (
+        F.when(F.col("kn") < KMV_INTER_K, F.col("kn").cast("double"))
+        .otherwise(F.lit(float(KMV_INTER_K - 1)) / F.col("hk"))
+        .alias("est")
+    )
+    ests = per_tag.select("tag", est).agg(
+        F.sum(F.when(F.col("tag") == "a", F.col("est"))).alias("ea"),
+        F.sum(F.when(F.col("tag") == "b", F.col("est"))).alias("eb"),
+        F.sum(F.when(F.col("tag") == "u", F.col("est"))).alias("eu"),
+    )
+    inter = (
+        base.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 2)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return inter.crossJoin(F.broadcast(ests)).select(
+        F.col("n_exact").cast("long").alias("n_exact_inter"),
+        F.floor((F.col("ea") + F.col("eb") - F.col("eu")) * 100 + F.lit(0.5))
         .cast("long")
         .alias("est_inter_x100"),
     )
@@ -725,27 +744,34 @@ FROM daily
 
 # --- kNN label-vote eval -----------------------------------------------------
 
-KNN_SAMPLE_BP = 1280  # ~12.8% of the wheel -> ~64 eval vectors at sf0.01
+KNN_EVAL_K = 64  # fixed eval-set size at ANY corpus scale
 KNN_K = 5
 
 
 def emb_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN classifier evaluation on the embedding corpus: for an
-    md5-sampled eval set, take each vector's top-5 cosine neighbors
-    (self excluded), majority-vote their labels (ties to the smallest
-    label), and report per-true-label accuracy — the label-quality /
+    """kNN classifier evaluation on the embedding corpus: for a
+    FIXED-SIZE md5-chosen eval set (the 64 smallest key hashes — a
+    deterministic sample whose cost does NOT grow with the corpus,
+    unlike a fraction), take each vector's top-5 cosine neighbors (self
+    excluded), majority-vote their labels (ties to the smallest label),
+    and report per-true-label accuracy — the label-quality /
     embedding-quality probe run before trusting either for curation
     (complements emb_centroid_classifier_eval: kNN is local, centroids
     are global).
 
-    Scale shape: the eval batch is broadcast; neighbor search is ONE
-    corpus scan via vector.cosine_topk_batch (bucketed partial top-k,
-    no corpus self-join); votes and accuracy are batch-sized
-    aggregates. At production scale the eval set would be capped
-    (fixed-k sample), not a fixed fraction."""
+    Scale shape: the eval batch is a distributed sort-limit (TakeOrdered
+    top-k, never a single-partition sort) and is broadcast; neighbor
+    search is ONE corpus scan via vector.cosine_topk_batch (bucketed
+    partial top-k, no corpus self-join); votes and accuracy are
+    batch-sized aggregates."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(
-        sampling.hash_bucket(F.col("vec_id"), "knn") < KNN_SAMPLE_BP
+    queries = (
+        emb.withColumn(
+            "_h", dedup.md5_int(F.concat(F.col("vec_id").cast("string"), F.lit("knn")))
+        )
+        .sort("_h", "vec_id")
+        .limit(KNN_EVAL_K)
+        .drop("_h")
     )
     top = vector.cosine_topk_batch(
         emb, "vec_id", "embedding", queries, "vec_id", "embedding", k=KNN_K
@@ -783,8 +809,8 @@ KNN_EVAL_SQL = f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qv, label AS true_label
   FROM embeddings
-  WHERE ('0x' || substr(md5(vec_id::VARCHAR || 'knn'), 1, 8))::BIGINT % 10000
-        < {KNN_SAMPLE_BP}
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || 'knn'), 1, 8))::BIGINT, vec_id
+  LIMIT {KNN_EVAL_K}
 ),
 scored AS (
   SELECT q.qid, q.true_label, e.vec_id, e.label AS nlabel,
