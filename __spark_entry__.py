@@ -917,7 +917,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # were de-arrayified (concat_ws/array_to_string house form); vocab_encode_docs
 # carried the same latent bug and was fixed pre-rotation, but it already sits
 # in the queue (slot 2), so it needs no extra slot. After this window runs,
-# every registry entry (236 total) has at least one external driver row.
+# every entry REGISTERED AT SEAL TIME (236) has at least one external driver
+# row; the 3 added after sealing sit in _ROUND6_QUEUE below (239 total).
 _ROUND5_FRONT: list[str] = [
     # the 2 r4-FAILED queries, re-certifying their de-arrayified forms
     "text_feature_hashing",

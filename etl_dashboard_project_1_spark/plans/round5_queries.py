@@ -175,7 +175,12 @@ def ks_value_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one groupBy to (cents, cohort) counts, then running
     sums over the DISTINCT VALUE DOMAIN (cents of a bounded price range
     — domain-bounded like column_encoding_advisor, not data-bounded);
-    the cohort split is a map-side hash."""
+    the cohort split is a map-side hash.
+
+    Known empty-input divergence (same engine-level class as the 7
+    documented in the r4 empty-dataset sweep): on ZERO purchase events
+    Spark's ungrouped agg emits one all-NULL row where the oracle's
+    GROUP BY emits none — unreachable at every registered SF."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     g = ev.select(
         _cents("value").alias("v"),
@@ -463,10 +468,12 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(float(KMV_INTER_K - 1)) / F.col("hk"))
         .alias("est")
     )
+    # coalesce mirrors the oracle's scalar subqueries, which yield 0.0
+    # (count < k branch) for a tag with no rows at all
     ests = per_tag.select("tag", est).agg(
-        F.sum(F.when(F.col("tag") == "a", F.col("est"))).alias("ea"),
-        F.sum(F.when(F.col("tag") == "b", F.col("est"))).alias("eb"),
-        F.sum(F.when(F.col("tag") == "u", F.col("est"))).alias("eu"),
+        F.coalesce(F.sum(F.when(F.col("tag") == "a", F.col("est"))), F.lit(0.0)).alias("ea"),
+        F.coalesce(F.sum(F.when(F.col("tag") == "b", F.col("est"))), F.lit(0.0)).alias("eb"),
+        F.coalesce(F.sum(F.when(F.col("tag") == "u", F.col("est"))), F.lit(0.0)).alias("eu"),
     )
     inter = (
         base.groupBy("k")
@@ -649,9 +656,12 @@ def sample_fixed_k_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact chosen set, not just its size.
 
     Scale shape: one type-partitioned window rank over the hash (top-k
-    per group — sort-based, spillable), then a 5-row aggregate."""
+    per group — sort-based, spillable), then a 5-row aggregate. The rank
+    key is the FULL-RESOLUTION md5 integer, not the 10k-bucket wheel: a
+    bucketed key would degenerate at scale into "the smallest event_ids
+    inside bucket 0" — earliest-ingested bias, not a uniform sample."""
     ev = load_table(spark, sf_dir, "events")
-    h = sampling.hash_bucket(F.col("event_id"), "fixk")
+    h = dedup.md5_int(F.concat(F.col("event_id").cast("string"), F.lit("fixk")))
     w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
     picked = ev.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= SAMPLE_K
@@ -670,7 +680,7 @@ WITH ranked AS (
          row_number() OVER (
            PARTITION BY event_type
            ORDER BY ('0x' || substr(md5(event_id::VARCHAR || 'fixk'), 1, 8))::BIGINT
-                    % 10000 ASC,
+                    ASC,
                     event_id ASC) AS rn
   FROM events
 )
@@ -975,7 +985,7 @@ WITH ev AS (
   FROM events WHERE event_type IN ('purchase', 'error')
 ),
 flags AS (
-  SELECT user_id, event_type, tus,
+  SELECT user_id, event_type, event_id, tus,
          CASE WHEN lag(tus) OVER w IS NULL
                    OR tus - lag(tus) OVER w > {OVERLAP_GAP_S * 1_000_000}
               THEN 1 ELSE 0 END AS brk
@@ -983,8 +993,11 @@ flags AS (
   WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tus, event_id)
 ),
 sess AS (
+  -- event_id tiebreak matches the flags window AND the Spark side
+  -- (session_stats tiebreak=["event_id"]): without it the ROWS-framed
+  -- running sum is nondeterministic on timestamp ties
   SELECT user_id, event_type, tus,
-         sum(brk) OVER (PARTITION BY user_id, event_type ORDER BY tus
+         sum(brk) OVER (PARTITION BY user_id, event_type ORDER BY tus, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flags
 ),

@@ -458,16 +458,21 @@ def foreach_batch_stats_merge(
     the replay guard would silently drop every batch of new data."""
     import os
 
-    if checkpoint_dir is None and os.path.exists(target_dir):
+    if checkpoint_dir is None and (
+        os.path.exists(target_dir) or os.path.exists(target_dir + "__old")
+    ):
         # An uncheckpointed run restarts batch ids at 0, so the replay
         # guard (batch_id <= stored) would silently no-op EVERY batch of
         # new source data against the existing table — refuse instead of
-        # dropping data.
+        # dropping data. The __old probe covers the mid-swap crash state:
+        # _recover_target would restore that table (with its stored batch
+        # id) AFTER a target-only existence check had already passed.
         raise ValueError(
-            f"target {target_dir!r} already exists but no checkpoint_dir was "
-            "given: a fresh query's batch ids restart at 0 and the replay "
-            "guard would discard every batch. Pass the checkpoint_dir that "
-            "produced the table (resume) or remove the target (rebuild)."
+            f"target {target_dir!r} (or its __old crash remnant) already "
+            "exists but no checkpoint_dir was given: a fresh query's batch "
+            "ids restart at 0 and the replay guard would discard every "
+            "batch. Pass the checkpoint_dir that produced the table "
+            "(resume) or remove the target (rebuild)."
         )
 
     def agg(df: DataFrame) -> DataFrame:

@@ -1225,11 +1225,11 @@ def test_quota_largest_remainder_sums_to_budget(spark):
             (r["remainder"], r["source"])
         )
     # every bumped source outranks every unbumped one in (rem DESC, src ASC)
+    # — i.e. the WORST bumped rank key still precedes the BEST unbumped one
     if bumped and unbumped:
-        worst_bumped = min((rem, src) for rem, src in
-                           [(-r, s) for r, s in bumped])
+        worst_bumped = max((-r, s) for r, s in bumped)
         best_unbumped = min((-r, s) for r, s in unbumped)
-        assert worst_bumped <= best_unbumped
+        assert worst_bumped < best_unbumped
 
 
 def test_interval_overlap_join_invariants(spark):

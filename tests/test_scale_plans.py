@@ -186,6 +186,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "benford_first_digit_audit",       # scalar grand-total (1-row broadcast)
         "emb_knn_eval",                    # sim_batch_topk core (broadcast eval batch)
         "vehicle_pipeline_summary",        # j1 broadcast catalog cross (see j1_*)
+        "kmv_intersection_estimate",       # 1-row estimates frame × 1-row exact count
+        "quota_largest_remainder",         # 1-row totals broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

@@ -688,3 +688,69 @@ def test_stats_merge_recovers_mid_swap_crash(spark, tmp_path):
     got = {r["event_type"]: (r["n_events"], r["sum_value_cents"])
            for r in spark.read.parquet(target).collect()}
     assert got == {"click": (2, 300)}  # both events survive the crash window
+
+
+def test_stats_merge_replayed_batch_id_is_noop(spark, tmp_path):
+    """At-least-once redelivery inside a CHECKPOINTED run: a batch whose
+    id is <= the stored _last_batch_id must merge as a no-op. Simulated
+    by inflating the stored id so the resumed query's next (genuinely
+    new) batch arrives with a stale id — the totals must not change."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "tgt")
+
+    def add_file(rows, sub):
+        spark.createDataFrame(rows, ["event_type", "ts", "value"]).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.parquet(src + sub)
+
+    add_file([("click", "2024-01-01 10:00:00", 1.00)], "/b=a")
+    jobs.foreach_batch_stats_merge(
+        spark.readStream.schema(schema).parquet(src), target, checkpoint_dir=ckpt
+    ).stop()
+    # pretend the stored table is already ahead of whatever the engine
+    # will deliver next (the redelivered-batch state)
+    inflated = spark.read.parquet(target).withColumn(
+        "_last_batch_id", F.lit(999_999).cast("long")
+    )
+    tmp_out = target + "__inflate"
+    inflated.write.parquet(tmp_out)
+    import shutil
+
+    shutil.rmtree(target)
+    os.rename(tmp_out, target)
+    before = {r["event_type"]: (r["n_events"], r["sum_value_cents"])
+              for r in spark.read.parquet(target).collect()}
+    add_file([("click", "2024-01-02 10:00:00", 2.00)], "/b=b")
+    jobs.foreach_batch_stats_merge(
+        spark.readStream.schema(schema).parquet(src), target, checkpoint_dir=ckpt
+    ).stop()
+    after = {r["event_type"]: (r["n_events"], r["sum_value_cents"])
+             for r in spark.read.parquet(target).collect()}
+    assert after == before  # stale batch id -> merge skipped, no double count
+
+
+def test_stats_merge_uncheckpointed_rerun_refuses_after_crash_window(spark, tmp_path):
+    """The uncheckpointed-rerun guard must also fire when only the __old
+    crash remnant exists: _recover_target would otherwise restore the
+    table (with its stored batch id) AFTER a target-only existence check
+    had passed, re-opening the silent-drop hole."""
+    import os
+
+    import pytest
+
+    target = str(tmp_path / "stats_tgt")
+    jobs.foreach_batch_stats_merge(jobs.read_events_stream(spark, SF), target).stop()
+    os.rename(target, target + "__old")  # mid-swap crash state
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        jobs.foreach_batch_stats_merge(jobs.read_events_stream(spark, SF), target)

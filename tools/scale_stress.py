@@ -91,6 +91,20 @@ QUERIES = [
     "corpus_datacard",
     "vocab_roundtrip_gate",
     "stream_incremental_stats",
+    # r5 members. Key shifting gives disjoint users/customers, so the
+    # user-keyed windows (drawdown, interval join) and the global
+    # range-partitioned rank (gini) weak-scale 1:1; the domain-bounded
+    # reducers (KS value domain, backlog calendar, KMV sketches) hold
+    # their intermediate size constant while input grows; the kNN eval
+    # batch stays 64 by construction while its corpus side grows 10x.
+    "skyline_pareto_parts",
+    "ks_value_drift_gate",
+    "revenue_gini",
+    "max_drawdown_user",
+    "order_backlog_daily",
+    "kmv_intersection_estimate",
+    "emb_knn_eval",
+    "interval_overlap_join",
 ]
 
 
