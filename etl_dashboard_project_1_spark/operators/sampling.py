@@ -203,3 +203,55 @@ def kmv_distinct(
             .alias("est_distinct"),
         )
     )
+
+
+def hamilton_quota(
+    counted: DataFrame, key_col: str, count_col: str, slots: int
+) -> DataFrame:
+    """Largest-remainder (Hamilton) integer quota allocation: split
+    ``slots`` across the rows of ``counted`` proportionally to
+    ``count_col``, flooring first and handing the leftover +1s to the
+    largest fractional remainders (ties to ``key_col`` ascending).
+    Quotas sum to EXACTLY ``slots`` — the property plain proportional
+    rounding loses and every sampling/packing planner needs.
+
+    All arithmetic is non-negative integer (shares = slots·count; floor
+    = shares div total; remainder = shares mod total), so any SQL engine
+    reproduces it bit-for-bit.
+
+    Scale shape: one 1-row total broadcast + one |rows|-row window —
+    callers hand in an already-aggregated (key, count) frame, so
+    everything here is config-sized.
+
+    Returns (key, count, quota, remainder)."""
+    tot = counted.agg(F.sum(count_col).alias("_t"))
+    shares = (
+        counted.select(F.col(key_col), F.col(count_col))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            key_col,
+            count_col,
+            F.expr(f"({count_col} * {slots}) div _t").alias("_fl"),
+            F.pmod(F.col(count_col) * slots, F.col("_t")).alias("remainder"),
+        )
+    )
+    w = Window.orderBy(F.desc("remainder"), F.asc(key_col))
+    leftover = F.lit(slots) - F.sum("_fl").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = shares.select(
+        key_col,
+        count_col,
+        "_fl",
+        "remainder",
+        F.row_number().over(w).alias("_rk"),
+        leftover.alias("_lo"),
+    )
+    return ranked.select(
+        key_col,
+        count_col,
+        (F.col("_fl") + F.when(F.col("_rk") <= F.col("_lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+        F.col("remainder").cast("long").alias("remainder"),
+    )

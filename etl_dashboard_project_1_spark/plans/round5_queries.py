@@ -109,7 +109,10 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the classic O(n log n) sorted-sweep skyline as two
     window passes — one range-partitioned sort per brand, no self-join,
     no |parts|² candidate pairs (the anti-join formulation would be
-    quadratic per brand)."""
+    quadratic per brand). Core in operators/skyline.py (property-tested
+    against a brute-force dominance model)."""
+    from ..operators.skyline import skyline_2d
+
     part = fan_out(load_table(spark, sf_dir, "part"))
     p = part.select(
         "p_brand",
@@ -117,24 +120,9 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents("p_retailprice").alias("price_cents"),
         F.col("p_size").cast("long").alias("size"),
     )
-    w_cheaper = (
-        Window.partitionBy("p_brand")
-        .orderBy("price_cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
+    return skyline_2d(p, ["p_brand"], "price_cents", "size").select(
+        F.col("p_brand").alias("brand"), "p_partkey", "price_cents", "size"
     )
-    w_same = Window.partitionBy("p_brand", "price_cents")
-    flagged = p.select(
-        "p_brand",
-        "p_partkey",
-        "price_cents",
-        "size",
-        F.max("size").over(w_cheaper).alias("_cheaper_max"),
-        F.max("size").over(w_same).alias("_same_max"),
-    )
-    return flagged.filter(
-        (F.col("_cheaper_max").isNull() | (F.col("size") > F.col("_cheaper_max")))
-        & (F.col("size") == F.col("_same_max"))
-    ).select(F.col("p_brand").alias("brand"), "p_partkey", "price_cents", "size")
 
 
 SKYLINE_SQL = f"""
@@ -1121,42 +1109,16 @@ def quota_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     is total.
 
     Scale shape: one count aggregate, one 1-row total broadcast, one
-    |sources|-row window — everything after the scan is config-sized."""
+    |sources|-row window — everything after the scan is config-sized.
+    Core in sampling.hamilton_quota (property-tested against a Python
+    reference model)."""
     docs = load_table(spark, sf_dir, "documents")
     counted = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = counted.agg(F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("k"))
-    j = counted.crossJoin(F.broadcast(tot))
-    shares = j.select(
-        "source",
-        "cnt",
-        "t",
-        (F.col("cnt") * QUOTA_SLOTS).alias("_sh"),
-    ).select(
-        "source",
-        "cnt",
-        "t",
-        F.expr("_sh div t").alias("fl"),
-        F.pmod(F.col("_sh"), F.col("t")).alias("rem"),
-    )
-    w = Window.orderBy(F.desc("rem"), F.asc("source"))
-    leftover = F.lit(QUOTA_SLOTS) - F.sum("fl").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    ranked = shares.select(
-        "source",
-        "cnt",
-        "fl",
-        "rem",
-        F.row_number().over(w).alias("rk"),
-        leftover.alias("lo"),
-    )
-    return ranked.select(
+    return sampling.hamilton_quota(counted, "source", "cnt", QUOTA_SLOTS).select(
         "source",
         F.col("cnt").cast("long").alias("n_docs"),
-        (F.col("fl") + F.when(F.col("rk") <= F.col("lo"), 1).otherwise(0))
-        .cast("long")
-        .alias("quota"),
-        F.col("rem").cast("long").alias("remainder"),
+        "quota",
+        "remainder",
     )
 
 

@@ -362,3 +362,130 @@ def test_soft_dedup_weights_match_union_find_model(spark, docs):
         for m in ms:
             want[m] = (label, len(ms), 10000 // len(ms))
     assert got == want
+
+
+# --- skyline: sweep form vs brute-force dominance ----------------------------
+
+_sky_point = st.tuples(
+    st.integers(min_value=0, max_value=1),   # group
+    st.integers(min_value=0, max_value=8),   # cost (dense -> many ties)
+    st.integers(min_value=0, max_value=8),   # benefit
+)
+
+
+@given(points=st.lists(_sky_point, min_size=1, max_size=14))
+@settings(**SETTINGS)
+def test_skyline_matches_brute_force_dominance(spark, points):
+    """The window-sweep skyline equals the O(n²) dominance definition:
+    keep p iff no q in the same group has (cost <=, benefit >=) with at
+    least one strict. Dense integer domains force cost AND benefit ties,
+    the cases the sweep's two-window split must get right."""
+    from etl_dashboard_project_1_spark.operators.skyline import skyline_2d
+
+    rows = [(i, g, c, b) for i, (g, c, b) in enumerate(points)]
+    df = spark.createDataFrame(rows, ["id", "g", "cost", "benefit"])
+    got = {r["id"] for r in skyline_2d(df, ["g"], "cost", "benefit").collect()}
+
+    expect = set()
+    for i, (g, c, b) in enumerate(points):
+        dominated = any(
+            qg == g and qc <= c and qb >= b and (qc < c or qb > b)
+            for j, (qg, qc, qb) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            expect.add(i)
+    assert got == expect
+
+
+# --- Hamilton quota: Spark operator vs Python reference ----------------------
+
+_counts = st.lists(
+    st.integers(min_value=0, max_value=50), min_size=1, max_size=8
+).filter(lambda xs: sum(xs) > 0)
+
+
+@given(counts=_counts, slots=st.integers(min_value=1, max_value=40))
+@settings(**SETTINGS)
+def test_hamilton_quota_matches_reference_model(spark, counts, slots):
+    """Largest-remainder allocation: quotas sum to exactly the budget and
+    match a direct Python implementation (floor shares, then +1 to the
+    largest remainders, ties by key ascending) — including zero-count
+    keys and slot budgets smaller than the key count."""
+    keys = [f"k{i}" for i in range(len(counts))]
+    df = spark.createDataFrame(list(zip(keys, counts)), ["k", "cnt"])
+    got = {
+        r["k"]: (r["quota"], r["remainder"])
+        for r in sampling.hamilton_quota(df, "k", "cnt", slots).collect()
+    }
+
+    total = sum(counts)
+    fl = {k: c * slots // total for k, c in zip(keys, counts)}
+    rem = {k: (c * slots) % total for k, c in zip(keys, counts)}
+    leftover = slots - sum(fl.values())
+    order = sorted(keys, key=lambda k: (-rem[k], k))
+    bumped = set(order[:leftover])
+    expect = {k: (fl[k] + (1 if k in bumped else 0), rem[k]) for k in keys}
+    assert got == expect
+    assert sum(q for q, _ in got.values()) == slots
+
+
+# --- max drawdown: stacked windows vs a sequential loop ----------------------
+
+_deltas = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),      # user
+        st.integers(min_value=-100, max_value=100),  # signed delta
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(seq=_deltas)
+@settings(**SETTINGS)
+def test_max_drawdown_windows_match_sequential_model(spark, seq):
+    """The running-sum → running-max → max(peak − bal) window stack
+    equals the obvious per-user sequential loop (peak tracking)."""
+    from pyspark.sql import Window
+
+    rows = [
+        (u, EPOCH + datetime.timedelta(seconds=i), i, d)
+        for i, (u, d) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "delta"])
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    run = (
+        df.withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("bal", F.sum("delta").over(w_run))
+        .withColumn("peak", F.max("bal").over(w_run))
+    )
+    got = {
+        r["user_id"]: (r["peak_cents"], r["final"], r["dd"])
+        for r in run.groupBy("user_id")
+        .agg(
+            F.max("bal").alias("peak_cents"),
+            F.max_by("bal", "rn").alias("final"),
+            F.max(F.col("peak") - F.col("bal")).alias("dd"),
+        )
+        .collect()
+    }
+
+    expect = {}
+    for u in {u for u, _ in seq}:
+        bal = peak = None
+        max_bal = final = dd = None
+        bal_run = 0
+        peak_run = None
+        dd = 0
+        for uu, d in seq:
+            if uu != u:
+                continue
+            bal_run += d
+            peak_run = bal_run if peak_run is None else max(peak_run, bal_run)
+            dd = max(dd, peak_run - bal_run)
+            final = bal_run
+            max_bal = bal_run if max_bal is None else max(max_bal, bal_run)
+        expect[u] = (max_bal, final, dd)
+    assert got == expect
