@@ -489,3 +489,90 @@ def test_max_drawdown_windows_match_sequential_model(spark, seq):
             max_bal = bal_run if max_bal is None else max(max_bal, bal_run)
         expect[u] = (max_bal, final, dd)
     assert got == expect
+
+
+# --- interval proximity join: windows vs brute-force model --------------------
+
+_iv_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),     # user
+        st.booleans(),                             # True=purchase, False=error
+        st.integers(min_value=0, max_value=200),   # offset seconds (gap=30s)
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(events=_iv_events)
+@settings(**SETTINGS)
+def test_interval_proximity_join_matches_brute_force(spark, events):
+    """Sessionize each (user, type) stream with a 30s gap, then pair
+    purchase×error intervals within the gap: the window/join plan must
+    equal a pure-Python model (loop sessionizer + all-pairs scan) —
+    including events landing EXACTLY on the gap boundary (strict >) and
+    timestamp ties across types."""
+    from pyspark.sql import Window
+
+    GAP = 30
+    gap_us = GAP * 1_000_000
+
+    rows = [
+        (u, "purchase" if p else "error", i,
+         EPOCH + datetime.timedelta(seconds=off))
+        for i, (u, p, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "event_id", "ts"])
+
+    from etl_dashboard_project_1_spark.operators.sessionize import session_stats
+
+    iv = session_stats(
+        df, "ts", by=["user_id", "event_type"], gap_seconds=GAP,
+        tiebreak=["event_id"],
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("session_start").alias("s"),
+        F.unix_micros("session_end").alias("e"),
+    )
+    p = iv.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("s").alias("ps"), F.col("e").alias("pe")
+    )
+    er = iv.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("_uid"), F.col("s").alias("es"), F.col("e").alias("ee")
+    )
+    dist = F.greatest(
+        F.lit(0).cast("long"),
+        F.greatest(F.col("ps"), F.col("es")) - F.least(F.col("pe"), F.col("ee")),
+    )
+    got = sorted(
+        (r["user_id"], r["dist_us"])
+        for r in p.join(
+            er,
+            (p.user_id == er._uid)
+            & (F.col("ps") <= F.col("ee") + F.lit(gap_us))
+            & (F.col("es") <= F.col("pe") + F.lit(gap_us)),
+        ).select("user_id", dist.alias("dist_us")).collect()
+    )
+
+    # pure-Python model
+    def sessions(times_us):
+        out = []
+        for t in sorted(times_us):
+            if out and t - out[-1][1] <= gap_us:
+                out[-1][1] = t
+            else:
+                out.append([t, t])
+        return out
+
+    expect = []
+    for u in {u for u, _, _ in events}:
+        ep = [off * 1_000_000 + int(EPOCH.timestamp()) * 1_000_000
+              for uu, isp, off in events if uu == u and isp]
+        ee_ = [off * 1_000_000 + int(EPOCH.timestamp()) * 1_000_000
+               for uu, isp, off in events if uu == u and not isp]
+        for ps, pe in sessions(ep):
+            for es, ee2 in sessions(ee_):
+                if ps <= ee2 + gap_us and es <= pe + gap_us:
+                    expect.append((u, max(0, max(ps, es) - min(pe, ee2))))
+    assert got == sorted(expect)
