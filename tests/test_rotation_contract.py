@@ -56,3 +56,19 @@ def test_queries_and_oracles_align():
     assert set(o) <= set(q)
     assert all(callable(fn) for fn in q.values())
     assert all(isinstance(s, str) and s.strip() for s in o.values())
+
+
+def test_complex_output_guard_rejects_deliberate_array(spark):
+    """The guard must FAIL on an array-typed output, not just pass on a
+    clean registry: both the schema probe and the harness compare() are
+    exercised against a deliberately bad query."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import _complex_fields, compare
+
+    def bad_query(spark_, sf_dir_):
+        return spark_.range(3).select(F.array(F.col("id")).alias("arr"))
+
+    assert _complex_fields(bad_query(spark, None).schema) == ["arr"]
+    ok, msg = compare(spark, bad_query, "SELECT 1", "/root/testdata/sf0.001")
+    assert not ok and "complex output columns" in msg
