@@ -902,6 +902,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round5_queries.quota_largest_remainder,
         round5_queries.QUOTA_SQL,
     ),
+    "rfm_segments": (round5_queries.rfm_segments, round5_queries.RFM_SQL),
 }
 
 
@@ -984,6 +985,7 @@ _ROUND6_QUEUE: list[str] = [
     "interval_overlap_join",
     "ols_daily_trend_by_type",
     "quota_largest_remainder",
+    "rfm_segments",
 ]
 
 _FRONT = _ROUND5_FRONT + _ROUND6_QUEUE

@@ -5,8 +5,8 @@ Gini concentration, Benford audit, KMV set-intersection estimation,
 sequence-continuity audit, per-user drawdown, fixed-k deterministic
 sampling, order-backlog timeline, kNN label-vote eval, log2 length
 histograms and a zone-map skip audit; post-window (round-6 queue):
-interval-overlap join, per-group closed-form OLS trend, and
-largest-remainder quota allocation.
+interval-overlap join, per-group closed-form OLS trend,
+largest-remainder quota allocation, and RFM segmentation.
 
 House rules (see oracle_harness / driver canon): scalar outputs only
 (never array/map/struct), counts cast to long, ratios as floor-form
@@ -1142,4 +1142,80 @@ SELECT source,
        CAST(fl + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS BIGINT) AS quota,
        CAST(rem AS BIGINT) AS remainder
 FROM ranked
+"""
+
+
+# --- RFM segmentation ---------------------------------------------------------
+
+RFM_BUCKETS = 4
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile-code each ordering customer on
+    Recency (latest order date), Frequency (order count) and Monetary
+    (total cents), then report the segment grid (code = R·100+F·10+M,
+    4=best) with sizes and value — the classic multi-dimension quantile
+    coding behind every CRM/value dashboard (quality_tier_inventory is
+    the single-measure cousin).
+
+    Quartile code = floor((i−1)·4/n)+1 over the dense rank i of
+    (metric, custkey) — a row_number-based formula interpolated into
+    BOTH engines (deliberately NOT ntile: remainder distribution is
+    engine-defined there, and a global ntile would single-partition the
+    sort anyway). Ascending metric order, so 4 = most recent / most
+    frequent / highest spend.
+
+    Scale shape: one per-customer aggregate, then THREE range-partitioned
+    dense ranks (layout.dense_ids_by — O(partitions) driver state, no
+    single-partition window), one 1-row count broadcast, and a ≤64-group
+    aggregate."""
+    from ..operators import layout
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(_cents("o_totalprice")).alias("cents"),
+    )
+    ranked = layout.dense_ids_by(per_cust, [F.asc("last_day"), F.asc("o_custkey")], id_name="ri")
+    ranked = layout.dense_ids_by(ranked, [F.asc("freq"), F.asc("o_custkey")], id_name="fi")
+    ranked = layout.dense_ids_by(ranked, [F.asc("cents"), F.asc("o_custkey")], id_name="mi")
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+
+    def code(i: str) -> Column:
+        return (F.floor((F.col(i) - 1) * RFM_BUCKETS / F.col("n")) + 1).cast("int")
+
+    coded = ranked.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        (code("ri") * 100 + code("fi") * 10 + code("mi")).alias("segment"),
+    )
+    return coded.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate::DATE) AS last_day,
+         count(*) AS freq,
+         sum({_CENTS_SQL.format(x="o_totalprice")}) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY last_day ASC, o_custkey ASC) AS ri,
+         row_number() OVER (ORDER BY freq ASC, o_custkey ASC) AS fi,
+         row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS mi
+  FROM per_cust
+),
+tot AS (SELECT count(*) AS n FROM ranked)
+SELECT (floor((ri - 1) * {RFM_BUCKETS} / n) + 1) * 100
+       + (floor((fi - 1) * {RFM_BUCKETS} / n) + 1) * 10
+       + (floor((mi - 1) * {RFM_BUCKETS} / n) + 1) AS segment,
+       count(*)::BIGINT AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM ranked, tot
+GROUP BY 1
 """

@@ -1291,3 +1291,23 @@ def test_ols_trend_internal_consistency(spark):
         assert r["r2_bp"] == math.floor(
             10000.0 * float(num) * float(num) / (float(den) * float(syc))
         )
+
+
+def test_rfm_segments_partition_customers(spark):
+    """Segment codes are valid (digits 1..4), every ordering customer
+    lands in exactly one segment, and total cents is conserved."""
+    from etl_dashboard_project_1_spark.plans import round5_queries as r5
+
+    rows = r5.rfm_segments(spark, SF).collect()
+    orders = load_table(spark, SF, "orders")
+    n_active = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_active
+    total = sum(r["total_cents"] for r in rows)
+    exact = orders.select(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias("t")
+    ).first()["t"]
+    assert total == exact
+    for r in rows:
+        code = r["segment"]
+        rfm = (code // 100, (code // 10) % 10, code % 10)
+        assert all(1 <= d <= r5.RFM_BUCKETS for d in rfm), code

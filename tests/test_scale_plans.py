@@ -188,6 +188,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "vehicle_pipeline_summary",        # j1 broadcast catalog cross (see j1_*)
         "kmv_intersection_estimate",       # 1-row estimates frame × 1-row exact count
         "quota_largest_remainder",         # 1-row totals broadcast
+        "rfm_segments",                    # 1-row customer-count broadcast
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
