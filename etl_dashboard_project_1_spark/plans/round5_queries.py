@@ -1211,9 +1211,9 @@ ranked AS (
   FROM per_cust
 ),
 tot AS (SELECT count(*) AS n FROM ranked)
-SELECT (floor((ri - 1) * {RFM_BUCKETS} / n) + 1) * 100
+SELECT CAST((floor((ri - 1) * {RFM_BUCKETS} / n) + 1) * 100
        + (floor((fi - 1) * {RFM_BUCKETS} / n) + 1) * 10
-       + (floor((mi - 1) * {RFM_BUCKETS} / n) + 1) AS segment,
+       + (floor((mi - 1) * {RFM_BUCKETS} / n) + 1) AS INTEGER) AS segment,
        count(*)::BIGINT AS n_customers,
        CAST(sum(cents) AS BIGINT) AS total_cents
 FROM ranked, tot
