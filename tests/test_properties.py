@@ -576,3 +576,52 @@ def test_interval_proximity_join_matches_brute_force(spark, events):
                 if ps <= ee2 + gap_us and es <= pe + gap_us:
                     expect.append((u, max(0, max(ps, es) - min(pe, ee2))))
     assert got == sorted(expect)
+
+
+# --- RFM quartile coding: dense-rank formula vs Python model ------------------
+
+_rfm_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=30),   # custkey (unique-ified below)
+        st.integers(min_value=0, max_value=5),    # last_day offset
+        st.integers(min_value=1, max_value=5),    # freq (dense -> ties)
+        st.integers(min_value=0, max_value=9),    # cents (dense -> ties)
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(rows=_rfm_rows)
+@settings(**SETTINGS)
+def test_rfm_coding_matches_reference_model(spark, rows):
+    """The range-partitioned dense-rank + floor((i-1)·4/n)+1 coding must
+    equal a direct Python ranking on the same (metric, custkey) total
+    order — dense domains force heavy metric ties, where only the
+    custkey tiebreak keeps the code deterministic."""
+    from etl_dashboard_project_1_spark.operators import layout
+
+    df = spark.createDataFrame(rows, ["o_custkey", "last_day", "freq", "cents"])
+    ranked = layout.dense_ids_by(df, [F.asc("last_day"), F.asc("o_custkey")], id_name="ri")
+    ranked = layout.dense_ids_by(ranked, [F.asc("freq"), F.asc("o_custkey")], id_name="fi")
+    ranked = layout.dense_ids_by(ranked, [F.asc("cents"), F.asc("o_custkey")], id_name="mi")
+    n = len(rows)
+
+    def code(i):
+        return (i - 1) * 4 // n + 1
+
+    got = {
+        r["o_custkey"]: (code(r["ri"]), code(r["fi"]), code(r["mi"]))
+        for r in ranked.collect()
+    }
+
+    def py_rank(key):
+        order = sorted(rows, key=key)
+        return {r[0]: i + 1 for i, r in enumerate(order)}
+
+    ri = py_rank(lambda r: (r[1], r[0]))
+    fi = py_rank(lambda r: (r[2], r[0]))
+    mi = py_rank(lambda r: (r[3], r[0]))
+    expect = {k: (code(ri[k]), code(fi[k]), code(mi[k])) for k, *_ in rows}
+    assert got == expect
