@@ -30,6 +30,7 @@ from etl_dashboard_project_1_spark.plans import (
     mart_queries,
     profile_queries,
     round5_queries,
+    round6_queries,
     streaming_queries,
     timeseries_queries,
     training_queries,
@@ -903,6 +904,22 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round5_queries.QUOTA_SQL,
     ),
     "rfm_segments": (round5_queries.rfm_segments, round5_queries.RFM_SQL),
+    "target_encode_loo": (
+        round6_queries.target_encode_loo,
+        round6_queries.TARGET_ENCODE_SQL,
+    ),
+    "contingency_association": (
+        round6_queries.contingency_association,
+        round6_queries.CONTINGENCY_SQL,
+    ),
+    "asof_nearest_event": (
+        round6_queries.asof_nearest_event,
+        round6_queries.ASOF_NEAREST_SQL,
+    ),
+    "twap_daily_value": (
+        round6_queries.twap_daily_value,
+        round6_queries.TWAP_SQL,
+    ),
 }
 
 
@@ -986,6 +1003,10 @@ _ROUND6_QUEUE: list[str] = [
     "ols_daily_trend_by_type",
     "quota_largest_remainder",
     "rfm_segments",
+    "target_encode_loo",
+    "contingency_association",
+    "asof_nearest_event",
+    "twap_daily_value",
 ]
 
 _FRONT = _ROUND5_FRONT + _ROUND6_QUEUE

@@ -1,0 +1,393 @@
+"""Round-6 additions: feature-engineering and association analytics the
+training-data pipeline still lacked — leave-one-out target encoding (the
+leakage-free categorical encoder), a contingency association audit
+(chi² + mutual information over one shared integer contingency table),
+a nearest-tolerance as-of match (the bidirectional cousin of
+``asof_signup_attribution``), and per-day time-weighted average value
+(TWAP — duration-weighted, not row-weighted, means).
+
+House rules (see oracle_harness / driver canon): scalar outputs only
+(never array/map/struct), counts cast to long, ratios as floor-form
+integer scalings, integer division only on non-negative operands (Spark
+``div`` truncates toward zero, DuckDB ``//`` floors — they agree only
+there), every window with a running/lead/lag over ts carries an
+``event_id`` tiebreak in BOTH engines, and shared constants are
+interpolated into both from the same Python value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+
+def _cents(col: Column | str) -> Column:
+    """floor(x*100 + 0.5) — the portable_round form; F.round would
+    half-round differently from DuckDB's round on boundary values."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
+#: DuckDB spelling of _cents — keep the two in sync.
+_CENTS_SQL = "CAST(floor({x} * 100 + 0.5) AS BIGINT)"
+
+
+# --- leave-one-out target encoding -------------------------------------------
+
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer market segment
+    against order value: each order's encoded feature is the mean order
+    value (cents) of its segment EXCLUDING the order itself — the
+    standard leakage-free categorical encoder for tree/linear models
+    (a plain segment mean would leak each row's own target into its
+    feature; LOO is what production feature stores actually ship).
+
+    Exactness: loo = (seg_sum − own) // (seg_n − 1) — non-negative
+    integer division, identical in both engines; NULL when the segment
+    has a single order (no leave-one-out population exists).
+
+    Scale shape: one orders⋈customer equi-join (customer is the smaller
+    relation; at warehouse scale this is the fact→dim join AQE plans as
+    broadcast when the dim fits), one |segments|-row aggregate that IS
+    broadcast, and a map-side re-join — the per-row encoding never
+    shuffles the fact table a second time."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    fact = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        _cents("o_totalprice").alias("own_cents"),
+    ).join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    stats = fact.groupBy("segment").agg(
+        F.sum("own_cents").alias("seg_sum"),
+        F.count(F.lit(1)).alias("seg_n"),
+    )
+    return (
+        fact.join(F.broadcast(stats), "segment")
+        .select(
+            "o_orderkey",
+            "segment",
+            "own_cents",
+            F.when(
+                F.col("seg_n") > 1,
+                F.expr("(seg_sum - own_cents) div (seg_n - 1)"),
+            )
+            .cast("long")
+            .alias("loo_cents"),
+        )
+    )
+
+
+TARGET_ENCODE_SQL = f"""
+WITH fact AS (
+  SELECT o_orderkey,
+         c_mktsegment AS segment,
+         {_CENTS_SQL.format(x="o_totalprice")} AS own_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+stats AS (
+  SELECT segment, sum(own_cents) AS seg_sum, count(*) AS seg_n
+  FROM fact GROUP BY 1
+)
+SELECT o_orderkey,
+       f.segment,
+       own_cents,
+       CAST(CASE WHEN seg_n > 1
+                 THEN (seg_sum - own_cents) // (seg_n - 1)
+            END AS BIGINT) AS loo_cents
+FROM fact f JOIN stats s ON f.segment = s.segment
+"""
+
+
+# --- contingency association audit (chi² + mutual information) ---------------
+
+def contingency_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association audit between event type and day-of-week over ONE
+    shared contingency table: per event type, its χ² contribution and
+    its mutual-information contribution (micro-nats), plus the marginal
+    count — the feature-selection / drift-detection primitive behind
+    "is this column independent of that one?" (ab_test_zscore tests one
+    2×2 split; this audits the full |types|×7 grid with both statistics).
+
+    Exactness: cell/margin counts are exact integers; each cell's term
+    is ONE fixed-shape double expression over those integers —
+    χ² term = (O·N − rt·ct)²/(rt·ct·N), MI term = O·ln(O·N/(rt·ct))/N —
+    floored to a scaled integer PER CELL and only then summed, so
+    float-accumulation order can never differ between engines. Day-of-
+    week is epoch-day mod 7 (pure integer; both engines' DOW builtins
+    disagree on week start, so neither is used).
+
+    Scale shape: one (type, dow) count aggregate; the contingency frame
+    is |types|×7 rows — metadata-sized, so its margin windows (including
+    the global-sum window) are deliberately tiny and the heavy input
+    never re-shuffles. At extreme counts the O·N products leave the
+    int64-exact double range; margins would move to decimal(38) —
+    irrelevant at any tested scale."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    cells = ev.groupBy(
+        "event_type", (day % 7).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    # |types|×7 rows from here on — the unpartitioned window is config-sized.
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m = (
+        cells.withColumn("rt", F.sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("ct", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("o").over(w_all))
+    )
+    num = F.col("o").cast("double") * F.col("n") - F.col("rt").cast("double") * F.col("ct")
+    den = (F.col("rt").cast("double") * F.col("ct")) * F.col("n")
+    ratio = (F.col("o").cast("double") * F.col("n")) / (F.col("rt").cast("double") * F.col("ct"))
+    chi2_term = F.floor(F.lit(1000000.0) * num * num / den).cast("long")
+    mi_term = F.floor(
+        (F.lit(1000000000.0) * F.col("o") * F.log(ratio)) / F.col("n")
+    ).cast("long")
+    return (
+        m.select("event_type", F.col("o"), chi2_term.alias("c2"), mi_term.alias("mi"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("o").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("c2").cast("long").alias("chi2_e6"),
+            F.sum("mi").cast("long").alias("mi_e9"),
+        )
+    )
+
+
+CONTINGENCY_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         (ts::DATE - DATE '1970-01-01') % 7 AS dow,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, o,
+         sum(o) OVER (PARTITION BY event_type) AS rt,
+         sum(o) OVER (PARTITION BY dow) AS ct,
+         sum(o) OVER () AS n
+  FROM cells
+),
+terms AS (
+  SELECT event_type, o,
+         CAST(floor(1000000.0
+                    * (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+                    * (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+                    / ((CAST(rt AS DOUBLE) * ct) * n)) AS BIGINT) AS c2,
+         CAST(floor((1000000000.0 * o
+                     * ln((CAST(o AS DOUBLE) * n) / (CAST(rt AS DOUBLE) * ct)))
+                    / n) AS BIGINT) AS mi
+  FROM m
+)
+SELECT event_type,
+       CAST(sum(o) AS BIGINT) AS n_events,
+       count(*)::BIGINT AS n_cells,
+       CAST(sum(c2) AS BIGINT) AS chi2_e6,
+       CAST(sum(mi) AS BIGINT) AS mi_e9
+FROM terms GROUP BY 1
+"""
+
+
+# --- nearest-tolerance as-of match -------------------------------------------
+
+#: match tolerance for error→purchase proximity (seconds)
+ASOF_NEAREST_TOL_S = 3600
+
+
+def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of match: every 'error' event is matched to
+    its temporally NEAREST same-user 'purchase' (backward or forward,
+    ties to the earlier side) within a tolerance — the bidirectional
+    as-of join (``asof_signup_attribution`` is backward-only; incident
+    triage wants "the purchase closest to the failure", either side).
+    Reported per user: error count, matched count, backward-side count,
+    and min/total matched gap.
+
+    Exactness: gaps are integer micros; the tie rule (backward wins at
+    equal distance) and the (tus, event_id) window tiebreak are total
+    orders, so the match is unique in both engines.
+
+    Scale shape: the classic union-sort formulation — ONE window scan
+    over the per-user timeline (last/first IGNORE NULLS carry the
+    neighbor purchase through the error rows), never an events×events
+    join; the two windows share one partitioning, so Spark plans a
+    single sort+exchange. The paired last(tus)/last(event-condition)
+    columns come from the same neighbor row because both are non-null
+    exactly on purchase rows."""
+    tol_us = ASOF_NEAREST_TOL_S * 1_000_000
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("tus"),
+        )
+    )
+    is_p = F.col("event_type") == "purchase"
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    timeline = ev.select(
+        "user_id",
+        "event_type",
+        "tus",
+        F.last(F.when(is_p, F.col("tus")), ignorenulls=True).over(w_prev).alias("ptus"),
+        F.first(F.when(is_p, F.col("tus")), ignorenulls=True).over(w_next).alias("ntus"),
+    )
+    err = timeline.filter(F.col("event_type") == "error")
+    gap_prev = F.col("tus") - F.col("ptus")
+    gap_next = F.col("ntus") - F.col("tus")
+    gap = (
+        F.when(F.col("ptus").isNull(), gap_next)
+        .when(F.col("ntus").isNull(), gap_prev)
+        .otherwise(F.least(gap_prev, gap_next))
+    )
+    chose_prev = F.col("ptus").isNotNull() & (
+        F.col("ntus").isNull() | (gap_prev <= gap_next)
+    )
+    scored = err.select(
+        "user_id",
+        gap.alias("gap_us"),
+        (gap <= tol_us).alias("m"),
+        chose_prev.alias("cp"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_errors"),
+        F.sum(F.when(F.col("m"), 1).otherwise(0)).cast("long").alias("n_matched"),
+        F.sum(F.when(F.col("m") & F.col("cp"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_backward"),
+        F.min(F.when(F.col("m"), F.col("gap_us"))).cast("long").alias("min_gap_us"),
+        F.sum(F.when(F.col("m"), F.col("gap_us"))).cast("long").alias("sum_gap_us"),
+    )
+
+
+ASOF_NEAREST_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+  FROM events WHERE event_type IN ('purchase', 'error')
+),
+timeline AS (
+  SELECT user_id, event_type, tus,
+         last_value(CASE WHEN event_type = 'purchase' THEN tus END IGNORE NULLS)
+             OVER wp AS ptus,
+         first_value(CASE WHEN event_type = 'purchase' THEN tus END IGNORE NULLS)
+             OVER wn AS ntus
+  FROM ev
+  WINDOW wp AS (PARTITION BY user_id ORDER BY tus, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY tus, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+scored AS (
+  SELECT user_id,
+         CASE WHEN ptus IS NULL THEN ntus - tus
+              WHEN ntus IS NULL THEN tus - ptus
+              ELSE least(tus - ptus, ntus - tus) END AS gap_us,
+         ptus IS NOT NULL AND (ntus IS NULL OR tus - ptus <= ntus - tus) AS cp
+  FROM timeline WHERE event_type = 'error'
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_errors,
+       CAST(sum(CASE WHEN gap_us <= {ASOF_NEAREST_TOL_S * 1_000_000} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN gap_us <= {ASOF_NEAREST_TOL_S * 1_000_000} AND cp
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_backward,
+       CAST(min(CASE WHEN gap_us <= {ASOF_NEAREST_TOL_S * 1_000_000} THEN gap_us END)
+            AS BIGINT) AS min_gap_us,
+       CAST(sum(CASE WHEN gap_us <= {ASOF_NEAREST_TOL_S * 1_000_000} THEN gap_us END)
+            AS BIGINT) AS sum_gap_us
+FROM scored GROUP BY 1
+"""
+
+
+# --- per-day time-weighted average value (TWAP) ------------------------------
+
+def twap_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day TIME-weighted average purchase value: each purchase's
+    value is weighted by how long it stood (duration to the user's next
+    same-day purchase), then the day's weighted sums are merged across
+    users — the TWAP every pricing/telemetry dashboard wants where a
+    row-weighted mean over-counts burst activity. The last segment of
+    each user-day has no duration and drops out (standard left-closed
+    TWAP).
+
+    Exactness: durations are integer MILLIS (micros ÷ 1000, non-negative
+    integer division) so value_cents × dur_ms sums stay well inside
+    int64 at every tested scale; the single final division is integer
+    `div`, guarded on zero total duration (a day whose purchases all
+    share one timestamp per user). At petabyte scale the weighted sum
+    would move to decimal(38) — noted, not needed here.
+
+    Scale shape: one (user, day)-partitioned lead window (one exchange),
+    then a per-day integer aggregate — ~O(days) output rows; no join."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        _cents("value").alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("tus", "event_id")
+    seg = base.withColumn("ntus", F.lead("tus").over(w)).filter(
+        F.col("ntus").isNotNull()
+    )
+    seg = seg.select(
+        "day",
+        F.expr("(ntus - tus) div 1000").alias("dur_ms"),
+        "v_cents",
+    )
+    daily = seg.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("dur_ms").cast("long").alias("total_dur_ms"),
+        F.sum(F.col("v_cents") * F.col("dur_ms")).alias("wsum"),
+    )
+    return daily.select(
+        "day",
+        "n_segments",
+        "total_dur_ms",
+        F.when(F.col("total_dur_ms") > 0, F.expr("wsum div total_dur_ms"))
+        .cast("long")
+        .alias("twap_cents"),
+    )
+
+
+TWAP_SQL = f"""
+WITH base AS (
+  SELECT user_id,
+         ts::DATE AS day,
+         epoch_us(ts) AS tus,
+         event_id,
+         {_CENTS_SQL.format(x="value")} AS v_cents
+  FROM events WHERE event_type = 'purchase'
+),
+seg AS (
+  SELECT day,
+         (lead(tus) OVER w - tus) // 1000 AS dur_ms,
+         v_cents
+  FROM base
+  WINDOW w AS (PARTITION BY user_id, day ORDER BY tus, event_id)
+)
+SELECT day,
+       count(*)::BIGINT AS n_segments,
+       CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms,
+       CAST(CASE WHEN sum(dur_ms) > 0
+                 THEN sum(v_cents * dur_ms) // sum(dur_ms)
+            END AS BIGINT) AS twap_cents
+FROM seg WHERE dur_ms IS NOT NULL
+GROUP BY 1
+"""
