@@ -920,6 +920,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round6_queries.twap_daily_value,
         round6_queries.TWAP_SQL,
     ),
+    "retrieval_ndcg_eval": (
+        round6_queries.retrieval_ndcg_eval,
+        round6_queries.NDCG_EVAL_SQL,
+    ),
 }
 
 
@@ -1007,6 +1011,7 @@ _ROUND6_QUEUE: list[str] = [
     "contingency_association",
     "asof_nearest_event",
     "twap_daily_value",
+    "retrieval_ndcg_eval",
 ]
 
 _FRONT = _ROUND5_FRONT + _ROUND6_QUEUE

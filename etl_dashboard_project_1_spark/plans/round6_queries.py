@@ -391,3 +391,112 @@ SELECT day,
 FROM seg WHERE dur_ms IS NOT NULL
 GROUP BY 1
 """
+
+
+# --- nDCG@10 retrieval eval --------------------------------------------------
+
+import math
+
+NDCG_K = 10
+#: integer micro-scaled log2 discounts, computed ONCE in Python and
+#: interpolated into BOTH engines — no runtime log2, whose libm values
+#: differ between engines (the same trick MRR_SCALE plays for 1/rank).
+_NDCG_W = [round(1_000_000 / math.log2(r + 1)) for r in range(1, NDCG_K + 1)]
+_NDCG_PREFIX = [0]
+for _w in _NDCG_W:
+    _NDCG_PREFIX.append(_NDCG_PREFIX[-1] + _w)
+
+_W_CASE = "CASE rank " + " ".join(
+    f"WHEN {r} THEN {w}" for r, w in enumerate(_NDCG_W, start=1)
+) + " ELSE 0 END"
+_IDCG_CASE = "CASE least(n_relevant, {k}) ".format(k=NDCG_K) + " ".join(
+    f"WHEN {i} THEN {p}" for i, p in enumerate(_NDCG_PREFIX)
+) + " END"
+
+
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of cosine retrieval with label agreement as the relevance
+    judgment — the position-sensitive retrieval metric MRR can't provide
+    (MRR sees only the FIRST hit; nDCG credits every hit, discounted by
+    log2 rank). Per query: hit count, DCG, ideal DCG and nDCG in basis
+    points.
+
+    Exactness: the log2 discounts are integer micro-weights computed
+    once in Python (``_NDCG_W``) and interpolated into BOTH engines, so
+    DCG = Σ rel·w(rank) and IDCG = prefix(min(hits, 10)) are exact
+    integer sums, and nDCG is one non-negative integer division —
+    bit-stable cross-engine with zero runtime transcendentals.
+
+    Scale shape: identical to retrieval_mrr_eval — the ranked list is
+    request-sized (|Q|·k) from ONE corpus scan (vector.cosine_topk_batch
+    bucketed partial top-k); relevance attaches by broadcasting the
+    ranked list against the corpus label projection; the metric
+    aggregate groups |Q| rows."""
+    from ..operators import vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    top = vector.cosine_topk_batch(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k=NDCG_K
+    )
+    lab = emb.select("vec_id", "label")
+    qlab = queries.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
+    judged = (
+        lab.join(F.broadcast(top.select("qid", "rank", "vec_id")), "vec_id")
+        .join(F.broadcast(qlab), "qid")
+        .withColumn("rel", (F.col("label") == F.col("qlabel")).cast("long"))
+    )
+    per_q = judged.groupBy("qid", "qlabel").agg(
+        F.sum("rel").cast("long").alias("n_relevant"),
+        F.sum(F.expr(f"rel * ({_W_CASE})")).cast("long").alias("dcg_e6"),
+    )
+    return per_q.select(
+        "qid",
+        "qlabel",
+        "n_relevant",
+        "dcg_e6",
+        F.expr(_IDCG_CASE).cast("long").alias("idcg_e6"),
+        F.expr(
+            f"CASE WHEN ({_IDCG_CASE}) > 0"
+            f" THEN (dcg_e6 * 10000) div ({_IDCG_CASE}) ELSE 0 END"
+        )
+        .cast("long")
+        .alias("ndcg_bp"),
+    )
+
+
+_COS_R6 = """
+list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+ / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))
+  * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+NDCG_EVAL_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+         {_COS_R6.format(a='e.embedding', b='q.qv')} AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != q.qid
+),
+topk AS (
+  SELECT qid, qlabel, label,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+  QUALIFY rank <= {NDCG_K}
+),
+per_q AS (
+  SELECT qid, qlabel,
+         CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+         CAST(sum(CASE WHEN label = qlabel THEN ({_W_CASE}) ELSE 0 END) AS BIGINT)
+           AS dcg_e6
+  FROM topk GROUP BY 1, 2
+)
+SELECT qid, qlabel, n_relevant, dcg_e6,
+       CAST({_IDCG_CASE} AS BIGINT) AS idcg_e6,
+       CAST(CASE WHEN ({_IDCG_CASE}) > 0
+                 THEN (dcg_e6 * 10000) // ({_IDCG_CASE}) ELSE 0 END AS BIGINT)
+         AS ndcg_bp
+FROM per_q
+"""
