@@ -500,3 +500,239 @@ SELECT qid, qlabel, n_relevant, dcg_e6,
          AS ndcg_bp
 FROM per_q
 """
+
+
+# --- quality-score decile lift / calibration table ---------------------------
+
+#: shared quality-logit feature CTEs — the SAME "trained offline" linear
+#: model quality_logit_inference / quality_logit_auc execute
+#: (extension_queries.py); the label is lang=='en', as in the AUC gate.
+def _logit_ctes() -> str:
+    from ..operators import textops
+    from .extension_queries import _ratio_sql
+
+    return rf"""
+t AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonws,
+         length(regexp_replace(regexp_replace(text, '\s', '', 'g'), '[^a-zA-Z0-9]', '', 'g')) AS n_alnum,
+         list_sum(list_transform(regexp_split_to_array(lower(text), '\s+'), w -> length(w))) AS sum_wlen,
+         len(regexp_split_to_array(lower(text), '\s+')) AS n_tok_raw,
+         {_ratio_sql(textops.LANG_PROFILES["en"])} AS stop_r
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         2.0 * least(n_tokens / 200.0, 1.0)
+         - 6.0 * ((n_nonws - n_alnum) / greatest(n_nonws, 1)::DOUBLE)
+         + 10.0 * stop_r
+         - 0.2 * (sum_wlen / greatest(n_tok_raw, 1)::DOUBLE)
+         - 0.3 AS logit
+  FROM t
+)"""
+
+
+def _logit_col() -> "Column":
+    from ..operators import textops
+
+    return (
+        2.0 * F.least(textops.token_count("text") / 200.0, F.lit(1.0))
+        - 6.0 * textops.punct_ratio("text")
+        + 10.0 * textops.stopword_ratio("text")
+        - 0.2 * textops.mean_word_length("text")
+        - 0.3
+    )
+
+
+def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / calibration table for the fused quality classifier —
+    the model-eval companion AUC can't provide: AUC says the ranking is
+    good overall; the lift table says WHICH score band to ship (decile 1
+    = top scores; per decile the observed positive rate, lift over base
+    rate, and cumulative capture of all positives).
+
+    Exactness: the sort key is the e4-integer-scaled logit (floor form)
+    with a doc_id tiebreak, so the total order is bit-stable; decile
+    assignment, rates, lift and capture are all non-negative integer
+    divisions in basis points.
+
+    Scale shape: the global rank comes from ``layout.dense_ids_by``
+    (range partition + per-partition rank + O(partitions) offset carry —
+    NO single-partition sort); the grand totals attach as a broadcast
+    1-row frame; every downstream window runs on the 10-row decile
+    frame."""
+    from ..operators import layout
+    from ..session import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        F.floor(_logit_col() * 10000 + F.lit(0.5)).cast("long").alias("_s_e4"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("_y"),
+    )
+    keyed = scored.withColumn("_nk", -F.col("_s_e4"))
+    ranked = layout.dense_ids_by(keyed, ["_nk", "doc_id"], id_name="_rank")
+    totals = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_total"),
+        F.sum("_y").cast("long").alias("_p_total"),
+    )
+    dec = ranked.crossJoin(F.broadcast(totals)).select(
+        F.expr("((_rank - 1) * 10) div _n_total + 1").cast("long").alias("decile"),
+        "_y",
+        "_n_total",
+        "_p_total",
+    )
+    per = dec.groupBy("decile", "_n_total", "_p_total").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_y").cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.withColumn("_cum_pos", F.sum("n_pos").over(w))
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            F.expr("(n_pos * 10000) div n_docs").cast("long").alias("pos_rate_bp"),
+            F.expr("(n_pos * _n_total * 10000) div (n_docs * _p_total)")
+            .cast("long")
+            .alias("lift_bp"),
+            F.expr("(_cum_pos * 10000) div _p_total")
+            .cast("long")
+            .alias("cum_capture_bp"),
+        )
+    )
+
+
+DECILE_LIFT_SQL = f"""
+WITH {_logit_ctes()},
+sc AS (
+  SELECT doc_id,
+         CAST(floor(logit * 10000 + 0.5) AS BIGINT) AS s_e4,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM s
+),
+r AS (
+  SELECT doc_id, y,
+         CAST(row_number() OVER (ORDER BY -s_e4 ASC, doc_id ASC) AS BIGINT) AS rnk
+  FROM sc
+),
+tot AS (SELECT count(*)::BIGINT AS n_total, sum(y)::BIGINT AS p_total FROM sc),
+d AS (SELECT ((rnk - 1) * 10) // n_total + 1 AS decile, y, n_total, p_total
+      FROM r, tot),
+per AS (
+  SELECT decile, n_total, p_total,
+         count(*)::BIGINT AS n_docs, sum(y)::BIGINT AS n_pos
+  FROM d GROUP BY 1, 2, 3
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+       (n_pos * 10000) // n_docs AS pos_rate_bp,
+       (n_pos * n_total * 10000) // (n_docs * p_total) AS lift_bp,
+       (sum(n_pos) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) // p_total
+         AS cum_capture_bp
+FROM per
+"""
+
+
+# --- precision/recall threshold sweep ----------------------------------------
+
+#: decision-threshold grid in e2-scaled logit units (-1.0 .. 2.0); one
+#: Python constant interpolated into both engines.
+PR_THRESHOLDS_E2 = [-100, -50, 0, 50, 100, 150, 200]
+
+
+def threshold_sweep_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 sweep of the quality classifier over a fixed
+    decision-threshold grid — the operating-point table a release gate
+    reads next to the AUC (AUC is threshold-free; shipping needs ONE
+    threshold, chosen from exactly this sweep).
+
+    Exactness: scores quantize to the e2-integer bucket (the AUC gate's
+    bucketing); confusion counts are integer sums over (bucket ≥ t);
+    precision/recall/F1 are basis-point integer divisions, F1 computed
+    from the bp precision/recall pair, NULL when the denominator is
+    empty.
+
+    Scale shape: one corpus groupBy to the score-range-bounded histogram;
+    the 7-threshold grid attaches to that bounded frame with a broadcast
+    nested-loop (config-sized side, the house scalar-subquery form) —
+    the corpus is scanned ONCE for all thresholds."""
+    from ..session import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    hist = (
+        docs.select(
+            F.floor(_logit_col() * 100 + F.lit(0.5)).cast("long").alias("_b"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("_y"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.sum("_y").cast("long").alias("_pos"),
+            F.sum(1 - F.col("_y")).cast("long").alias("_neg"),
+        )
+    )
+    grid = spark.range(len(PR_THRESHOLDS_E2)).select(
+        F.element_at(
+            F.array(*[F.lit(t) for t in PR_THRESHOLDS_E2]),
+            (F.col("id") + 1).cast("int"),
+        )
+        .cast("long")
+        .alias("threshold_e2")
+    )
+    conf = (
+        hist.crossJoin(F.broadcast(grid))
+        .groupBy("threshold_e2")
+        .agg(
+            F.sum(F.when(F.col("_b") >= F.col("threshold_e2"), F.col("_pos")).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when(F.col("_b") >= F.col("threshold_e2"), F.col("_neg")).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when(F.col("_b") < F.col("threshold_e2"), F.col("_pos")).otherwise(0)).cast("long").alias("fn"),
+            F.sum(F.when(F.col("_b") < F.col("threshold_e2"), F.col("_neg")).otherwise(0)).cast("long").alias("tn"),
+        )
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.expr("(tp * 10000) div (tp + fp)"))
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.expr("(tp * 10000) div (tp + fn)"))
+    out = conf.withColumn("precision_bp", prec.cast("long")).withColumn(
+        "recall_bp", rec.cast("long")
+    )
+    f1 = F.when(
+        F.col("precision_bp") + F.col("recall_bp") > 0,
+        F.expr("(2 * precision_bp * recall_bp) div (precision_bp + recall_bp)"),
+    )
+    return out.withColumn("f1_bp", f1.cast("long"))
+
+
+_PR_GRID_SQL = " UNION ALL ".join(
+    f"SELECT CAST({t} AS BIGINT) AS threshold_e2" for t in PR_THRESHOLDS_E2
+)
+
+THRESHOLD_SWEEP_SQL = f"""
+WITH {_logit_ctes()},
+h AS (
+  SELECT CAST(floor(logit * 100 + 0.5) AS BIGINT) AS b,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS neg
+  FROM s GROUP BY 1
+),
+g AS ({_PR_GRID_SQL}),
+conf AS (
+  SELECT threshold_e2,
+         sum(CASE WHEN b >= threshold_e2 THEN pos ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN b >= threshold_e2 THEN neg ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN b < threshold_e2 THEN pos ELSE 0 END)::BIGINT AS fn,
+         sum(CASE WHEN b < threshold_e2 THEN neg ELSE 0 END)::BIGINT AS tn
+  FROM h, g GROUP BY 1
+),
+rates AS (
+  SELECT *,
+         CASE WHEN tp + fp > 0 THEN (tp * 10000) // (tp + fp) END AS precision_bp,
+         CASE WHEN tp + fn > 0 THEN (tp * 10000) // (tp + fn) END AS recall_bp
+  FROM conf
+)
+SELECT threshold_e2, tp, fp, fn, tn, precision_bp, recall_bp,
+       CASE WHEN precision_bp + recall_bp > 0
+            THEN (2 * precision_bp * recall_bp) // (precision_bp + recall_bp)
+       END AS f1_bp
+FROM rates
+"""
