@@ -924,6 +924,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round6_queries.retrieval_ndcg_eval,
         round6_queries.NDCG_EVAL_SQL,
     ),
+    "score_decile_lift": (
+        round6_queries.score_decile_lift,
+        round6_queries.DECILE_LIFT_SQL,
+    ),
+    "threshold_sweep_pr": (
+        round6_queries.threshold_sweep_pr,
+        round6_queries.THRESHOLD_SWEEP_SQL,
+    ),
 }
 
 

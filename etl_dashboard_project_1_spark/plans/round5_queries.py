@@ -184,16 +184,29 @@ def ks_value_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = cum.agg(F.max("ca").alias("na"), F.max("cb").alias("nb"))
     joined = cum.crossJoin(F.broadcast(tot))
-    return joined.agg(
+    # Integer division end-to-end, in decimal(38,0) for headroom: the
+    # numerator max|ca·nb − cb·na|·10000 exceeds int64 once each cohort
+    # holds ~1e6+ events (~sf1+), and double division would silently
+    # diverge from the oracle's HUGEINT `//`. All operands are
+    # non-negative so Spark `div` (truncate) == DuckDB `//` (floor),
+    # and the quotient is ≤ 10000 bp so the long result can't overflow.
+    agg = joined.agg(
         F.max("na").cast("long").alias("n_a"),
         F.max("nb").cast("long").alias("n_b"),
-        (
-            F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
-            * F.lit(10000)
-            / (F.max("na") * F.max("nb"))
-        )
-        .cast("long")
-        .alias("ks_bp"),
+        F.max(
+            F.abs(
+                F.col("ca").cast("decimal(38,0)") * F.col("nb")
+                - F.col("cb").cast("decimal(38,0)") * F.col("na")
+            )
+        ).alias("_max_abs"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST((_max_abs * 10000)"
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        ).alias("ks_bp"),
     )
 
 
@@ -1045,18 +1058,30 @@ def ols_daily_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     syy_c = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # Degenerate-input guard (mirrors twap_daily_value's pattern): den=0
+    # (a type seen on one distinct day) or syy_c=0 (zero count variance)
+    # must yield NULL on BOTH engines — unguarded, Spark non-ANSI x/0
+    # gives NULL while DuckDB IEEE division gives ±inf and CAST(floor(inf)
+    # AS BIGINT) aborts the whole oracle query. Unreachable at registered
+    # SFs, guarded anyway.
     return stats.select(
         "event_type",
         F.col("n").cast("long").alias("n_days"),
         F.col("sy").cast("long").alias("n_events"),
-        F.floor(F.lit(1000000.0) * num.cast("double") / den.cast("double"))
+        F.when(
+            den > 0,
+            F.floor(F.lit(1000000.0) * num.cast("double") / den.cast("double")),
+        )
         .cast("long")
         .alias("slope_ppm"),
-        F.floor(
-            F.lit(10000.0)
-            * num.cast("double")
-            * num.cast("double")
-            / (den.cast("double") * syy_c.cast("double"))
+        F.when(
+            (den > 0) & (syy_c > 0),
+            F.floor(
+                F.lit(10000.0)
+                * num.cast("double")
+                * num.cast("double")
+                / (den.cast("double") * syy_c.cast("double"))
+            ),
         )
         .cast("long")
         .alias("r2_bp"),
@@ -1079,13 +1104,15 @@ stats AS (
 SELECT event_type,
        CAST(n AS BIGINT) AS n_days,
        CAST(sy AS BIGINT) AS n_events,
-       CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
-                  / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_ppm,
-       CAST(floor(10000.0
-                  * CAST(n * sxy - sx * sy AS DOUBLE)
-                  * CAST(n * sxy - sx * sy AS DOUBLE)
-                  / (CAST(n * sxx - sx * sx AS DOUBLE)
-                     * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) AS r2_bp
+       CAST(CASE WHEN n * sxx - sx * sx > 0 THEN
+         floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) END AS BIGINT) AS slope_ppm,
+       CAST(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         floor(10000.0
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE))) END AS BIGINT) AS r2_bp
 FROM stats
 """
 

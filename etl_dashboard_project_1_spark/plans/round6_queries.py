@@ -121,6 +121,15 @@ def contingency_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     week is epoch-day mod 7 (pure integer; both engines' DOW builtins
     disagree on week start, so neither is used).
 
+    DOCUMENTED BOUNDARY RISK (accepted, same class as the r4 empty-input
+    divergences): the χ² term uses only IEEE *,/ — exactly rounded and
+    engine-identical — but the MI term evaluates a runtime natural log
+    (JVM Math.log vs DuckDB libm ln). A 1-ulp disagreement scaled by
+    1e9·o could flip a floored per-cell term at an exact integer
+    boundary. No restructuring avoids the transcendental without
+    changing the statistic; probability per run is ~|cells|·2⁻⁵² scaled
+    by the digits kept, and the sf0.01/sf0.1 sweeps have never tripped.
+
     Scale shape: one (type, dow) count aggregate; the contingency frame
     is |types|×7 rows — metadata-sized, so its margin windows (including
     the global-sum window) are deliberately tiny and the heavy input

@@ -189,6 +189,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "kmv_intersection_estimate",       # 1-row estimates frame × 1-row exact count
         "quota_largest_remainder",         # 1-row totals broadcast
         "rfm_segments",                    # 1-row customer-count broadcast
+        "retrieval_ndcg_eval",             # sim_batch_topk core (broadcast query batch)
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
