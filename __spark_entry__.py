@@ -932,97 +932,122 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round6_queries.threshold_sweep_pr,
         round6_queries.THRESHOLD_SWEEP_SQL,
     ),
+    # --- round-6 in-round additions ---
+    "ann_ivf_recall_gate": (
+        round6_queries.ann_ivf_recall_gate,
+        round6_queries.ANN_IVF_GATE_SQL,
+    ),
+    "reciprocal_best_match": (
+        round6_queries.reciprocal_best_match,
+        round6_queries.RBM_SQL,
+    ),
+    "bootstrap_ci_mean": (
+        round6_queries.bootstrap_ci_mean,
+        round6_queries.BOOTSTRAP_CI_SQL,
+    ),
+    "conformal_quantile_gate": (
+        round6_queries.conformal_quantile_gate,
+        round6_queries.CONFORMAL_SQL,
+    ),
+    "halflife_decay_user_value": (
+        round6_queries.halflife_decay_user_value,
+        round6_queries.HALFLIFE_DECAY_SQL,
+    ),
+    "class_weight_table": (
+        round6_queries.class_weight_table,
+        round6_queries.CLASS_WEIGHT_SQL,
+    ),
 }
 
 
-# --- Round-5 rotation -------------------------------------------------------
+# --- Round-6 rotation -------------------------------------------------------
 # The external driver evaluates only the FIRST 50 registry entries per round
-# (confirmed r1-r4: each CORRECTNESS_r0N.json holds exactly the first 50
-# registry keys). This window closes the never-checked tail: after r4,
-# 188 of 223 entries had ever received a driver row; the 35 remaining
-# (_the r4 queue, kept verbatim below_) plus this round's 13 additions plus
-# 2 re-certifications fill the 50 slots exactly. The re-certifications head
-# the window per the changed-query rule: text_feature_hashing and
-# inverted_index_build FAILED the r4 gate on array-typed output columns and
-# were de-arrayified (concat_ws/array_to_string house form); vocab_encode_docs
-# carried the same latent bug and was fixed pre-rotation, but it already sits
-# in the queue (slot 2), so it needs no extra slot. After this window runs,
-# every entry REGISTERED AT SEAL TIME (236) has at least one external driver
-# row; the 3 added after sealing sit in _ROUND6_QUEUE below (239 total).
-_ROUND5_FRONT: list[str] = [
-    # the 2 r4-FAILED queries, re-certifying their de-arrayified forms
-    "text_feature_hashing",
-    "inverted_index_build",
-    # the 35 never-driver-checked entries queued last round, order preserved
-    # (vocab_encode_docs — the third de-arrayified query — is slot 2 here)
-    "source_unigram_tv",
-    "vocab_encode_docs",
-    "bpe_merge_candidates",
-    "winsorize_event_values",
-    "table_checksum_daily",
-    "fd_violation_profile",
-    "dedup_cluster_size_hist",
-    "order_cycle_time",
-    "q21_suppliers_kept_waiting",
-    "layout_compaction_bins",
-    "emb_pca_variance_gate",
-    "emb_centroid_classifier_eval",
-    "skew_key_profile",
-    "stream_left_outer_join",
-    "approx_quantiles_value_gate",
-    "split_group_disjoint",
-    "epoch_shuffle_order",
-    "dedup_source_matrix",
-    "emb_pair_cosine_hist",
-    "mixture_epoch_plan",
-    "stratified_kfold_assign",
-    "q12_latency_priority_mix",
-    "stream_upsert_latest",
-    "dedup_incremental_minhash",
-    "dedup_containment",
-    "dedup_minhash_recall_eval",
-    "quality_tier_inventory",
-    "split_temporal_embargo",
-    "mm_phash_dedup",
-    "dedup_verdict_per_doc",
-    "dedup_minhash_estimate_gate",
-    "vocab_roundtrip_gate",
-    "corpus_datacard",
-    "soft_dedup_weights",
-    "stream_incremental_stats",
-    # round-5 additions (new queries ship driver-checked the same round
-    # the tail allows it; 13 fit exactly)
-    "vehicle_pipeline_summary",
-    "skyline_pareto_parts",
-    "ks_value_drift_gate",
-    "revenue_gini",
-    "id_continuity_audit",
-    "benford_first_digit_audit",
-    "kmv_intersection_estimate",
-    "doclen_log2_histogram",
-    "max_drawdown_user",
-    "sample_fixed_k_per_type",
-    "order_backlog_daily",
-    "emb_knn_eval",
-    "zonemap_skip_audit",
-]
-
-# Round-6 window queue: queries added AFTER the r5 window was sealed go here
-# (never displacing a planned check), plus any query whose implementation
-# changes after its last driver row (re-certification rule).
-_ROUND6_QUEUE: list[str] = [
-    "interval_overlap_join",
+# (confirmed r1-r5: each CORRECTNESS_r0N.json holds exactly the first 50
+# registry keys). After the r5 window ran, every entry registered at r5 seal
+# time (236) had at least one driver row. This window holds, in order:
+#   (a) the 9-entry _ROUND6_QUEUE carried from r5 (never displacing a planned
+#       check), headed by the 2 queries whose implementations changed after
+#       sealing (ks-fix commit): ols_daily_trend_by_type got degenerate-input
+#       NULL guards; retrieval_ndcg_eval itself is unchanged (only its
+#       cartesian-guard whitelist entry moved) but stays queued per plan;
+#   (b) ks_value_drift_gate — re-certification: its pass-r5 implementation
+#       changed this round (decimal(38) integer division for the oracle's
+#       HUGEINT // semantics);
+#   (c) the 8 queries registered this round (score_decile_lift,
+#       threshold_sweep_pr, ann_ivf_recall_gate, reciprocal_best_match,
+#       bootstrap_ci_mean, conformal_quantile_gate, halflife_decay_user_value,
+#       class_weight_table);
+#   (d) 32 oldest-stale backfill slots: entries whose ONLY driver row is from
+#       round 1 (4 rounds stale), in registry order, re-certifying against
+#       silent drift. 6 r1-stale entries remain for the r7 window
+#       (sample_stratified_topn, sample_mixture_weights, pack_chunks_manifest,
+#       mm_image_meta, mm_feature_topk, mm_frame_sample); sim_ann_ivf is
+#       deliberately NOT backfilled — it is the registry's one no-oracle row,
+#       and its new exact-gate sibling ann_ivf_recall_gate (slot c) is the
+#       driver-checkable certificate for the same IVF mechanism.
+_ROUND6_FRONT: list[str] = [
+    # (a) the r6 queue, changed-implementation entries first
     "ols_daily_trend_by_type",
+    "retrieval_ndcg_eval",
+    "interval_overlap_join",
     "quota_largest_remainder",
     "rfm_segments",
     "target_encode_loo",
     "contingency_association",
     "asof_nearest_event",
     "twap_daily_value",
-    "retrieval_ndcg_eval",
+    # (b) re-certification of a changed pass-r5 query
+    "ks_value_drift_gate",
+    # (c) round-6 registrations
+    "score_decile_lift",
+    "threshold_sweep_pr",
+    "ann_ivf_recall_gate",
+    "reciprocal_best_match",
+    "bootstrap_ci_mean",
+    "conformal_quantile_gate",
+    "halflife_decay_user_value",
+    "class_weight_table",
+    # (d) oldest-stale backfill (latest driver row = r1), registry order
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "a5_argmax_topk",
+    "a1_minmax_filename",
+    "p5_distinct_values",
+    "o3_union_sheets",
+    "n1_sentinel_to_null",
+    "n4_mean_imputation",
+    "d1_d2_datetime_and_cast",
+    "d5_case_categorization",
+    "d6_factor_arithmetic",
+    "d7_keyed_source_select",
+    "d8_bucketing",
+    "d9_horizontal_mean",
+    "d10_hash12",
+    "j1_fuzzy_similarity_join",
+    "j2_mapping_application",
+    "d3_text_normalization",
+    "dedup_exact",
+    "dedup_simhash",
+    "text_langid",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    "vocab_top_tokens",
+    "curation_pipeline",
+    "sim_cosine_topk",
+    "dedup_cluster_assign",
+    "sample_hash_10pct",
+    "sample_train_test_split",
 ]
 
-_FRONT = _ROUND5_FRONT + _ROUND6_QUEUE
+# Round-7 window queue: queries added AFTER the r6 window is sealed go here
+# (never displacing a planned check), plus any query whose implementation
+# changes after its last driver row (re-certification rule).
+_ROUND7_QUEUE: list[str] = []
+
+_FRONT = _ROUND6_FRONT + _ROUND7_QUEUE
 
 def _rotated() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     front = {n: _REGISTRY[n] for n in _FRONT}

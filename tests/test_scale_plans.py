@@ -190,8 +190,18 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "quota_largest_remainder",         # 1-row totals broadcast
         "rfm_segments",                    # 1-row customer-count broadcast
         "retrieval_ndcg_eval",             # sim_batch_topk core (broadcast query batch)
+        "score_decile_lift",               # 1-row (n, positives) totals broadcast
+        "threshold_sweep_pr",              # config-sized threshold-grid broadcast
+        "ann_ivf_recall_gate",             # C=8-row centroid/seed broadcasts + topk-batch core
+        "reciprocal_best_match",           # 64-query broadcast batch (topk core + 64×64 back-match)
+        "bootstrap_ci_mean",               # 1-row CI-bounds broadcast
+        "conformal_quantile_gate",         # 1-row qhat/ncal/ntrain broadcasts
+        "halflife_decay_user_value",       # 1-row max-date anchor broadcast
     }
     sf = "/root/testdata/sf0.001"
+    registered = set(entrymod.queries())
+    stale = NESTED_LOOP_OK - registered
+    assert not stale, f"whitelist names not in registry (stale entries): {stale}"
     offenders = {}
     for name, fn in entrymod.queries().items():
         try:
