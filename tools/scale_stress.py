@@ -105,6 +105,32 @@ QUERIES = [
     "kmv_intersection_estimate",
     "emb_knn_eval",
     "interval_overlap_join",
+    # r6 members. Same taxonomy: user/customer/segment-keyed reducers and
+    # windows weak-scale 1:1 under disjoint key shifting (rfm, target
+    # encode, asof, twap, halflife); domain-bounded reducers hold their
+    # intermediate constant (contingency's |types|x7 grid, ols's calendar
+    # days, quota's |sources| rows, threshold sweep's score histogram,
+    # conformal's distinct-residual grid, class weights' |langs| rows,
+    # bootstrap's B=32 resample frame); the fixed-request retrieval/ANN
+    # evals (ndcg, ivf gate, rbm — query sets pinned to copy-0 ids or a
+    # fixed md5-chosen 64) grow only their corpus side; decile lift's
+    # global rank rides the range-partitioned dense_ids_by.
+    "ols_daily_trend_by_type",
+    "quota_largest_remainder",
+    "rfm_segments",
+    "target_encode_loo",
+    "contingency_association",
+    "asof_nearest_event",
+    "twap_daily_value",
+    "retrieval_ndcg_eval",
+    "score_decile_lift",
+    "threshold_sweep_pr",
+    "ann_ivf_recall_gate",
+    "reciprocal_best_match",
+    "bootstrap_ci_mean",
+    "conformal_quantile_gate",
+    "halflife_decay_user_value",
+    "class_weight_table",
 ]
 
 
