@@ -31,6 +31,7 @@ from etl_dashboard_project_1_spark.plans import (
     profile_queries,
     round5_queries,
     round6_queries,
+    round7_queries,
     streaming_queries,
     timeseries_queries,
     training_queries,
@@ -957,6 +958,27 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round6_queries.class_weight_table,
         round6_queries.CLASS_WEIGHT_SQL,
     ),
+    # --- round-7 queue (added after the r6 window was sealed) ---
+    "isotonic_calibration": (
+        round7_queries.isotonic_calibration,
+        round7_queries.ISOTONIC_SQL,
+    ),
+    "curriculum_interleave": (
+        round7_queries.curriculum_interleave,
+        round7_queries.CURRICULUM_SQL,
+    ),
+    "churn_jaccard_daily": (
+        round7_queries.churn_jaccard_daily,
+        round7_queries.CHURN_JACCARD_SQL,
+    ),
+    "dp_noisy_counts": (
+        round7_queries.dp_noisy_counts,
+        round7_queries.DP_NOISY_SQL,
+    ),
+    "cv_fold_scores": (
+        round7_queries.cv_fold_scores,
+        round7_queries.CV_FOLD_SQL,
+    ),
 }
 
 
@@ -1045,7 +1067,13 @@ _ROUND6_FRONT: list[str] = [
 # Round-7 window queue: queries added AFTER the r6 window is sealed go here
 # (never displacing a planned check), plus any query whose implementation
 # changes after its last driver row (re-certification rule).
-_ROUND7_QUEUE: list[str] = []
+_ROUND7_QUEUE: list[str] = [
+    "isotonic_calibration",
+    "curriculum_interleave",
+    "churn_jaccard_daily",
+    "dp_noisy_counts",
+    "cv_fold_scores",
+]
 
 _FRONT = _ROUND6_FRONT + _ROUND7_QUEUE
 

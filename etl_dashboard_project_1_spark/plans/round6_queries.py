@@ -894,11 +894,16 @@ def ann_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("_nq").cast("long").alias("n_queries"),
             F.col("_nh").cast("long").alias("n_hits"),
-            F.expr(f"(_nh * 10000) div (_nq * {IVF_GATE_K})")
+            # _nq = 0 only on empty input (ANSI div-by-zero guard; the
+            # -1 sentinel mirrors the oracle's CASE exactly)
+            F.expr(
+                f"CASE WHEN _nq > 0 THEN (_nh * 10000) div (_nq * {IVF_GATE_K})"
+                " ELSE -1 END"
+            )
             .cast("long")
             .alias("recall_bp"),
             F.expr(
-                f"CASE WHEN (_nh * 10000) div (_nq * {IVF_GATE_K})"
+                f"CASE WHEN _nq > 0 AND (_nh * 10000) div (_nq * {IVF_GATE_K})"
                 f" >= {IVF_RECALL_MIN_BP} THEN 1 ELSE 0 END"
             )
             .cast("long")
@@ -994,12 +999,15 @@ hits AS (SELECT pt.qid, pt.cid FROM probe_topk pt JOIN exact_topk et
          ON pt.qid = et.qid AND pt.cid = et.cid)
 SELECT (SELECT count(*) FROM seeds)::BIGINT AS n_queries,
        count(*)::BIGINT AS n_hits,
-       CAST((count(*) * 10000)
-            // ((SELECT count(*) FROM seeds) * {IVF_GATE_K}) AS BIGINT)
-         AS recall_bp,
-       CAST(CASE WHEN (count(*) * 10000)
+       CAST(CASE WHEN (SELECT count(*) FROM seeds) > 0
+                 THEN (count(*) * 10000)
                       // ((SELECT count(*) FROM seeds) * {IVF_GATE_K})
-                 >= {IVF_RECALL_MIN_BP} THEN 1 ELSE 0 END AS BIGINT)
+                 ELSE -1 END AS BIGINT)
+         AS recall_bp,
+       CAST(CASE WHEN (SELECT count(*) FROM seeds) > 0
+                  AND (count(*) * 10000)
+                      // ((SELECT count(*) FROM seeds) * {IVF_GATE_K})
+                      >= {IVF_RECALL_MIN_BP} THEN 1 ELSE 0 END AS BIGINT)
          AS gate_pass
 FROM hits
 """

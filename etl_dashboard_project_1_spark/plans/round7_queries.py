@@ -1,0 +1,556 @@
+"""Round-7 additions: the model-development loop around the corpus —
+isotonic score calibration (exact integer PAV), a curriculum
+interleave schedule audit, adjacent-day active-user churn Jaccard,
+differentially-private-style deterministic noisy counts (discrete
+Laplace via the md5 wheel and an exact rational inverse CDF), and
+per-fold cross-validation scores for the shared quality-logit model.
+
+House rules (see oracle_harness / driver canon): scalar outputs only,
+counts cast to long, ratios as floor-form integer scalings, integer
+division only on non-negative operands (Spark ``div`` truncates toward
+zero, DuckDB ``//`` floors — they agree only there), no runtime
+transcendentals (every probability threshold is an exact Python
+rational interpolated into BOTH engines), and shared constants come
+from one Python value.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import layout
+from ..operators.sampling import hash_bucket
+from ..session import fan_out, load_table
+from .round6_queries import _logit_col, _logit_ctes
+from .training_queries import _MD5_BIGINT, KFOLDS
+
+
+# --- isotonic calibration (pool-adjacent-violators) ---------------------------
+
+#: score grid clamp in e2 logit units — bounds the PAV problem size to
+#: at most 601 bins regardless of data volume (the logit is a bounded
+#: feature combination; the clamp only bites on pathological text).
+PAV_CLAMP_E2 = 300
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration curve for the shared quality-logit model:
+    per observed e2 score bin, the raw empirical P(lang='en') and the
+    PAV (pool-adjacent-violators) isotonic fit — the standard
+    post-training score→probability calibrator (Platt's monotone-free
+    cousin). decile lift answers "which band to ship"; this answers
+    "what probability does a score MEAN".
+
+    Exactness: PAV is computed from the closed max-min form
+    fit_i = max_{j<=i} min_{k>=i... j<=k} mean(y over bins j..k) —
+    evaluated entirely in integer arithmetic. Each interval mean is
+    floored to ppm via non-negative integer division; floor is monotone
+    non-decreasing, so it COMMUTES with min and max — the emitted value
+    is exactly floor(true_PAV_fit * 1e6), bit-identical in both
+    engines, no iterative pooling loop needed.
+
+    Scale shape: the corpus collapses to a <=601-row bin frame in one
+    groupBy; everything after (cumsums, the j<=k interval enumeration
+    via explode(sequence) + ONE broadcast equi-join — never a
+    nested-loop — and the min/max windows) runs on grid-bounded frames,
+    so the unpartitioned windows are config-sized by construction.
+    At extreme corpus sizes (N above ~9e12 docs) the ppm numerator
+    would leave int64; margins move to decimal(38) then — irrelevant at
+    any tested or plausible scale."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    b = docs.select(
+        F.greatest(
+            F.least(
+                F.floor(_logit_col() * 100 + F.lit(0.5)).cast("long"),
+                F.lit(PAV_CLAMP_E2),
+            ),
+            F.lit(-PAV_CLAMP_E2),
+        ).alias("bin_e2"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("_y"),
+    )
+    per = b.groupBy("bin_e2").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p")
+    )
+    # <=601 rows from here on — the unpartitioned windows are grid-bounded.
+    w_cum = Window.orderBy("bin_e2").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pre = per.select(
+        "bin_e2",
+        "_n",
+        "_p",
+        F.row_number().over(Window.orderBy("bin_e2")).alias("_i"),
+        F.sum("_n").over(w_cum).alias("_sn"),
+        F.sum("_p").over(w_cum).alias("_sp"),
+    ).withColumn("_m", F.max("_i").over(w_all))
+    pairs = pre.select(
+        F.col("_i").alias("_j"),
+        (F.col("_sn") - F.col("_n")).alias("_snp"),
+        (F.col("_sp") - F.col("_p")).alias("_spp"),
+        F.explode(F.sequence(F.col("_i"), F.col("_m"))).alias("_k"),
+    )
+    right = pre.select(
+        F.col("_i").alias("_k"),
+        F.col("_sn").alias("_snk"),
+        F.col("_sp").alias("_spk"),
+    )
+    mj = (
+        pairs.join(F.broadcast(right), "_k")
+        .groupBy("_j")
+        .agg(
+            F.min(F.expr("((_spk - _spp) * 1000000) div (_snk - _snp)")).alias("_mj")
+        )
+    )
+    w_fit = Window.orderBy("_j").rowsBetween(Window.unboundedPreceding, 0)
+    fit = mj.select(F.col("_j").alias("_i"), F.max("_mj").over(w_fit).alias("_f"))
+    return pre.join(F.broadcast(fit), "_i").select(
+        "bin_e2",
+        F.col("_n").cast("long").alias("n_docs"),
+        F.col("_p").cast("long").alias("n_pos"),
+        F.expr("(_p * 1000000) div _n").cast("long").alias("raw_ppm"),
+        F.col("_f").cast("long").alias("fit_ppm"),
+    )
+
+
+ISOTONIC_SQL = f"""
+WITH {_logit_ctes()},
+bb AS (
+  SELECT greatest(least(CAST(floor(logit * 100 + 0.5) AS BIGINT),
+                        {PAV_CLAMP_E2}), -{PAV_CLAMP_E2}) AS bin_e2,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM s
+),
+per AS (SELECT bin_e2, count(*)::BIGINT AS n, sum(y)::BIGINT AS p
+        FROM bb GROUP BY 1),
+pre AS (
+  SELECT bin_e2, n, p,
+         row_number() OVER (ORDER BY bin_e2) AS i,
+         sum(n) OVER (ORDER BY bin_e2) AS sn,
+         sum(p) OVER (ORDER BY bin_e2) AS sp
+  FROM per
+),
+pair AS (
+  SELECT l.i AS j, r.i AS k,
+         l.sn - l.n AS snp, l.sp - l.p AS spp,
+         r.sn AS snk, r.sp AS spk
+  FROM pre l JOIN pre r ON r.i >= l.i
+),
+mj AS (SELECT j, min(((spk - spp) * 1000000) // (snk - snp)) AS m
+       FROM pair GROUP BY 1),
+fit AS (SELECT j, max(m) OVER (ORDER BY j) AS f FROM mj)
+SELECT pre.bin_e2, pre.n AS n_docs, pre.p AS n_pos,
+       CAST((pre.p * 1000000) // pre.n AS BIGINT) AS raw_ppm,
+       CAST(fit.f AS BIGINT) AS fit_ppm
+FROM pre JOIN fit ON fit.j = pre.i
+"""
+
+
+# --- curriculum interleave schedule -------------------------------------------
+
+#: schedule block size (positions per audited block).
+CURRICULUM_BLOCK = 50
+
+#: difficulty clamp in e4 logit units (difficulty = -logit: low-quality
+#: text is HARD; the clamp keeps the integer grid bounded).
+CURRICULUM_CLAMP_E4 = 1_000_000
+
+
+def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training schedule audit: every document gets a
+    deterministic schedule position — sources round-robin interleaved,
+    each source internally ordered easy→hard by the shared quality
+    logit — and the audit reports, per CURRICULUM_BLOCK-position block
+    and source, how many docs land there and the block share. The
+    mixture stays balanced at every prefix of training (what
+    mixture_epoch_plan guarantees only in expectation) while difficulty
+    ramps monotonically within each source.
+
+    Position formula: pos = (rank_within_source - 1) * n_sources +
+    source_index — a perfect interleave, no shuffle-order ambiguity.
+
+    Exactness: difficulty is the clamped e4-floored negative logit;
+    within-source rank tiebreaks on doc_id; source_index is the
+    source's rank in lexicographic order. All integer.
+
+    Scale shape: within-source ranks ride ``layout.dense_ids_by``
+    (range-partitioned global ids over (source, difficulty, doc_id) —
+    no single-partition sort, no per-source window skew) minus a
+    per-source offset from the |sources|-row cumulative frame, which
+    broadcasts. One groupBy to the (blocks x sources) audit frame; the
+    share window runs on that bounded frame."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.least(
+                (-F.floor(_logit_col() * 10000 + F.lit(0.5))).cast("long"),
+                F.lit(CURRICULUM_CLAMP_E4),
+            ),
+            F.lit(-CURRICULUM_CLAMP_E4),
+        ).alias("_diff_e4"),
+    )
+    gid = layout.dense_ids_by(scored, ["source", "_diff_e4", "doc_id"], "_gid")
+    # |sources|-row dimension frame: offsets, index, count — broadcasts.
+    w_src = Window.orderBy("source")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dims = (
+        gid.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "source",
+            (
+                F.sum("_cnt").over(
+                    w_src.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                - F.col("_cnt")
+            ).alias("_off"),
+            F.row_number().over(w_src).alias("_sidx"),
+        )
+        .withColumn("_nsrc", F.count(F.lit(1)).over(w_all))
+    )
+    pos = gid.join(F.broadcast(dims), "source").select(
+        "source",
+        (
+            (F.col("_gid") - F.col("_off") - 1) * F.col("_nsrc") + F.col("_sidx")
+        ).alias("_pos"),
+    )
+    blocks = pos.groupBy(
+        F.expr(f"(_pos - 1) div {CURRICULUM_BLOCK}").cast("long").alias("block"),
+        "source",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("_pos").cast("long").alias("min_pos"),
+        F.max("_pos").cast("long").alias("max_pos"),
+    )
+    w_blk = Window.partitionBy("block")
+    return blocks.select(
+        "block",
+        "source",
+        "n_docs",
+        F.col("n_docs").alias("_num"),
+        F.sum("n_docs").over(w_blk).alias("_tot"),
+        "min_pos",
+        "max_pos",
+    ).select(
+        "block",
+        "source",
+        "n_docs",
+        F.expr("(_num * 10000) div _tot").cast("long").alias("share_bp"),
+        "min_pos",
+        "max_pos",
+    )
+
+
+CURRICULUM_SQL = f"""
+WITH {_logit_ctes()},
+sc AS (
+  SELECT s.doc_id, doc.source,
+         greatest(least(-CAST(floor(logit * 10000 + 0.5) AS BIGINT),
+                        {CURRICULUM_CLAMP_E4}), -{CURRICULUM_CLAMP_E4}) AS diff
+  FROM s JOIN documents doc USING (doc_id)
+),
+r AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY diff, doc_id) AS rs
+  FROM sc
+),
+dims AS (
+  SELECT source,
+         row_number() OVER (ORDER BY source) AS sidx,
+         count(*) OVER () AS nsrc
+  FROM (SELECT DISTINCT source FROM sc)
+),
+p AS (
+  SELECT r.source, (rs - 1) * nsrc + sidx AS pos
+  FROM r JOIN dims USING (source)
+),
+blk AS (
+  SELECT (pos - 1) // {CURRICULUM_BLOCK} AS block, source,
+         count(*)::BIGINT AS n_docs,
+         min(pos) AS min_pos, max(pos) AS max_pos
+  FROM p GROUP BY 1, 2
+)
+SELECT CAST(block AS BIGINT) AS block, source, n_docs,
+       CAST((n_docs * 10000) // sum(n_docs) OVER (PARTITION BY block)
+         AS BIGINT) AS share_bp,
+       CAST(min_pos AS BIGINT) AS min_pos,
+       CAST(max_pos AS BIGINT) AS max_pos
+FROM blk
+"""
+
+
+# --- adjacent-day active-user churn -------------------------------------------
+
+def churn_jaccard_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day active-user overlap: for every day with a
+    successor day in the data, the Jaccard similarity and retention
+    rate of the two days' distinct active-user sets (both in basis
+    points) — the churn/stickiness primitive behind DAU-overlap
+    dashboards, and the temporal cousin of the source-overlap matrix
+    (dedup_source_matrix measures corpus overlap across SOURCES; this
+    measures user overlap across TIME).
+
+    Exactness: all set sizes are exact distinct counts;
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) in floored bp (denominator >= 1
+    whenever the day pair exists).
+
+    Scale shape: ONE distinct aggregate to the (day, user) frame, an
+    equi-join of that frame with its day-shifted self on
+    (user_id, day) — co-partitioned, no inequality join — then two
+    |days|-row joins. Nothing all-pairs; the heavy frame shuffles on
+    the same composite key both times."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("_d"), "user_id").distinct()
+    nd = du.groupBy("_d").agg(F.count(F.lit(1)).alias("_n"))
+    # users active on day d+1, re-keyed to day d
+    nxt = du.select(F.date_sub("_d", 1).alias("_d"), "user_id")
+    inter = du.join(nxt, ["_d", "user_id"]).groupBy("_d").agg(
+        F.count(F.lit(1)).alias("_i")
+    )
+    nd_next = nd.select(
+        F.date_sub("_d", 1).alias("_d"), F.col("_n").alias("_n_next")
+    )
+    out = (
+        nd.join(nd_next, "_d")
+        .join(inter, "_d", "left")
+        .select(
+            F.col("_d").alias("day"),
+            F.col("_n").cast("long").alias("n_day"),
+            F.col("_n_next").cast("long").alias("n_next"),
+            F.coalesce("_i", F.lit(0)).cast("long").alias("n_both"),
+        )
+    )
+    return out.select(
+        "day",
+        "n_day",
+        "n_next",
+        "n_both",
+        F.expr("(n_both * 10000) div (n_day + n_next - n_both)")
+        .cast("long")
+        .alias("jaccard_bp"),
+        F.expr("(n_both * 10000) div n_day").cast("long").alias("retention_bp"),
+    )
+
+
+CHURN_JACCARD_SQL = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+nd AS (SELECT d, count(*)::BIGINT AS n FROM du GROUP BY 1),
+inter AS (
+  SELECT a.d, count(*)::BIGINT AS i
+  FROM du a JOIN du b ON b.user_id = a.user_id AND b.d = a.d + 1
+  GROUP BY 1
+),
+pair AS (
+  SELECT a.d, a.n AS n_day, b.n AS n_next, coalesce(i.i, 0) AS n_both
+  FROM nd a
+  JOIN nd b ON b.d = a.d + 1
+  LEFT JOIN inter i ON i.d = a.d
+)
+SELECT d AS day, n_day, n_next, CAST(n_both AS BIGINT) AS n_both,
+       CAST((n_both * 10000) // (n_day + n_next - n_both) AS BIGINT)
+         AS jaccard_bp,
+       CAST((n_both * 10000) // n_day AS BIGINT) AS retention_bp
+FROM pair
+"""
+
+
+# --- deterministic discrete-Laplace noisy counts ------------------------------
+
+#: discrete Laplace (two-sided geometric) with alpha = 1/2, tails
+#: clamped to [-8, 8]: P(X=k) = (1/3)(1/2)^|k|, an EXACT rational law.
+#: Thresholds are floor(P(X' <= k) * 2^30) computed once in exact
+#: Fraction arithmetic and interpolated into BOTH engines — zero
+#: runtime transcendentals, zero float probability anywhere.
+DP_NOISE_MAX = 8
+_DP_WHEEL = 1 << 30
+
+
+def _dp_thresholds() -> list[int]:
+    a = Fraction(1, 2)
+    p0 = (1 - a) / (1 + a)
+    # clamped law: mass of |k| >= MAX collapses onto +/-MAX
+    probs = {}
+    for k in range(-DP_NOISE_MAX + 1, DP_NOISE_MAX):
+        probs[k] = p0 * a ** abs(k)
+    tail = (p0 * a**DP_NOISE_MAX) / (1 - a)  # sum_{j >= MAX} p0*a^j
+    probs[-DP_NOISE_MAX] = tail
+    probs[DP_NOISE_MAX] = tail
+    cum, out = Fraction(0), []
+    for k in range(-DP_NOISE_MAX, DP_NOISE_MAX + 1):
+        cum += probs[k]
+        out.append(min(int(cum * _DP_WHEEL), _DP_WHEEL))
+    out[-1] = _DP_WHEEL  # exact total mass
+    return out
+
+
+_DP_T = _dp_thresholds()
+
+#: CASE ladder mapping u in [0, 2^30) to the noise value — one string,
+#: valid in BOTH engines (plain CASE WHEN / ELSE).
+_DP_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {{u}} < {t} THEN {k}"
+        for k, t in zip(range(-DP_NOISE_MAX, DP_NOISE_MAX), _DP_T[:-1])
+    )
+    + f" ELSE {DP_NOISE_MAX} END"
+)
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-style noisy release of the per
+    (event_type, day) activity counts: each cell's true count, a
+    discrete-Laplace noise draw (alpha=1/2, clamped +/-8, the geometric
+    mechanism for eps = ln 2 count queries), and the clamped-at-zero
+    noisy count. The draw is DETERMINISTIC — the md5 wheel keyed on the
+    cell — so releases are reproducible and engine-portable, the same
+    policy every "randomized" house query follows (epoch shuffle,
+    bootstrap, poisson mixing all ride the same wheel).
+
+    Exactness: the inverse CDF is a precomputed EXACT rational ladder
+    (Fraction arithmetic, floor to the 2^30 wheel) interpolated into
+    both engines; u = md5(type|day|salt) % 2^30. No runtime
+    transcendental, no float probability.
+
+    Scale shape: one groupBy to the |types| x |days| cell frame;
+    the noise map is a scalar CASE ladder — map-only after the
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_type"),
+                        F.lit("|"),
+                        F.col("day").cast("string"),
+                        F.lit("|dplap"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _DP_WHEEL
+    )
+    noisy = cells.withColumn("_u", u).withColumn(
+        "noise", F.expr(_DP_CASE.format(u="_u")).cast("long")
+    )
+    return noisy.select(
+        "event_type",
+        "day",
+        "n",
+        "noise",
+        F.greatest(F.col("n") + F.col("noise"), F.lit(0))
+        .cast("long")
+        .alias("noisy_n"),
+    )
+
+
+DP_NOISY_SQL = f"""
+WITH cells AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+drawn AS (
+  SELECT event_type, day, n,
+         {_MD5_BIGINT.format(expr="event_type || '|' || day::VARCHAR || '|dplap'")}
+           % {_DP_WHEEL} AS u
+  FROM cells
+)
+SELECT event_type, day, n,
+       CAST({_DP_CASE.format(u="u")} AS BIGINT) AS noise,
+       CAST(greatest(n + {_DP_CASE.format(u="u")}, 0) AS BIGINT) AS noisy_n
+FROM drawn
+"""
+
+
+# --- per-fold cross-validation scores -----------------------------------------
+
+def cv_fold_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold evaluation of the shared quality-logit classifier
+    (predict en when logit >= 0) under the SAME md5-wheel fold
+    assignment stratified_kfold_assign audits: per fold, the full
+    confusion matrix plus accuracy / precision / recall in basis
+    points. stratified_kfold_assign certifies the folds are balanced;
+    this reports the metric VARIANCE across them — the cross-validation
+    readout that says whether the global AUC is stable or one lucky
+    fold.
+
+    Exactness: the confusion cells are exact integer sums of indicator
+    products; rates are floored bp with CASE guards on empty
+    denominators (-1 sentinel), mirrored in both engines. The logit>=0
+    predicate compares the SAME IEEE double expression both engines
+    evaluate identically (the decile/threshold queries already pin
+    this).
+
+    Scale shape: map-only scoring, one groupBy to the |folds|-row
+    frame. Nothing else."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    lab = docs.select(
+        hash_bucket(F.col("doc_id"), "kfold", KFOLDS).cast("long").alias("fold"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("_y"),
+        F.when(_logit_col() >= 0, 1).otherwise(0).cast("long").alias("_yh"),
+    )
+    per = lab.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr("_y * _yh")).cast("long").alias("tp"),
+        F.sum(F.expr("(1 - _y) * _yh")).cast("long").alias("fp"),
+        F.sum(F.expr("_y * (1 - _yh)")).cast("long").alias("fn"),
+        F.sum(F.expr("(1 - _y) * (1 - _yh)")).cast("long").alias("tn"),
+    )
+    return per.select(
+        "fold",
+        "n_docs",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("((tp + tn) * 10000) div n_docs").cast("long").alias("acc_bp"),
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN (tp * 10000) div (tp + fp) ELSE -1 END"
+        )
+        .cast("long")
+        .alias("prec_bp"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN (tp * 10000) div (tp + fn) ELSE -1 END"
+        )
+        .cast("long")
+        .alias("rec_bp"),
+    )
+
+
+_CV_FOLD_HASH = _MD5_BIGINT.format(expr="doc_id::VARCHAR || 'kfold'")
+
+CV_FOLD_SQL = f"""
+WITH {_logit_ctes()},
+lab AS (
+  SELECT {_CV_FOLD_HASH} % {KFOLDS} AS fold,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS yh
+  FROM s
+),
+per AS (
+  SELECT fold, count(*)::BIGINT AS n_docs,
+         sum(y * yh)::BIGINT AS tp,
+         sum((1 - y) * yh)::BIGINT AS fp,
+         sum(y * (1 - yh))::BIGINT AS fn,
+         sum((1 - y) * (1 - yh))::BIGINT AS tn
+  FROM lab GROUP BY 1
+)
+SELECT CAST(fold AS BIGINT) AS fold, n_docs, tp, fp, fn, tn,
+       CAST(((tp + tn) * 10000) // n_docs AS BIGINT) AS acc_bp,
+       CAST(CASE WHEN tp + fp > 0 THEN (tp * 10000) // (tp + fp) ELSE -1 END
+         AS BIGINT) AS prec_bp,
+       CAST(CASE WHEN tp + fn > 0 THEN (tp * 10000) // (tp + fn) ELSE -1 END
+         AS BIGINT) AS rec_bp
+FROM per
+"""

@@ -1,0 +1,152 @@
+"""Property tests for the round-7 model-development queries.
+
+The DuckDB oracles (auto-parameterized in test_oracle_parity) pin
+cross-engine VALUE equality; these tests pin the SEMANTICS — that the
+max-min closed form really is PAV, that the interleave really
+interleaves, that the noise ladder really is the claimed rational law.
+"""
+
+from fractions import Fraction
+
+import pytest
+
+from etl_dashboard_project_1_spark.plans import round7_queries as r7
+
+
+# --- isotonic calibration ------------------------------------------------------
+
+def _reference_pav(bins):
+    """Textbook iterative pool-adjacent-violators on (n, p) bins in
+    ascending score order; returns each bin's pooled mean as an exact
+    Fraction."""
+    blocks = [[n, p] for n, p in bins]  # [weight, pos-count]
+    out_blocks = []
+    for b in blocks:
+        out_blocks.append(list(b))
+        while len(out_blocks) >= 2 and (
+            Fraction(out_blocks[-2][1], out_blocks[-2][0])
+            >= Fraction(out_blocks[-1][1], out_blocks[-1][0])
+        ):
+            n2, p2 = out_blocks.pop()
+            out_blocks[-1][0] += n2
+            out_blocks[-1][1] += p2
+    # expand pooled block means back to per-bin values
+    expanded, bi = [], 0
+    for n, p in out_blocks:
+        consumed = 0
+        while consumed < n:
+            consumed += bins[bi][0]
+            expanded.append(Fraction(p, n))
+            bi += 1
+    return expanded
+
+
+def test_isotonic_matches_reference_pav(spark, sf_dir):
+    rows = sorted(
+        r7.isotonic_calibration(spark, sf_dir).collect(),
+        key=lambda r: r["bin_e2"],
+    )
+    ref = _reference_pav([(r["n_docs"], r["n_pos"]) for r in rows])
+    for r, f in zip(rows, ref):
+        assert r["fit_ppm"] == (f.numerator * 1_000_000) // f.denominator, (
+            r["bin_e2"],
+            r["fit_ppm"],
+            f,
+        )
+
+
+def test_isotonic_fit_is_monotone_and_bounded(spark, sf_dir):
+    rows = sorted(
+        r7.isotonic_calibration(spark, sf_dir).collect(),
+        key=lambda r: r["bin_e2"],
+    )
+    assert rows, "empty calibration frame"
+    prev = -1
+    for r in rows:
+        assert 0 <= r["fit_ppm"] <= 1_000_000
+        assert r["fit_ppm"] >= prev, "PAV output must be non-decreasing"
+        prev = r["fit_ppm"]
+        assert 0 <= r["n_pos"] <= r["n_docs"]
+
+
+# --- curriculum interleave -----------------------------------------------------
+
+def test_curriculum_conserves_and_balances(spark, sf_dir):
+    from etl_dashboard_project_1_spark.session import load_table
+
+    rows = r7.curriculum_interleave(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_src = docs.select("source").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # round-robin property: within any CURRICULUM_BLOCK consecutive
+    # positions a source appears at most ceil(BLOCK / n_sources) + 1
+    # times (the +1 covers block boundaries splitting a cycle)
+    cap = -(-r7.CURRICULUM_BLOCK // n_src) + 1
+    for r in rows:
+        assert r["n_docs"] <= cap, (r["block"], r["source"], r["n_docs"])
+        assert r["min_pos"] >= r["block"] * r7.CURRICULUM_BLOCK + 1
+        assert r["max_pos"] <= (r["block"] + 1) * r7.CURRICULUM_BLOCK
+    # block shares sum to 10000 up to per-source floor loss
+    by_block = {}
+    for r in rows:
+        by_block.setdefault(r["block"], []).append(r["share_bp"])
+    for blk, shares in by_block.items():
+        assert 10000 - len(shares) <= sum(shares) <= 10000, (blk, shares)
+
+
+# --- discrete-Laplace noisy counts ---------------------------------------------
+
+def test_dp_threshold_ladder_is_the_exact_rational_law():
+    t = r7._dp_thresholds()
+    assert len(t) == 2 * r7.DP_NOISE_MAX + 1
+    assert t[-1] == r7._DP_WHEEL
+    assert sorted(t) == t
+    # per-outcome mass = exact law mass, floored onto the wheel: the
+    # k-th slot width must be within 1 of P(k) * wheel
+    a = Fraction(1, 2)
+    p0 = (1 - a) / (1 + a)
+    tail = (p0 * a**r7.DP_NOISE_MAX) / (1 - a)
+    prev = 0
+    for k, thr in zip(range(-r7.DP_NOISE_MAX, r7.DP_NOISE_MAX + 1), t):
+        width = thr - prev
+        mass = tail if abs(k) == r7.DP_NOISE_MAX else p0 * a ** abs(k)
+        exact = mass * r7._DP_WHEEL
+        assert abs(width - exact) < 1, (k, width, float(exact))
+        prev = thr
+
+
+def test_dp_noisy_counts_clamped_and_deterministic(spark, sf_dir):
+    df1 = {(r["event_type"], r["day"]): r for r in r7.dp_noisy_counts(spark, sf_dir).collect()}
+    df2 = {(r["event_type"], r["day"]): r for r in r7.dp_noisy_counts(spark, sf_dir).collect()}
+    assert df1.keys() == df2.keys() and df1
+    for k, r in df1.items():
+        assert -r7.DP_NOISE_MAX <= r["noise"] <= r7.DP_NOISE_MAX
+        assert r["noisy_n"] == max(r["n"] + r["noise"], 0)
+        assert df2[k]["noise"] == r["noise"], "noise must be a pure key function"
+
+
+# --- adjacent-day churn --------------------------------------------------------
+
+def test_churn_jaccard_invariants(spark, sf_dir):
+    rows = r7.churn_jaccard_daily(spark, sf_dir).collect()
+    assert rows, "expected at least one adjacent-day pair"
+    for r in rows:
+        assert 0 <= r["n_both"] <= min(r["n_day"], r["n_next"])
+        assert 0 <= r["jaccard_bp"] <= r["retention_bp"] <= 10000
+
+
+# --- per-fold CV scores --------------------------------------------------------
+
+def test_cv_fold_scores_confusion_closes(spark, sf_dir):
+    from etl_dashboard_project_1_spark.session import load_table
+
+    rows = r7.cv_fold_scores(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert {r["fold"] for r in rows} <= set(range(5))
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_docs"]
+        assert 0 <= r["acc_bp"] <= 10000
+        for m in ("prec_bp", "rec_bp"):
+            assert r[m] == -1 or 0 <= r[m] <= 10000
