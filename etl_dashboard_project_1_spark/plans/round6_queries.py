@@ -759,7 +759,6 @@ FROM rates
 IVF_GATE_C = 8          #: coarse-quantizer cells (seeds = vec_id < C)
 IVF_GATE_NPROBE = 3     #: cells probed per query
 IVF_GATE_K = 10         #: top-k depth for recall
-_IVF_DIM = 64           #: embedding dimensionality (driver testdata)
 _IVF_Q = 1000           #: quantization scale (integer grid = floor(x*Q))
 _IVF_OFF = 10000        #: non-negativity offset (|x| << OFF for any normalized embedding)
 IVF_RECALL_MIN_BP = 7000  #: pinned recall floor (observed 9125/9125/9875 bp at sf0.001/0.01/0.1)
@@ -793,8 +792,12 @@ def ann_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift cancels in every distance comparison. All assignments are exact
     integer argmins with (dist, cell) tiebreaks; only the final re-rank
     uses the double cosine, whose fold order is identical in both engines
-    (the proven sim/knn-eval pattern). Worst-case |term| ≈ dim·(2·578e3)²
-    ≈ 8.6e13 — int64-safe at any corpus size (per-row values, not sums).
+    (the proven sim/knn-eval pattern). Distance terms are per-row:
+    worst-case |term| ≈ dim·(2·578e3)² ≈ 8.6e13, int64-safe regardless of
+    corpus size. The one data-sized integer is the Lloyd numerator
+    (_s + _n·OFF)·Q, which leaves int64 only past ~8e11 vectors in a
+    single cell (≈200 PB of fp32 64-d embeddings); past that the margin
+    moves to decimal(38) like the KS gate did.
 
     Scale shape: every distance computation is corpus × C-row broadcast
     (C=8, config-sized — the whitelisted nested-loop class); the Lloyd
@@ -912,8 +915,10 @@ def ann_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: self-sizing like the Spark side's zip_with fold — no hardcoded dim,
+#: so a testdata dimensionality change can never silently truncate
 _IVF_DIST = (
-    "list_sum(list_transform(range(1, {dim} + 1),"
+    "list_sum(list_transform(range(1, len({a}) + 1),"
     " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
 )
 
@@ -927,7 +932,7 @@ WITH corp AS (
 seeds AS (SELECT vec_id AS j, qv AS sv FROM corp WHERE vec_id < {IVF_GATE_C}),
 d1 AS (
   SELECT c.vec_id, s.j,
-         {_IVF_DIST.format(dim=_IVF_DIM, a='c.qv', b='s.sv')} AS d
+         {_IVF_DIST.format(a='c.qv', b='s.sv')} AS d
   FROM corp c, seeds s
 ),
 a1 AS (
@@ -939,7 +944,7 @@ a1 AS (
 sums AS (
   SELECT a1.c, t.i AS p, sum(corp.qv[t.i]) AS s, count(*) AS n
   FROM a1 JOIN corp USING (vec_id)
-       CROSS JOIN range(1, {_IVF_DIM} + 1) AS t(i)
+       CROSS JOIN unnest(range(1, len(corp.qv) + 1)) AS t(i)
   GROUP BY 1, 2
 ),
 cent AS (
@@ -953,7 +958,7 @@ xo AS (
 ),
 d2 AS (
   SELECT x.vec_id, ct.c,
-         {_IVF_DIST.format(dim=_IVF_DIM, a='x.xv', b='ct.cv')} AS d
+         {_IVF_DIST.format(a='x.xv', b='ct.cv')} AS d
   FROM xo x, cent ct
 ),
 a2 AS (
@@ -1076,17 +1081,22 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b_id", F.col("_aid").alias("a_id"))
     )
     mutual = best_b.join(best_a, ["a_id", "b_id"])
-    a_lab = emb.select(F.col("vec_id").alias("a_id"), F.col("label").alias("_al"))
+    # a-labels ride the (already <=64-row) A batch; b-labels attach by
+    # streaming the column-pruned corpus ONCE against the broadcast
+    # mutual frame — the expensive topk subtree is never recomputed
+    a_lab = a_side.select(F.col("vec_id").alias("a_id"), F.col("label").alias("_al"))
     b_lab = emb.select(F.col("vec_id").alias("b_id"), F.col("label").alias("_bl"))
-    return (
-        mutual.join(F.broadcast(a_lab.join(F.broadcast(mutual.select("a_id")), "a_id")), "a_id")
-        .join(b_lab, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.floor(F.col("_cos_ab") * 1000000).cast("long").alias("cos_e6"),
-            (F.col("_al") == F.col("_bl")).cast("long").alias("same_label"),
-        )
+    m_lab = mutual.join(F.broadcast(a_lab), "a_id")
+    return b_lab.join(F.broadcast(m_lab), "b_id").select(
+        "a_id",
+        "b_id",
+        F.floor(F.col("_cos_ab") * 1000000).cast("long").alias("cos_e6"),
+        # F.when mirrors the oracle's CASE exactly: NULL labels -> 0,
+        # never NULL (a bare == comparison would propagate NULL)
+        F.when(F.col("_al") == F.col("_bl"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("same_label"),
     )
 
 
@@ -1195,7 +1205,11 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_m", F.expr("CASE WHEN _wn > 0 THEN _ws div _wn END").cast("long")
         )
     )
-    w_rank = Window.orderBy("_m", "_r")  # B-row frame — bounded by config
+    # B-row frame — bounded by config. NULLS LAST explicitly: a zero-
+    # weight resample (possible only on tiny inputs) yields _m = NULL,
+    # and Spark's ascending default is NULLS FIRST where DuckDB's is
+    # NULLS LAST — the ranks must agree on BOTH engines.
+    w_rank = Window.orderBy(F.asc_nulls_last("_m"), "_r")
     ranked = per_r.withColumn("_rn", F.row_number().over(w_rank))
     ci = ranked.agg(
         F.max(F.when(F.col("_rn") == BOOT_LO_RANK, F.col("_m"))).alias("ci_lo_cents"),
@@ -1291,7 +1305,6 @@ def conformal_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = base.filter(F.col("_b") <= 1)
     model = train.groupBy("event_type").agg(
         F.expr("sum(_v) div count(*)").cast("long").alias("_pred"),
-        F.count(F.lit(1)).alias("_ntr"),
     )
     cal = (
         base.filter(F.col("_b") == 2)
@@ -1324,17 +1337,20 @@ def conformal_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = test.crossJoin(F.broadcast(qhat)).agg(
         F.count(F.lit(1)).alias("_nt"),
         F.sum(F.when(F.col("_s") <= F.col("_qhat"), 1).otherwise(0)).alias("_nc"),
-        F.max("_qhat").alias("_q"),
     )
     ntrain = train.agg(F.count(F.lit(1)).alias("_ntrain"))
+    # qhat_cents attaches via its OWN 1-row broadcast (not max() over the
+    # test frame): an empty test split would null it out on the Spark
+    # side while the oracle's scalar subquery still emits the computed q̂
     return (
         cov.crossJoin(F.broadcast(ncal))
         .crossJoin(F.broadcast(ntrain))
+        .crossJoin(F.broadcast(qhat))
         .select(
             F.col("_ntrain").cast("long").alias("n_train"),
             F.col("_n").cast("long").alias("n_cal"),
             F.col("_nt").cast("long").alias("n_test"),
-            F.col("_q").cast("long").alias("qhat_cents"),
+            F.col("_qhat").cast("long").alias("qhat_cents"),
             F.expr("(_nc * 10000) div _nt").cast("long").alias("coverage_bp"),
             F.expr(
                 f"CASE WHEN (_nc * 10000) div _nt >= {CONF_COVERAGE_MIN_BP}"

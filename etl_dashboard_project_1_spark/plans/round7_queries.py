@@ -422,23 +422,17 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from ..operators import dedup
+
     u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("event_type"),
-                        F.lit("|"),
-                        F.col("day").cast("string"),
-                        F.lit("|dplap"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        dedup.md5_int(
+            F.concat(
+                F.col("event_type"),
+                F.lit("|"),
+                F.col("day").cast("string"),
+                F.lit("|dplap"),
+            )
+        )
         % _DP_WHEEL
     )
     noisy = cells.withColumn("_u", u).withColumn(

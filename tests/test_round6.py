@@ -138,3 +138,39 @@ def test_class_weights_inverse_frequency(spark):
         assert r["capped_ppm"] == min(expect, r6.CLASS_WEIGHT_CAP_PPM)
     share = sum(r["share_bp"] for r in rows)
     assert 10000 - k <= share <= 10000  # floor-division undershoot only
+
+
+def test_bootstrap_tiny_input_null_rank_agrees_with_duckdb(spark, tmp_path):
+    """Degenerate-input mirror (code-review finding): with 1-3 purchase
+    rows, several of the 32 Poisson resamples draw zero total weight, so
+    their means are NULL — and Spark's ascending sort default (NULLS
+    FIRST) disagrees with DuckDB's (NULLS LAST). The fix pins
+    asc_nulls_last; this test runs BOTH engines on a 2-row table and
+    asserts the full output row matches."""
+    import datetime
+
+    import duckdb
+
+    sf = str(tmp_path)
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 10, 0), 1, "purchase", 10.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 11, 0), 2, "purchase", 30.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    got = r6.bootstrap_ci_mean(spark, sf).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    want = con.execute(r6.BOOTSTRAP_CI_SQL).fetchone()
+    assert (
+        got["n_events"],
+        got["mean_cents"],
+        got["ci_lo_cents"],
+        got["ci_hi_cents"],
+        got["n_resamples"],
+    ) == tuple(want)

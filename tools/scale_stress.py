@@ -131,6 +131,15 @@ QUERIES = [
     "conformal_quantile_gate",
     "halflife_decay_user_value",
     "class_weight_table",
+    # r7-queue members. isotonic/cv/dp collapse to grid/fold/cell frames
+    # in one aggregate (domain-bounded intermediates); curriculum's rank
+    # is the range-partitioned dense_ids_by; churn's self-join is
+    # composite-key equi (disjoint user spaces weak-scale 1:1).
+    "isotonic_calibration",
+    "curriculum_interleave",
+    "churn_jaccard_daily",
+    "dp_noisy_counts",
+    "cv_fold_scores",
 ]
 
 
