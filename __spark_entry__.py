@@ -1073,6 +1073,14 @@ _ROUND7_QUEUE: list[str] = [
     "churn_jaccard_daily",
     "dp_noisy_counts",
     "cv_fold_scores",
+    # re-certification: implementations changed after the r6 seal (tiny-
+    # input div-by-zero sentinels, code-review NULL/plan fixes) and these
+    # are not in the r6 window (ks_value_drift_gate / score_decile_lift /
+    # bootstrap_ci_mean / conformal_quantile_gate / reciprocal_best_match
+    # / ann_ivf_recall_gate changed too but sit in _ROUND6_FRONT already)
+    "quality_logit_auc",
+    "value_drift_tv",
+    "revenue_gini",
 ]
 
 _FRONT = _ROUND6_FRONT + _ROUND7_QUEUE

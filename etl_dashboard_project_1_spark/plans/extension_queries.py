@@ -1943,8 +1943,13 @@ def quality_logit_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_pos").alias("n_pos"),
         F.sum("_neg").alias("n_neg"),
     )
+    # AUC is undefined with an empty class (tiny-sweep class: a sampled
+    # corpus may be single-language) — NULL sentinel, mirrored CASE
     return agg.select(
-        (F.col("_u2") / (2.0 * F.col("n_pos") * F.col("n_neg"))).alias("auc"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("_u2") / (2.0 * F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
         "n_pos",
         "n_neg",
     )
@@ -1982,8 +1987,9 @@ c AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
   FROM b
 )
-SELECT sum(pos * (2 * nb + neg))::BIGINT
-         / (2.0 * sum(pos)::BIGINT * sum(neg)::BIGINT) AS auc,
+SELECT CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+            THEN sum(pos * (2 * nb + neg))::BIGINT
+                 / (2.0 * sum(pos)::BIGINT * sum(neg)::BIGINT) END AS auc,
        sum(pos)::BIGINT AS n_pos,
        sum(neg)::BIGINT AS n_neg
 FROM c

@@ -403,9 +403,13 @@ def value_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n1", "n2")
         .agg(
             F.count(F.lit(1)).alias("n_bins"),
-            F.expr("sum(abs(c * n2 - d * n1)) * 10000 DIV (2 * n1 * n2)").alias(
-                "tv_bp"
-            ),
+            # a period with zero rows for a type (tiny-sweep class)
+            # leaves TV undefined — -1 sentinel, mirrored in the oracle
+            F.expr(
+                "CASE WHEN n1 > 0 AND n2 > 0 THEN"
+                " sum(abs(c * n2 - d * n1)) * 10000 DIV (2 * n1 * n2)"
+                " ELSE -1 END"
+            ).alias("tv_bp"),
         )
         .select("event_type", "n1", "n2", "n_bins", "tv_bp")
     )
@@ -422,7 +426,9 @@ WITH binned AS (
 t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n1, CAST(sum(d) AS BIGINT) AS n2
       FROM binned GROUP BY 1)
 SELECT event_type, n1, n2, count(*) AS n_bins,
-       CAST(sum(abs(c * n2 - d * n1)) * 10000 // (2 * n1 * n2) AS BIGINT) AS tv_bp
+       CAST(CASE WHEN n1 > 0 AND n2 > 0
+                 THEN sum(abs(c * n2 - d * n1)) * 10000 // (2 * n1 * n2)
+                 ELSE -1 END AS BIGINT) AS tv_bp
 FROM binned JOIN t USING (event_type)
 GROUP BY 1, 2, 3
 """

@@ -200,12 +200,14 @@ def ks_value_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_max_abs"),
     )
+    # KS is undefined when a cohort is empty (possible only on tiny
+    # inputs) — -1 sentinel, mirrored in the oracle (tiny-sweep class)
     return agg.select(
         "n_a",
         "n_b",
         F.expr(
-            "CAST((_max_abs * 10000)"
-            " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            "CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN (_max_abs * 10000)"
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b) ELSE -1 END AS BIGINT)"
         ).alias("ks_bp"),
     )
 
@@ -230,7 +232,9 @@ cum AS (
 tot AS (SELECT max(ca) AS na, max(cb) AS nb FROM cum)
 SELECT CAST(na AS BIGINT) AS n_a,
        CAST(nb AS BIGINT) AS n_b,
-       CAST(max(abs(ca * nb - cb * na)) * 10000 // (na * nb) AS BIGINT) AS ks_bp
+       CAST(CASE WHEN na > 0 AND nb > 0
+                 THEN max(abs(ca * nb - cb * na)) * 10000 // (na * nb)
+                 ELSE -1 END AS BIGINT) AS ks_bp
 FROM cum, tot
 GROUP BY na, nb
 """
@@ -272,15 +276,21 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         F.max("n").cast("long").alias("n_customers"),
         F.max("t").cast("long").alias("total_cents"),
-        F.floor(
-            F.lit(10000.0)
-            * F.sum(
-                ((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).cast(
-                    "decimal(38,0)"
-                )
-            ).cast("double")
-            / (F.max("n").cast("double") * F.max("t").cast("double"))
+        # zero total revenue (tiny-sweep class: every sampled customer
+        # may be orderless) leaves Gini undefined — -1 sentinel, mirrored
+        F.when(
+            F.max("t") > 0,
+            F.floor(
+                F.lit(10000.0)
+                * F.sum(
+                    ((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / (F.max("n").cast("double") * F.max("t").cast("double"))
+            ),
         )
+        .otherwise(-1)
         .cast("long")
         .alias("gini_bp"),
     )
@@ -299,8 +309,10 @@ ranked AS (
 tot AS (SELECT count(*) AS n, sum(cents) AS t FROM ranked)
 SELECT CAST(n AS BIGINT) AS n_customers,
        CAST(t AS BIGINT) AS total_cents,
-       CAST(floor(10000.0 * CAST(sum((2 * i - n - 1) * cents) AS DOUBLE)
-                  / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))) AS BIGINT) AS gini_bp
+       CAST(CASE WHEN t > 0
+                 THEN floor(10000.0 * CAST(sum((2 * i - n - 1) * cents) AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)))
+                 ELSE -1 END AS BIGINT) AS gini_bp
 FROM ranked, tot
 GROUP BY n, t
 """

@@ -604,10 +604,19 @@ def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_pos",
             F.expr("(n_pos * 10000) div n_docs").cast("long").alias("pos_rate_bp"),
-            F.expr("(n_pos * _n_total * 10000) div (n_docs * _p_total)")
+            # a corpus with zero positives (tiny-sweep class) leaves
+            # lift/capture undefined — -1 sentinel, mirrored
+            F.expr(
+                "CASE WHEN _p_total > 0 THEN"
+                " (n_pos * _n_total * 10000) div (n_docs * _p_total)"
+                " ELSE -1 END"
+            )
             .cast("long")
             .alias("lift_bp"),
-            F.expr("(_cum_pos * 10000) div _p_total")
+            F.expr(
+                "CASE WHEN _p_total > 0 THEN (_cum_pos * 10000) div _p_total"
+                " ELSE -1 END"
+            )
             .cast("long")
             .alias("cum_capture_bp"),
         )
@@ -637,10 +646,13 @@ per AS (
 )
 SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
        (n_pos * 10000) // n_docs AS pos_rate_bp,
-       (n_pos * n_total * 10000) // (n_docs * p_total) AS lift_bp,
-       CAST((sum(n_pos) OVER (ORDER BY decile
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) // p_total
-         AS BIGINT) AS cum_capture_bp
+       CASE WHEN p_total > 0
+            THEN (n_pos * n_total * 10000) // (n_docs * p_total)
+            ELSE -1 END AS lift_bp,
+       CAST(CASE WHEN p_total > 0
+            THEN (sum(n_pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) // p_total
+            ELSE -1 END AS BIGINT) AS cum_capture_bp
 FROM per
 """
 

@@ -374,3 +374,29 @@ def test_every_registered_query_survives_empty_tables(spark, tmp_path_factory):
         except Exception as e:  # noqa: BLE001 — collecting ALL failures
             failures[name] = str(e).split("\n")[0][:160]
     assert not failures, failures
+
+
+def test_every_registered_query_survives_tiny_tables(spark, tmp_path_factory):
+    """Tiny-input robustness: every registry query must execute (not
+    crash) against 3-row mirrors of the tables — the next failure class
+    up from empty: groups EXIST but one side's count can be zero, so
+    divisions that the empty sweep never evaluates (KS cohort split,
+    decile positives, AUC classes, drift periods, Gini totals) run with
+    a 0 divisor unless guarded. Found live by tools/tiny_sweep.py: 5
+    queries crashed under ANSI div-by-zero; all now emit mirrored
+    sentinels. Full cross-engine value comparison at 3 rows lives in
+    tools/tiny_sweep.py (run per round; 2 documented divergences:
+    set_ops' empty-class counts and j1_fuzzy_difflib's pinned oracle)."""
+    import __spark_entry__ as entrymod
+
+    from tools.tiny_sweep import build
+
+    tiny_dir = str(tmp_path_factory.mktemp("tiny_sf"))
+    build(3, tiny_dir)
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, tiny_dir).collect()
+        except Exception as e:  # noqa: BLE001 — collecting ALL failures
+            failures[name] = str(e).split("\n")[0][:160]
+    assert not failures, failures

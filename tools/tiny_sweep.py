@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Tiny-input robustness sweep: run EVERY (query, oracle) pair against
+N-row mirrors of the tables and compare engines.
+
+The empty-table sweep (test_scale_plans) catches crashes on NO data;
+this catches the next failure class up: semantics that diverge when
+frames are tiny but non-empty — NULL ordering of degenerate aggregates
+(the bootstrap_ci_mean NULLS FIRST/LAST bug), div-by-zero on empty
+GROUPS, scalar-subquery vs ungrouped-aggregate row-count differences,
+broken referential integrity (a 3-row orders table references customers
+that don't exist in the 3-row customer table, so every join path sees
+empty or partial matches).
+
+Tables are the FIRST n rows of the sf0.001 testdata in primary-key
+order — real schema, real values, deterministic.
+
+Usage: python tools/tiny_sweep.py [n_rows] [--rebuild]
+Prints one line per non-MATCH query and a JSON summary; exit 1 only on
+Spark-side crashes (mismatches are triage output, not failures — the
+documented divergence classes live in PLANS.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SRC_SF = "/root/testdata/sf0.001"
+
+KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey, l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def build(n_rows: int, out_dir: str) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    os.makedirs(out_dir, exist_ok=True)
+    for t, key in KEYS.items():
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC_SF}/{t}.parquet')"
+            f" ORDER BY {key} LIMIT {n_rows})"
+            f" TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    with open(os.path.join(out_dir, "_BUILT"), "w") as f:
+        f.write(str(n_rows))
+
+
+def main() -> int:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    out_dir = f"/tmp/spark_graft_tiny{n_rows}"
+    if "--rebuild" in sys.argv or not os.path.exists(
+        os.path.join(out_dir, "_BUILT")
+    ):
+        build(n_rows, out_dir)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("tiny-sweep")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import importlib
+
+    entrymod = importlib.import_module("__spark_entry__")
+    from tests.oracle_harness import compare
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    crash, mismatch, oracle_err, match = [], [], [], 0
+    for i, name in enumerate(q):
+        t0 = time.time()
+        if name not in o:
+            # rows-only: execution check
+            try:
+                q[name](spark, out_dir).collect()
+                match += 1
+            except Exception as ex:  # noqa: BLE001
+                crash.append((name, repr(ex)[:160]))
+                print(f"{i + 1}/{len(q)} {name}: SPARK-CRASH {repr(ex)[:120]}")
+            continue
+        try:
+            ok, msg = compare(spark, q[name], o[name], out_dir)
+        except Exception as ex:  # noqa: BLE001
+            # classify: Spark crash vs DuckDB oracle crash
+            r = repr(ex)
+            if "duckdb" in r.lower() or "Binder" in r or "Conversion" in r:
+                oracle_err.append((name, r[:160]))
+                print(f"{i + 1}/{len(q)} {name}: ORACLE-ERR {r[:120]}")
+            else:
+                try:
+                    q[name](spark, out_dir).collect()
+                    oracle_err.append((name, r[:160]))
+                    print(f"{i + 1}/{len(q)} {name}: ORACLE-ERR {r[:120]}")
+                except Exception as ex2:  # noqa: BLE001
+                    crash.append((name, repr(ex2)[:160]))
+                    print(f"{i + 1}/{len(q)} {name}: SPARK-CRASH {repr(ex2)[:120]}")
+            continue
+        if ok:
+            match += 1
+        else:
+            mismatch.append((name, msg[:160]))
+            print(f"{i + 1}/{len(q)} {name}: MISMATCH {msg[:120]} ({time.time() - t0:.1f}s)")
+
+    print(
+        json.dumps(
+            {
+                "n_rows": n_rows,
+                "total": len(q),
+                "match": match,
+                "mismatch": [n for n, _ in mismatch],
+                "oracle_err": [n for n, _ in oracle_err],
+                "spark_crash": [n for n, _ in crash],
+            }
+        )
+    )
+    return 1 if crash else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
