@@ -1081,6 +1081,12 @@ _ROUND7_QUEUE: list[str] = [
     "quality_logit_auc",
     "value_drift_tv",
     "revenue_gini",
+    # re-certification: all-ties sweep fixes (order-independent integer
+    # BM25 scoring; degenerate-input NULL guards)
+    "bm25_retrieval_topk",
+    "retrieval_rrf_fusion",
+    "trend_revenue_by_nation",
+    "emb_pca_variance_gate",
 ]
 
 _FRONT = _ROUND6_FRONT + _ROUND7_QUEUE

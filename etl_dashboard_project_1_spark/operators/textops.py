@@ -420,16 +420,26 @@ def bm25_topk(
     tfnorm = (F.col("_tf") * (k1 + 1.0)) / (
         F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
     )
+    # Each per-term contribution is ONE fixed-shape IEEE expression
+    # (bit-identical across engines), floored to integer micro-units
+    # BEFORE the sum — so the total is independent of summation ORDER.
+    # A raw double sum ranks exact-tie documents (duplicated text) by
+    # accumulated rounding error, nondeterministically across partitions
+    # and engines (found by the all-ties sweep, tools/tiny_sweep.py).
+    # At 1e-6 per-term quantization the score drift is far below the
+    # 1e-4 output rounding; int64 holds until N_docs * |shared terms|
+    # approaches ~6e12 (decimal(38) escape past that).
+    term_e6 = F.floor((idf * tfnorm) * F.lit(1000000.0)).cast("long")
     scored = (
         tf.join(F.broadcast(qdf), "_tok")
         .filter(F.col("_id") != F.col("_qid"))
         .groupBy("_qid", "_id")
         .agg(
-            F.sum(idf * tfnorm).alias("_score"),
+            F.sum(term_e6).alias("_score_e6"),
             F.count(F.lit(1)).cast("long").alias("n_terms"),
         )
     )
-    rank_w = Window.partitionBy("_qid").orderBy(F.desc("_score"), F.asc("_id"))
+    rank_w = Window.partitionBy("_qid").orderBy(F.desc("_score_e6"), F.asc("_id"))
     return (
         scored.withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
@@ -437,7 +447,7 @@ def bm25_topk(
             F.col("_qid").alias("qid"),
             "rank",
             F.col("_id").alias(id_col),
-            F.col("_score").alias("score"),
+            (F.col("_score_e6") / F.lit(1000000.0)).alias("score"),
             "n_terms",
         )
     )

@@ -613,8 +613,12 @@ def emb_pca_variance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm = max(abs(x) for x in w) or 1.0
         v = [x / norm for x in w]
     vv = sum(x * x for x in v)
+    # zero-variance corpus (all vectors identical — tiny-sweep ties
+    # class): the iterate collapses to 0; the gate holds trivially
     rayleigh = (
         sum(v[i] * cf[i][j] * v[j] for i in range(d) for j in range(d)) / vv
+        if vv > 0
+        else 0.0
     )
     gate = rayleigh >= best_var * (1 - 1e-9)
     return spark.createDataFrame(

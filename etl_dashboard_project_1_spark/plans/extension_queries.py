@@ -1677,9 +1677,10 @@ stats AS (
 q AS (SELECT id AS qid, tok FROM tf WHERE id < 4),
 scored AS (
   SELECT q.qid, t.id,
-         sum(((s.n - d.df + 0.5) / (d.df + 0.5))
+         sum(CAST(floor((((s.n - d.df + 0.5) / (d.df + 0.5))
              * ((t.tf * (1.2 + 1.0))
-                / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl)))) AS score,
+                / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))))
+             * 1000000.0) AS BIGINT)) AS score_e6,
          count(*) AS n_terms
   FROM tf t
   JOIN q ON t.tok = q.tok
@@ -1690,9 +1691,9 @@ scored AS (
 ),
 ranked AS (
   SELECT qid,
-         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS INT) AS rank,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, id ASC) AS INT) AS rank,
          id AS doc_id,
-         floor(score * 10000 + 0.5) / 10000 AS score,
+         floor((score_e6 / 1000000.0) * 10000 + 0.5) / 10000 AS score,
          n_terms
   FROM scored
 )
@@ -1777,9 +1778,10 @@ stats AS (
 bq AS (SELECT id AS qid, tok FROM tf WHERE id < 4),
 bscored AS (
   SELECT bq.qid, t.id,
-         sum(((s.n - d.df + 0.5) / (d.df + 0.5))
+         sum(CAST(floor((((s.n - d.df + 0.5) / (d.df + 0.5))
              * ((t.tf * (1.2 + 1.0))
-                / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl)))) AS score
+                / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))))
+             * 1000000.0) AS BIGINT)) AS score_e6
   FROM tf t
   JOIN bq ON t.tok = bq.tok
   JOIN dfreq d ON t.tok = d.tok
@@ -1789,7 +1791,7 @@ bscored AS (
 ),
 sparse AS (
   SELECT qid, id AS doc_id,
-         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS INT) AS rs
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score_e6 DESC, id ASC) AS INT) AS rs
   FROM bscored
   QUALIFY rs <= 5
 ),

@@ -106,15 +106,20 @@ def trend_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("yr") * F.col("yr")).cast("double").alias("sxx"),
         F.count(F.lit(1)).alias("n_years"),
     )
-    slope_raw = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_raw = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    # a single-year nation (possible only on tiny/degenerate inputs)
+    # leaves the regression undefined: den = 0 -> NULL, mirrored CASE
+    # (found by the all-ties sweep, tools/tiny_sweep.py)
     return sums.select(
         "nation",
-        (F.floor(slope_raw + F.lit(0.5)) / F.lit(100)).alias("slope"),
-        (
+        F.when(den > 0, F.floor(slope_raw + F.lit(0.5)) / F.lit(100)).alias(
+            "slope"
+        ),
+        F.when(
+            den > 0,
             F.floor((F.col("sy") - slope_raw * F.col("sx")) / F.col("n") + F.lit(0.5))
-            / F.lit(100)
+            / F.lit(100),
         ).alias("intercept"),
         "n_years",
     )
@@ -141,8 +146,12 @@ WITH yearly AS (
   GROUP BY nation
 )
 SELECT nation,
-       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) + 0.5) / 100 AS slope,
-       floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n + 0.5) / 100 AS intercept,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+            floor((n * sxy - sx * sy) / (n * sxx - sx * sx) + 0.5) / 100
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+            floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n + 0.5) / 100
+       END AS intercept,
        n_years
 FROM sums
 """

@@ -174,3 +174,24 @@ def test_bootstrap_tiny_input_null_rank_agrees_with_duckdb(spark, tmp_path):
         got["ci_hi_cents"],
         got["n_resamples"],
     ) == tuple(want)
+
+
+def test_bm25_ranks_duplicate_documents_by_id(spark):
+    """All-ties regression (tools/tiny_sweep.py --ties finding): with
+    duplicated document text, every BM25 score is an exact tie — the
+    per-term contributions MUST be quantized to integers before summing,
+    or the float sum ranks tied docs by partition-dependent rounding
+    error. Deterministic contract: tied candidates rank by doc_id asc."""
+    from etl_dashboard_project_1_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(12)],
+        "doc_id long, text string",
+    ).repartition(8)
+    out = {
+        (r["qid"], r["rank"]): r["doc_id"]
+        for r in textops.bm25_topk(docs, "doc_id", "text", query_ids=(0,), k=5)
+        .collect()
+    }
+    # candidates 1..11 all tie -> top-5 must be ids 1..5 in rank order
+    assert out == {(0, r): r for r in range(1, 6)}, out

@@ -44,28 +44,57 @@ KEYS = {
 }
 
 
-def build(n_rows: int, out_dir: str) -> None:
+#: per-table constant-folds for the --ties mode: every sortable PAYLOAD
+#: column becomes one value while keys stay unique, so EVERY window /
+#: argmax / top-k order is a total tie — any ranking that lacks an
+#: id tiebreak goes nondeterministic and diverges between engines
+#: (the r5 near-miss class, tested adversarially).
+TIES = {
+    "events": "event_id, TIMESTAMP '2024-01-15 12:00:00' AS ts, user_id,"
+              " event_type, 42.0::DOUBLE AS value, props",
+    "orders": "o_orderkey, o_custkey, o_orderstatus, 1000.0::DOUBLE AS o_totalprice,"
+              " DATE '1995-06-15' AS o_orderdate, o_orderpriority",
+    "lineitem": "l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+                " 10.0::DOUBLE AS l_quantity, 100.0::DOUBLE AS l_extendedprice,"
+                " 0.05::DOUBLE AS l_discount, 0.02::DOUBLE AS l_tax, l_returnflag,"
+                " l_linestatus, DATE '1995-06-15' AS l_shipdate",
+    "part": "p_partkey, p_name, p_brand, p_type, 10::BIGINT AS p_size,"
+            " 50.0::DOUBLE AS p_retailprice",
+    "customer": "c_custkey, c_name, c_nationkey, 100.0::DOUBLE AS c_acctbal,"
+                " c_mktsegment",
+    "supplier": "s_suppkey, s_name, s_nationkey, 100.0::DOUBLE AS s_acctbal",
+    "documents": "doc_id, 'the quick brown fox jumps over the lazy dog'"
+                 " AS text, lang, source, 43::BIGINT AS n_chars",
+    "embeddings": "vec_id, list_transform(embedding, x -> 0.125::FLOAT)"
+                  " AS embedding, label",
+}
+
+
+def build(n_rows: int, out_dir: str, ties: bool = False) -> None:
     import duckdb
 
     con = duckdb.connect()
     os.makedirs(out_dir, exist_ok=True)
     for t, key in KEYS.items():
+        proj = TIES.get(t, "*") if ties else "*"
         con.execute(
-            f"COPY (SELECT * FROM read_parquet('{SRC_SF}/{t}.parquet')"
+            f"COPY (SELECT {proj} FROM read_parquet('{SRC_SF}/{t}.parquet')"
             f" ORDER BY {key} LIMIT {n_rows})"
             f" TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
     with open(os.path.join(out_dir, "_BUILT"), "w") as f:
-        f.write(str(n_rows))
+        f.write(f"{n_rows}{' ties' if ties else ''}")
 
 
 def main() -> int:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    out_dir = f"/tmp/spark_graft_tiny{n_rows}"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_rows = int(args[0]) if args else 3
+    ties = "--ties" in sys.argv
+    out_dir = f"/tmp/spark_graft_tiny{n_rows}{'_ties' if ties else ''}"
     if "--rebuild" in sys.argv or not os.path.exists(
         os.path.join(out_dir, "_BUILT")
     ):
-        build(n_rows, out_dir)
+        build(n_rows, out_dir, ties=ties)
 
     from pyspark.sql import SparkSession
 
