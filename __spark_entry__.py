@@ -1087,6 +1087,17 @@ _ROUND7_QUEUE: list[str] = [
     "retrieval_rrf_fusion",
     "trend_revenue_by_nation",
     "emb_pca_variance_gate",
+    # re-certification: nulls/unicode sweep fixes (NULL-safe rel/labels,
+    # try_cast JSON extraction, empty-frame median, vacuous gate bands,
+    # NULL-digit/NULL-price exclusions) — d3_text_normalization and
+    # retrieval_ndcg_eval changed too but already sit in _ROUND6_FRONT
+    "json_props_extract",
+    "variant_props_extract",
+    "approx_quantiles_value_gate",
+    "rolling_median_values",
+    "emb_centroid_classifier_eval",
+    "retrieval_mrr_eval",
+    "benford_first_digit_audit",
 ]
 
 _FRONT = _ROUND6_FRONT + _ROUND7_QUEUE

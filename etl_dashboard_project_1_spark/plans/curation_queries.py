@@ -394,8 +394,17 @@ def approx_quantiles_value_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
 
-    def within(gk, band):  # estimate inside the exact p±2% quantile band
-        return (gk >= band[0]) & (gk <= band[2])
+    def within(gk, band):
+        # estimate inside the exact p±2% quantile band. Vacuously TRUE
+        # (mirroring the oracle's literal) when there is nothing the
+        # guarantee covers: zero non-NULL values (nulls-sweep class) or
+        # a group smaller than the sketch accuracy denominator, where
+        # the ±1-rank interpolation discreteness legitimately exceeds
+        # the ±2% band (unicode-sweep found n=8 groups tripping it)
+        return F.coalesce(
+            ((gk >= band[0]) & (gk <= band[2])) | (F.col("n") < acc),
+            F.lit(True),
+        )
 
     return agg.select(
         "event_type",
@@ -666,7 +675,11 @@ def emb_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy. Cites the reference's dashboard classification intent
     (categoría/propulsión mapping) generalized to embedding space."""
     d, scale = PCA_DIM, PCA_SCALE
-    emb = load_table(spark, sf_dir, "embeddings")
+    # unlabeled vectors can neither train nor score a supervised
+    # classifier — excluded in BOTH engines (nulls-sweep class)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
     qexpr = (
         f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {scale}"
         " + 0.5) AS BIGINT))"
@@ -737,6 +750,7 @@ WITH q AS (
   SELECT vec_id, label, i,
          CAST(floor(embedding[i + 1]::DOUBLE * {PCA_SCALE} + 0.5) AS BIGINT) AS qv
   FROM embeddings, range({PCA_DIM}) t(i)
+  WHERE label IS NOT NULL
 ),
 mo AS (
   SELECT label, i, CAST(sum(qv) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n

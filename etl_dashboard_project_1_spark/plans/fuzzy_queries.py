@@ -189,7 +189,8 @@ def d3_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D3_SQL = """
 SELECT doc_id,
-       trim(strip_accents(lower('  Ártículo ÑOÑO É ' || lang || '  '))) AS norm_text
+       trim(strip_accents(lower(
+         coalesce('  Ártículo ÑOÑO É ' || lang || '  ', '')))) AS norm_text
 FROM documents
 """
 

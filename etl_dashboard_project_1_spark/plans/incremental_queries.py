@@ -547,8 +547,14 @@ def rolling_median_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "cents",
-            F.element_at(
-                F.col("_f"), F.expr("CAST((size(_f) + 1) DIV 2 AS INT)")
+            # all-NULL frame (nulls-sweep class): collect_list drops
+            # NULLs, size 0 -> index 0 is illegal in Spark but NULL in
+            # DuckDB's 1-based list index — mirror NULL explicitly
+            F.when(
+                F.size("_f") > 0,
+                F.element_at(
+                    F.col("_f"), F.expr("CAST((size(_f) + 1) DIV 2 AS INT)")
+                ),
             ).alias("rolling_median_cents"),
         )
     )

@@ -386,6 +386,9 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp = F.element_at(F.array(*[F.lit(v) for v in BENFORD_BP]), F.col("digit"))
     counted = (
         orders.select(digit.alias("digit"))
+        # a NULL price has no first digit (nulls-sweep class): excluded
+        # in BOTH engines (the oracle's exp join would drop it silently)
+        .filter(F.col("digit").isNotNull())
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -412,7 +415,7 @@ counted AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
            AS digit,
          count(*) AS n
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 ),
 tot AS (SELECT sum(n) AS t FROM counted)
 SELECT c.digit,

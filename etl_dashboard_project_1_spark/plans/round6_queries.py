@@ -453,7 +453,12 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     judged = (
         lab.join(F.broadcast(top.select("qid", "rank", "vec_id")), "vec_id")
         .join(F.broadcast(qlab), "qid")
-        .withColumn("rel", (F.col("label") == F.col("qlabel")).cast("long"))
+        .withColumn(
+            # F.when mirrors the oracle CASE: NULL labels -> 0, never
+            # NULL (nulls-sweep class — bare == propagates NULL)
+            "rel",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).cast("long"),
+        )
     )
     per_q = judged.groupBy("qid", "qlabel").agg(
         F.sum("rel").cast("long").alias("n_relevant"),

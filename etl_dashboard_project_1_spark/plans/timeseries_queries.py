@@ -61,7 +61,10 @@ FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the props column, typed, aggregated."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast: a malformed or non-numeric k (guaranteed in real-world
+    # JSON) yields NULL instead of an ANSI NumberFormatException
+    # (unicode-sweep class); the oracle mirrors with TRY_CAST
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS long)")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -74,8 +77,8 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_SQL = """
 SELECT event_type,
-       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
-       count(json_extract_string(props, '$.k'))        AS n_with_k
+       sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
 FROM events
 GROUP BY event_type
 """
@@ -1335,7 +1338,9 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-path ``json_props_extract`` exactly; per-type stats include
     min/max so more than the sum is pinned."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    # try_variant_get: non-coercible k yields NULL, not a runtime error
+    # (unicode-sweep class); the oracle mirrors with TRY_CAST
+    k = F.expr("try_variant_get(parse_json(props), '$.k', 'long')")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -1350,10 +1355,10 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VARIANT_PROPS_SQL = """
 SELECT event_type,
-       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
-       min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
-       max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k,
-       count(json_extract_string(props, '$.k')) AS n_with_k
+       sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k,
+       count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
 FROM events
 GROUP BY event_type
 """

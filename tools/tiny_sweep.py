@@ -70,31 +70,81 @@ TIES = {
 }
 
 
-def build(n_rows: int, out_dir: str, ties: bool = False) -> None:
+#: per-table projections for the --nulls mode: every NULLABLE payload
+#:column goes NULL (keys, timestamps and join columns stay) — hunts
+#: NULL-ordering and NULL-propagation divergences (Spark ascending
+#: default is NULLS FIRST, DuckDB's is NULLS LAST; == vs CASE on NULL).
+NULLS = {
+    "events": "event_id, ts, user_id, event_type,"
+              " NULL::DOUBLE AS value, NULL::VARCHAR AS props",
+    "orders": "o_orderkey, o_custkey, o_orderstatus,"
+              " NULL::DOUBLE AS o_totalprice, o_orderdate, o_orderpriority",
+    "lineitem": "l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+                " NULL::DOUBLE AS l_quantity, NULL::DOUBLE AS l_extendedprice,"
+                " NULL::DOUBLE AS l_discount, NULL::DOUBLE AS l_tax,"
+                " l_returnflag, l_linestatus, l_shipdate",
+    "part": "p_partkey, p_name, p_brand, p_type,"
+            " NULL::INTEGER AS p_size, NULL::DOUBLE AS p_retailprice",
+    "customer": "c_custkey, c_name, c_nationkey,"
+                " NULL::DOUBLE AS c_acctbal, c_mktsegment",
+    "supplier": "s_suppkey, s_name, s_nationkey, NULL::DOUBLE AS s_acctbal",
+    "documents": "doc_id, text, NULL::VARCHAR AS lang, source, n_chars",
+    "embeddings": "vec_id, embedding, NULL::INTEGER AS label",
+}
+
+#: per-table projections for the --unicode mode: adversarial text —
+#: accents, CJK, greek, tabs, runs of spaces, regex metacharacters,
+#: an empty string every 7th doc — exercising the tokenizer/regex/fold
+#: mirrors (Spark split/lower/regexp_replace vs DuckDB regexp_* )
+UNICODE = {
+    "documents": "doc_id,"
+                 " CASE WHEN doc_id % 7 = 0 THEN ''"
+                 " WHEN doc_id % 7 = 1 THEN 'Ünïcode Tëxt ΣΩΔ façade naïve'"
+                 " WHEN doc_id % 7 = 2 THEN '中文文本 日本語 한국어'"
+                 " WHEN doc_id % 7 = 3 THEN 'tabs\tand\t\tmultiple   spaces'"
+                 " WHEN doc_id % 7 = 4 THEN 'regex .* meta [chars] (here) | $^'"
+                 " WHEN doc_id % 7 = 5 THEN 'MiXeD CaSe ÉÈÊ ÀÂÄ ÇÑ'"
+                 " ELSE 'plain english words here again' END AS text,"
+                 " lang, source, n_chars",
+    "events": "event_id, ts, user_id, event_type, value,"
+              " '{\"k\": \"väl üé\"}' AS props",
+}
+
+
+def build(
+    n_rows: int, out_dir: str, ties: bool = False, mode: str | None = None
+) -> None:
     import duckdb
 
     con = duckdb.connect()
     os.makedirs(out_dir, exist_ok=True)
+    proj_map = {"ties": TIES, "nulls": NULLS, "unicode": UNICODE}.get(
+        "ties" if ties else (mode or ""), {}
+    )
     for t, key in KEYS.items():
-        proj = TIES.get(t, "*") if ties else "*"
+        proj = proj_map.get(t, "*")
         con.execute(
             f"COPY (SELECT {proj} FROM read_parquet('{SRC_SF}/{t}.parquet')"
             f" ORDER BY {key} LIMIT {n_rows})"
             f" TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
     with open(os.path.join(out_dir, "_BUILT"), "w") as f:
-        f.write(f"{n_rows}{' ties' if ties else ''}")
+        f.write(f"{n_rows} {mode or ('ties' if ties else 'plain')}")
 
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_rows = int(args[0]) if args else 3
-    ties = "--ties" in sys.argv
-    out_dir = f"/tmp/spark_graft_tiny{n_rows}{'_ties' if ties else ''}"
+    mode = None
+    for m in ("ties", "nulls", "unicode"):
+        if f"--{m}" in sys.argv:
+            mode = m
+    suffix = f"_{mode}" if mode else ""
+    out_dir = f"/tmp/spark_graft_tiny{n_rows}{suffix}"
     if "--rebuild" in sys.argv or not os.path.exists(
         os.path.join(out_dir, "_BUILT")
     ):
-        build(n_rows, out_dir, ties=ties)
+        build(n_rows, out_dir, mode=mode)
 
     from pyspark.sql import SparkSession
 
