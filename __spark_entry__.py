@@ -979,6 +979,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round7_queries.cv_fold_scores,
         round7_queries.CV_FOLD_SQL,
     ),
+    "mann_whitney_value_test": (
+        round7_queries.mann_whitney_value_test,
+        round7_queries.MANN_WHITNEY_SQL,
+    ),
+    "sprt_conversion_monitor": (
+        round7_queries.sprt_conversion_monitor,
+        round7_queries.SPRT_SQL,
+    ),
 }
 
 
@@ -1098,6 +1106,9 @@ _ROUND7_QUEUE: list[str] = [
     "emb_centroid_classifier_eval",
     "retrieval_mrr_eval",
     "benford_first_digit_audit",
+    # second r7-queue wave: sequential/rank-based statistical testing
+    "mann_whitney_value_test",
+    "sprt_conversion_monitor",
 ]
 
 _FRONT = _ROUND6_FRONT + _ROUND7_QUEUE

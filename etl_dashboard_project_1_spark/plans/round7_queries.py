@@ -548,3 +548,193 @@ SELECT CAST(fold AS BIGINT) AS fold, n_docs, tp, fp, fn, tn,
          AS BIGINT) AS rec_bp
 FROM per
 """
+
+
+# --- Mann-Whitney U two-sample test -------------------------------------------
+
+def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the purchase-value
+    distributions of two md5-split user cohorts — the rank-based
+    two-sample test that complements ks_value_drift_gate (KS compares
+    CDF shape; U detects stochastic dominance and doubles as the
+    common-language effect size AUC = U/(n_a*n_b)).
+
+    Exactness: pooled MIDRANKS with tie correction are exact integers
+    when doubled — for a distinct value v with cnt tied rows after
+    cum_before rows, rank2(v) = 2*cum_before + cnt + 1 — so
+    R1_x2 = sum(na_v * rank2_v) and U1_x2 = R1_x2 - n_a*(n_a+1) are
+    exact int64s, and the effect size is one non-negative integer
+    division. Undefined with an empty cohort: -1 sentinel, mirrored.
+
+    Scale shape: one groupBy to the distinct-cents VALUE DOMAIN
+    (price-range-bounded, the ks_value_drift_gate justification); the
+    cumulative window runs over that domain, never the events."""
+    from ..operators import sampling
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    g = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        (sampling.hash_bucket(F.col("user_id"), "mw", 2) == 0).alias("_a"),
+    )
+    per_v = g.groupBy("v").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("_a"), 1).otherwise(0)).alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        "na",
+        "nb",
+        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(w), F.lit(0)).alias(
+            "_cb"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("na") * (2 * F.col("_cb") + F.col("na") + F.col("nb") + 1)
+        )
+        .cast("long")
+        .alias("_r1x2"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr("_r1x2 - n_a * (n_a + 1)").cast("long").alias("u1_x2"),
+        F.expr("2 * n_a * n_b - (_r1x2 - n_a * (n_a + 1))")
+        .cast("long")
+        .alias("u2_x2"),
+        F.expr(
+            "CASE WHEN n_a > 0 AND n_b > 0 THEN"
+            " ((_r1x2 - n_a * (n_a + 1)) * 10000) div (2 * n_a * n_b)"
+            " ELSE -1 END"
+        )
+        .cast("long")
+        .alias("auc_bp"),
+    )
+
+
+MANN_WHITNEY_SQL = """
+WITH g AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         ('0x' || substr(md5(user_id::VARCHAR || 'mw'), 1, 8))::BIGINT % 2 = 0 AS a
+  FROM events WHERE event_type = 'purchase'
+),
+per_v AS (
+  SELECT v,
+         sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN a THEN 0 ELSE 1 END) AS nb
+  FROM g GROUP BY 1
+),
+ranked AS (
+  SELECT v, na, nb,
+         coalesce(sum(na + nb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM per_v
+),
+agg AS (
+  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+         CAST(sum(nb) AS BIGINT) AS n_b,
+         CAST(sum(na * (2 * cb + na + nb + 1)) AS BIGINT) AS r1x2
+  FROM ranked
+)
+SELECT n_a, n_b,
+       CAST(r1x2 - n_a * (n_a + 1) AS BIGINT) AS u1_x2,
+       CAST(2 * n_a * n_b - (r1x2 - n_a * (n_a + 1)) AS BIGINT) AS u2_x2,
+       CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                 ((r1x2 - n_a * (n_a + 1)) * 10000) // (2 * n_a * n_b)
+                 ELSE -1 END AS BIGINT) AS auc_bp
+FROM agg
+"""
+
+
+# --- SPRT sequential conversion monitor ----------------------------------------
+
+#: SPRT config: H0 conversion p0 vs H1 p1, alpha = beta = 0.05.
+#: Per-trial log-likelihood-ratio increments in exact e6 integers,
+#: computed ONCE in Python and interpolated into BOTH engines — the
+#: no-runtime-transcendental house rule (ln differs between libms).
+import math as _math
+
+SPRT_P0 = Fraction(5, 100)
+SPRT_P1 = Fraction(8, 100)
+SPRT_L_SUCC = round(_math.log(float(SPRT_P1 / SPRT_P0)) * 1_000_000)
+SPRT_L_FAIL = round(
+    _math.log(float((1 - SPRT_P1) / (1 - SPRT_P0))) * 1_000_000
+)
+SPRT_A_E6 = round(_math.log(0.95 / 0.05) * 1_000_000)   # accept H1 above
+SPRT_B_E6 = round(_math.log(0.05 / 0.95) * 1_000_000)   # accept H0 below
+
+
+def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over the daily purchase-conversion rate: each day adds
+    successes*L1 + failures*L0 to a cumulative log-likelihood ratio and
+    the monitor reports, per day, the running LLR and the sequential
+    decision (accept_h1 / accept_h0 / continue at the Wald boundaries)
+    — the early-stopping A/B monitor ab_test_zscore can't provide (the
+    z-test needs a FIXED horizon; SPRT is valid at every look).
+
+    Exactness: trials are exact daily counts (conversion = purchase
+    events / all events); the LLR increments and both boundaries are
+    precomputed e6 integers, so the cumulative sum and every decision
+    are pure int64 arithmetic — bit-identical cross-engine.
+
+    Scale shape: one groupBy to the |days|-row daily frame; the
+    cumulative window runs over that calendar-bounded domain (the
+    order_backlog_daily justification)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trials"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_succ"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    llr = daily.withColumn(
+        "llr_e6",
+        F.sum(
+            F.col("n_succ") * F.lit(SPRT_L_SUCC)
+            + (F.col("n_trials") - F.col("n_succ")) * F.lit(SPRT_L_FAIL)
+        )
+        .over(w)
+        .cast("long"),
+    )
+    return llr.select(
+        "day",
+        "n_trials",
+        "n_succ",
+        "llr_e6",
+        F.expr(
+            f"CASE WHEN llr_e6 >= {SPRT_A_E6} THEN 'accept_h1'"
+            f" WHEN llr_e6 <= {SPRT_B_E6} THEN 'accept_h0'"
+            " ELSE 'continue' END"
+        ).alias("decision"),
+    )
+
+
+SPRT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(*)::BIGINT AS n_trials,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_succ
+  FROM events GROUP BY 1
+)
+SELECT day, n_trials, n_succ,
+       CAST(sum(n_succ * {SPRT_L_SUCC}
+                + (n_trials - n_succ) * {SPRT_L_FAIL})
+            OVER (ORDER BY day) AS BIGINT) AS llr_e6,
+       CASE WHEN sum(n_succ * {SPRT_L_SUCC}
+                     + (n_trials - n_succ) * {SPRT_L_FAIL})
+                 OVER (ORDER BY day) >= {SPRT_A_E6} THEN 'accept_h1'
+            WHEN sum(n_succ * {SPRT_L_SUCC}
+                     + (n_trials - n_succ) * {SPRT_L_FAIL})
+                 OVER (ORDER BY day) <= {SPRT_B_E6} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM daily
+"""

@@ -150,3 +150,57 @@ def test_cv_fold_scores_confusion_closes(spark, sf_dir):
         assert 0 <= r["acc_bp"] <= 10000
         for m in ("prec_bp", "rec_bp"):
             assert r[m] == -1 or 0 <= r[m] <= 10000
+
+
+# --- Mann-Whitney U ------------------------------------------------------------
+
+def test_mann_whitney_matches_pairwise_definition(spark, sf_dir):
+    """U1 from the midrank formula must equal the pairwise definition
+    2*U1 = 2*#{(a,b): v_a > v_b} + #{(a,b): v_a = v_b} computed by brute
+    force over the cohort values, and the two U's must close."""
+    from pyspark.sql import functions as F
+
+    from etl_dashboard_project_1_spark.operators import sampling
+    from etl_dashboard_project_1_spark.session import load_table
+
+    r = r7.mann_whitney_value_test(spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+            (sampling.hash_bucket(F.col("user_id"), "mw", 2) == 0).alias("a"),
+        )
+        .collect()
+    )
+    va = sorted(x["v"] for x in ev if x["a"])
+    vb = sorted(x["v"] for x in ev if not x["a"])
+    wins = sum(1 for x in va for y in vb if x > y)
+    ties = sum(1 for x in va for y in vb if x == y)
+    assert (r["n_a"], r["n_b"]) == (len(va), len(vb))
+    assert r["u1_x2"] == 2 * wins + ties
+    assert r["u1_x2"] + r["u2_x2"] == 2 * r["n_a"] * r["n_b"]
+    assert 0 <= r["auc_bp"] <= 10000
+
+
+# --- SPRT ----------------------------------------------------------------------
+
+def test_sprt_llr_recomputes_and_decisions_respect_boundaries(spark, sf_dir):
+    rows = sorted(
+        r7.sprt_conversion_monitor(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        cum += r["n_succ"] * r7.SPRT_L_SUCC + (
+            r["n_trials"] - r["n_succ"]
+        ) * r7.SPRT_L_FAIL
+        assert r["llr_e6"] == cum
+        want = (
+            "accept_h1"
+            if cum >= r7.SPRT_A_E6
+            else ("accept_h0" if cum <= r7.SPRT_B_E6 else "continue")
+        )
+        assert r["decision"] == want
+        assert 0 <= r["n_succ"] <= r["n_trials"]
