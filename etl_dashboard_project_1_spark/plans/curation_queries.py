@@ -392,6 +392,7 @@ def approx_quantiles_value_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, array(0.48, 0.50, 0.52))").alias("_lo_med"),
         F.expr("percentile(value, array(0.73, 0.75, 0.77))").alias("_lo_q3"),
         F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("_nv"),
     )
 
     def within(gk, band):
@@ -401,8 +402,11 @@ def approx_quantiles_value_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a group smaller than the sketch accuracy denominator, where
         # the ±1-rank interpolation discreteness legitimately exceeds
         # the ±2% band (unicode-sweep found n=8 groups tripping it)
+        # the support that matters is the NON-NULL value count (review
+        # finding: a NULL-heavy group can have n >= acc rows but tiny
+        # quantile support)
         return F.coalesce(
-            ((gk >= band[0]) & (gk <= band[2])) | (F.col("n") < acc),
+            ((gk >= band[0]) & (gk <= band[2])) | (F.col("_nv") < acc),
             F.lit(True),
         )
 

@@ -165,11 +165,19 @@ def ks_value_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     — domain-bounded like column_encoding_advisor, not data-bounded);
     the cohort split is a map-side hash.
 
-    Known empty-input divergence (same engine-level class as the 7
-    documented in the r4 empty-dataset sweep): on ZERO purchase events
-    Spark's ungrouped agg emits one all-NULL row where the oracle's
-    GROUP BY emits none — unreachable at every registered SF."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    Empty input (zero rankable purchase events) emits ZERO rows in both
+    engines: the trailing isNotNull filter drops Spark's all-NULL
+    ungrouped-agg row to match the oracle's empty GROUP BY."""
+    # NULL values have no CDF position and NULL user ids no cohort —
+    # both excluded in BOTH engines (review finding: a NULL value group
+    # sorts NULLS FIRST in Spark / NULLS LAST in DuckDB, shifting every
+    # cumulative count; a NULL cohort key hits the when/otherwise-vs-
+    # CASE-ELSE asymmetry)
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
     g = ev.select(
         _cents("value").alias("v"),
         (sampling.hash_bucket(F.col("user_id"), "ks", 2) == 0).alias("_a"),
@@ -201,7 +209,10 @@ def ks_value_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_max_abs"),
     )
     # KS is undefined when a cohort is empty (possible only on tiny
-    # inputs) — -1 sentinel, mirrored in the oracle (tiny-sweep class)
+    # inputs) — -1 sentinel, mirrored in the oracle (tiny-sweep class).
+    # The trailing filter drops Spark's all-NULL ungrouped-agg row on
+    # EMPTY input, matching the oracle's 0-row GROUP BY exactly (this
+    # retires the docstring's former known-divergence).
     return agg.select(
         "n_a",
         "n_b",
@@ -209,14 +220,16 @@ def ks_value_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN (_max_abs * 10000)"
             " div (CAST(n_a AS DECIMAL(38,0)) * n_b) ELSE -1 END AS BIGINT)"
         ).alias("ks_bp"),
-    )
+    ).where(F.col("n_a").isNotNull())
 
 
 KS_DRIFT_SQL = f"""
 WITH g AS (
   SELECT {_CENTS_SQL.format(x="value")} AS v,
          ('0x' || substr(md5(user_id::VARCHAR || 'ks'), 1, 8))::BIGINT % 2 = 0 AS a
-  FROM events WHERE event_type = 'purchase'
+  FROM events
+  WHERE event_type = 'purchase'
+    AND value IS NOT NULL AND user_id IS NOT NULL
 ),
 per_v AS (
   SELECT v,

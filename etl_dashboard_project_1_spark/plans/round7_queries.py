@@ -570,12 +570,20 @@ def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price-range-bounded, the ks_value_drift_gate justification); the
     cumulative window runs over that domain, never the events."""
     from ..operators import sampling
+    from .round6_queries import _cents
 
+    # NULL values cannot be ranked and NULL user ids cannot be assigned
+    # a cohort — both excluded in BOTH engines (review finding: a NULL
+    # value group would sort NULLS FIRST in Spark / NULLS LAST in
+    # DuckDB, shifting every midrank; a NULL cohort key hit the
+    # when/otherwise-vs-CASE-ELSE asymmetry)
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
     )
     g = ev.select(
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        _cents("value").alias("v"),
         (sampling.hash_bucket(F.col("user_id"), "mw", 2) == 0).alias("_a"),
     )
     per_v = g.groupBy("v").agg(
@@ -607,9 +615,13 @@ def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("2 * n_a * n_b - (_r1x2 - n_a * (n_a + 1))")
         .cast("long")
         .alias("u2_x2"),
+        # decimal(38) headroom: r1x2 grows ~2N², so the x10000 bp
+        # numerator leaves int64 near N ≈ 7e7 rows/cohort (the KS gate's
+        # documented pattern); the quotient is <= 10000 so long is safe
         F.expr(
             "CASE WHEN n_a > 0 AND n_b > 0 THEN"
-            " ((_r1x2 - n_a * (n_a + 1)) * 10000) div (2 * n_a * n_b)"
+            " (CAST(_r1x2 - n_a * (n_a + 1) AS DECIMAL(38,0)) * 10000)"
+            " div (CAST(2 AS DECIMAL(38,0)) * n_a * n_b)"
             " ELSE -1 END"
         )
         .cast("long")
@@ -621,7 +633,9 @@ MANN_WHITNEY_SQL = """
 WITH g AS (
   SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
          ('0x' || substr(md5(user_id::VARCHAR || 'mw'), 1, 8))::BIGINT % 2 = 0 AS a
-  FROM events WHERE event_type = 'purchase'
+  FROM events
+  WHERE event_type = 'purchase'
+    AND value IS NOT NULL AND user_id IS NOT NULL
 ),
 per_v AS (
   SELECT v,
@@ -638,7 +652,7 @@ ranked AS (
 agg AS (
   SELECT CAST(sum(na) AS BIGINT) AS n_a,
          CAST(sum(nb) AS BIGINT) AS n_b,
-         CAST(sum(na * (2 * cb + na + nb + 1)) AS BIGINT) AS r1x2
+         sum(na * (2 * cb + na + nb + 1)) AS r1x2
   FROM ranked
 )
 SELECT n_a, n_b,

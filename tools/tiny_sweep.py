@@ -111,16 +111,12 @@ UNICODE = {
 }
 
 
-def build(
-    n_rows: int, out_dir: str, ties: bool = False, mode: str | None = None
-) -> None:
+def build(n_rows: int, out_dir: str, mode: str | None = None) -> None:
     import duckdb
 
     con = duckdb.connect()
     os.makedirs(out_dir, exist_ok=True)
-    proj_map = {"ties": TIES, "nulls": NULLS, "unicode": UNICODE}.get(
-        "ties" if ties else (mode or ""), {}
-    )
+    proj_map = {"ties": TIES, "nulls": NULLS, "unicode": UNICODE}.get(mode or "", {})
     for t, key in KEYS.items():
         proj = proj_map.get(t, "*")
         con.execute(
@@ -129,7 +125,7 @@ def build(
             f" TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
     with open(os.path.join(out_dir, "_BUILT"), "w") as f:
-        f.write(f"{n_rows} {mode or ('ties' if ties else 'plain')}")
+        f.write(f"{n_rows} {mode or 'plain'}")
 
 
 def main() -> int:
@@ -177,19 +173,18 @@ def main() -> int:
         try:
             ok, msg = compare(spark, q[name], o[name], out_dir)
         except Exception as ex:  # noqa: BLE001
-            # classify: Spark crash vs DuckDB oracle crash
+            # classify by ALWAYS re-running the Spark side alone — a
+            # substring test on the repr can misfile a Spark crash whose
+            # message happens to contain oracle-looking words, silently
+            # breaking the exit-1 contract
             r = repr(ex)
-            if "duckdb" in r.lower() or "Binder" in r or "Conversion" in r:
+            try:
+                q[name](spark, out_dir).collect()
                 oracle_err.append((name, r[:160]))
                 print(f"{i + 1}/{len(q)} {name}: ORACLE-ERR {r[:120]}")
-            else:
-                try:
-                    q[name](spark, out_dir).collect()
-                    oracle_err.append((name, r[:160]))
-                    print(f"{i + 1}/{len(q)} {name}: ORACLE-ERR {r[:120]}")
-                except Exception as ex2:  # noqa: BLE001
-                    crash.append((name, repr(ex2)[:160]))
-                    print(f"{i + 1}/{len(q)} {name}: SPARK-CRASH {repr(ex2)[:120]}")
+            except Exception as ex2:  # noqa: BLE001
+                crash.append((name, repr(ex2)[:160]))
+                print(f"{i + 1}/{len(q)} {name}: SPARK-CRASH {repr(ex2)[:120]}")
             continue
         if ok:
             match += 1
