@@ -400,3 +400,27 @@ def test_every_registered_query_survives_tiny_tables(spark, tmp_path_factory):
         except Exception as e:  # noqa: BLE001 — collecting ALL failures
             failures[name] = str(e).split("\n")[0][:160]
     assert not failures, failures
+
+
+def test_every_registered_query_survives_all_ties_tables(spark, tmp_path_factory):
+    """All-ties robustness: every registry query must execute against
+    50-row mirrors whose payload columns are ALL one constant value
+    (every ranking a total tie, zero variance everywhere). Found live by
+    tools/tiny_sweep.py --ties: the PCA gate's power iterate collapsed
+    on a zero-variance corpus (ZeroDivisionError) and the revenue-trend
+    regression divided by a zero denominator on single-year nations.
+    Cross-engine value comparison at all-ties lives in the tool (run per
+    round; one documented divergence: set-ops empty-class)."""
+    import __spark_entry__ as entrymod
+
+    from tools.tiny_sweep import build
+
+    ties_dir = str(tmp_path_factory.mktemp("ties_sf"))
+    build(50, ties_dir, mode="ties")
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, ties_dir).collect()
+        except Exception as e:  # noqa: BLE001 — collecting ALL failures
+            failures[name] = str(e).split("\n")[0][:160]
+    assert not failures, failures
