@@ -140,6 +140,10 @@ QUERIES = [
     "churn_jaccard_daily",
     "dp_noisy_counts",
     "cv_fold_scores",
+    # r7 wave 2: both collapse to domain-bounded frames (distinct-cents
+    # value domain / calendar days) in one aggregate.
+    "mann_whitney_value_test",
+    "sprt_conversion_monitor",
 ]
 
 
