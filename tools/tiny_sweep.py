@@ -119,10 +119,16 @@ def build(n_rows: int, out_dir: str, mode: str | None = None) -> None:
     proj_map = {"ties": TIES, "nulls": NULLS, "unicode": UNICODE}.get(mode or "", {})
     for t, key in KEYS.items():
         proj = proj_map.get(t, "*")
+        base = (
+            f"SELECT {proj} FROM read_parquet('{SRC_SF}/{t}.parquet')"
+            f" ORDER BY {key} LIMIT {n_rows}"
+        )
+        if mode == "dupes":
+            # at-least-once delivery: every row exists TWICE with
+            # identical keys — breaks primary-key uniqueness everywhere
+            base = f"WITH b AS ({base}) SELECT * FROM b UNION ALL SELECT * FROM b"
         con.execute(
-            f"COPY (SELECT {proj} FROM read_parquet('{SRC_SF}/{t}.parquet')"
-            f" ORDER BY {key} LIMIT {n_rows})"
-            f" TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY ({base}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
     with open(os.path.join(out_dir, "_BUILT"), "w") as f:
         f.write(f"{n_rows} {mode or 'plain'}")
@@ -132,7 +138,7 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_rows = int(args[0]) if args else 3
     mode = None
-    for m in ("ties", "nulls", "unicode"):
+    for m in ("ties", "nulls", "unicode", "dupes"):
         if f"--{m}" in sys.argv:
             mode = m
     suffix = f"_{mode}" if mode else ""
