@@ -987,6 +987,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round7_queries.sprt_conversion_monitor,
         round7_queries.SPRT_SQL,
     ),
+    "rbo_leaderboard_drift": (
+        round7_queries.rbo_leaderboard_drift,
+        round7_queries.RBO_DRIFT_SQL,
+    ),
 }
 
 
@@ -1109,6 +1113,7 @@ _ROUND7_QUEUE: list[str] = [
     # second r7-queue wave: sequential/rank-based statistical testing
     "mann_whitney_value_test",
     "sprt_conversion_monitor",
+    "rbo_leaderboard_drift",
 ]
 
 _FRONT = _ROUND6_FRONT + _ROUND7_QUEUE

@@ -752,3 +752,126 @@ SELECT day, n_trials, n_succ,
             ELSE 'continue' END AS decision
 FROM daily
 """
+
+
+# --- rank-biased overlap drift of daily leaderboards ---------------------------
+
+RBO_K = 10            #: list depth
+_RBO_P = Fraction(9, 10)  #: persistence parameter
+
+#: exact truncated-RBO contribution of a common member whose worst rank
+#: across the two lists is m: C_m = sum_{d=m..K} (1-p) p^(d-1) / d,
+#: computed ONCE in exact rational arithmetic and floored to e6 —
+#: RBO@K = sum_m count_m * C_m is then pure integer in BOTH engines.
+_RBO_C = [
+    int(
+        sum(
+            (1 - _RBO_P) * _RBO_P ** (d - 1) / d
+            for d in range(m, RBO_K + 1)
+        )
+        * 1_000_000
+    )
+    for m in range(1, RBO_K + 1)
+]
+_RBO_C_CASE = (
+    "CASE m "
+    + " ".join(f"WHEN {m} THEN {c}" for m, c in enumerate(_RBO_C, start=1))
+    + " ELSE 0 END"
+)
+
+
+def rbo_leaderboard_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between ADJACENT DAYS' top-10
+    purchase-value user leaderboards — the ranked-list stability monitor
+    set-overlap churn can't provide (churn_jaccard_daily weighs rank 1
+    and rank 10 equally; RBO discounts geometrically, so a reshuffle at
+    the top moves the score and tail noise doesn't).
+
+    Exactness: daily ranks come from exact integer cents with a user_id
+    tiebreak; a common member with ranks (ra, rb) joins the overlap at
+    every depth d >= max(ra, rb), so truncated RBO@K collapses to
+    sum_m count_m * C_m with the C_m table precomputed in exact rational
+    arithmetic and interpolated into BOTH engines — the whole score is
+    integer e6, no runtime powers.
+
+    Scale shape: one (day, user) aggregate, one per-day top-10 window
+    (day-partitioned — no global sort), then a request-sized equi-join
+    of adjacent days' 10-row lists and a |days|-row aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "_cents"
+        )
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("_cents"), F.asc("user_id"))
+    top = (
+        daily.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= RBO_K)
+        .select("day", "user_id", "_r")
+    )
+    nxt = top.select(
+        F.date_sub("day", 1).alias("day"),
+        "user_id",
+        F.col("_r").alias("_rb"),
+    )
+    common = top.join(nxt, ["day", "user_id"]).select(
+        "day", F.greatest("_r", "_rb").alias("m")
+    )
+    days = top.groupBy("day").agg(F.count(F.lit(1)).alias("_ka"))
+    days_next = days.select(
+        F.date_sub("day", 1).alias("day"), F.col("_ka").alias("_kb")
+    )
+    pairs = days.join(days_next, "day")
+    scored = common.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum(F.expr(_RBO_C_CASE)).cast("long").alias("rbo_e6"),
+    )
+    return (
+        pairs.join(scored, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.coalesce("rbo_e6", F.lit(0)).cast("long").alias("rbo_e6"),
+        )
+    )
+
+
+RBO_DRIFT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events
+  WHERE event_type = 'purchase'
+    AND value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT day, user_id, r FROM (
+    SELECT day, user_id,
+           row_number() OVER (PARTITION BY day
+                              ORDER BY cents DESC, user_id ASC) AS r
+    FROM daily) WHERE r <= {RBO_K}
+),
+common AS (
+  SELECT a.day, greatest(a.r, b.r) AS m
+  FROM top a JOIN top b
+    ON b.user_id = a.user_id AND b.day = a.day + 1
+),
+days AS (SELECT day, count(*) AS ka FROM top GROUP BY 1),
+pairs AS (
+  SELECT a.day FROM days a JOIN days b ON b.day = a.day + 1
+),
+scored AS (
+  SELECT day, count(*)::BIGINT AS n_common,
+         CAST(sum({_RBO_C_CASE}) AS BIGINT) AS rbo_e6
+  FROM common GROUP BY 1
+)
+SELECT p.day,
+       coalesce(s.n_common, 0)::BIGINT AS n_common,
+       coalesce(s.rbo_e6, 0)::BIGINT AS rbo_e6
+FROM pairs p LEFT JOIN scored s ON s.day = p.day
+"""

@@ -204,3 +204,46 @@ def test_sprt_llr_recomputes_and_decisions_respect_boundaries(spark, sf_dir):
         )
         assert r["decision"] == want
         assert 0 <= r["n_succ"] <= r["n_trials"]
+
+
+# --- RBO leaderboard drift -------------------------------------------------------
+
+def test_rbo_extremes_on_constructed_days(spark, tmp_path):
+    """Identical adjacent-day leaderboards score exactly sum(C_m)
+    (truncated RBO of identical lists); fully-disjoint ones score 0."""
+    import datetime
+    import os as _os
+
+    rows = []
+    eid = 0
+    # day 1 and day 2: identical top-10 (users 1..10, value 110-10*u)
+    for d in (1, 2):
+        for u in range(1, 11):
+            eid += 1
+            rows.append(
+                (eid, datetime.datetime(2024, 1, d, 12, 0), u, "purchase",
+                 float(110 - 10 * u), "{}")
+            )
+    # day 3: disjoint users 101..110
+    for u in range(101, 111):
+        eid += 1
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 3, 12, 0), u, "purchase",
+             float(u), "{}")
+        )
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(sf, "events.parquet"))
+    got = {r["day"].isoformat(): (r["n_common"], r["rbo_e6"])
+           for r in r7.rbo_leaderboard_drift(spark, sf).collect()}
+    assert got["2024-01-01"] == (10, sum(r7._RBO_C))
+    assert got["2024-01-02"] == (0, 0)
+
+
+def test_rbo_bounds_on_testdata(spark, sf_dir):
+    full = sum(r7._RBO_C)
+    for r in r7.rbo_leaderboard_drift(spark, sf_dir).collect():
+        assert 0 <= r["n_common"] <= r7.RBO_K
+        assert 0 <= r["rbo_e6"] <= full
