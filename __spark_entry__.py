@@ -991,6 +991,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round7_queries.rbo_leaderboard_drift,
         round7_queries.RBO_DRIFT_SQL,
     ),
+    "cuped_adjusted_ab": (
+        round7_queries.cuped_adjusted_ab,
+        round7_queries.CUPED_SQL,
+    ),
 }
 
 
@@ -1114,6 +1118,7 @@ _ROUND7_QUEUE: list[str] = [
     "mann_whitney_value_test",
     "sprt_conversion_monitor",
     "rbo_leaderboard_drift",
+    "cuped_adjusted_ab",
 ]
 
 _FRONT = _ROUND6_FRONT + _ROUND7_QUEUE

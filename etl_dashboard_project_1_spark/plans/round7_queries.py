@@ -875,3 +875,137 @@ SELECT p.day,
        coalesce(s.rbo_e6, 0)::BIGINT AS rbo_e6
 FROM pairs p LEFT JOIN scored s ON s.day = p.day
 """
+
+
+# --- CUPED variance-reduced A/B readout ----------------------------------------
+
+#: pre/post period split (the drift-monitor cutoff: days 1-15 vs 16-30)
+CUPED_CUTOFF = "2024-01-16"
+
+
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13) over
+    per-user purchase value: the pre-period total is the covariate,
+    theta = cov(pre, post)/var(pre) is fit POOLED (assignment is
+    random, so pooling is unbiased and lower-variance), and each md5
+    cohort reports its raw and adjusted post-period means — the
+    experimentation primitive that makes ab_test_zscore sensitive
+    (variance shrinks by the pre/post correlation squared). Completes
+    the testing suite: z-test (fixed horizon), SPRT (sequential),
+    Mann-Whitney (rank), CUPED (variance reduction).
+
+    Exactness: per-user period totals are exact integer cents
+    (coalesced 0 — a user with no pre activity has covariate 0, the
+    standard treatment); all five pooled moments are exact int64 sums
+    cast to double ONCE; theta and the adjusted means are a fixed-shape
+    double expression written identically in both engines (the
+    trend_revenue_by_nation pattern), guarded for zero covariate
+    variance (degenerate inputs -> NULL, mirrored) and emitted through
+    the floor form at e2. Moment sums leave int64 only past ~1e17
+    cents² (≈ decimal(38) escape, documented).
+
+    Scale shape: ONE shuffle to the per-user frame; the pooled moments
+    are a 1-row broadcast; cohorts are a 2-row aggregate. Nothing else
+    moves."""
+    from ..operators import sampling
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.to_date("ts") < F.lit(CUPED_CUTOFF), cents).otherwise(0)
+        ).alias("_pre"),
+        F.sum(
+            F.when(F.to_date("ts") >= F.lit(CUPED_CUTOFF), cents).otherwise(0)
+        ).alias("_post"),
+    ).withColumn(
+        "_g", sampling.hash_bucket(F.col("user_id"), "cuped", 2).cast("long")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_pre").alias("_sx"),
+        F.sum("_post").alias("_sy"),
+        F.sum(F.col("_pre") * F.col("_post")).alias("_sxy"),
+        F.sum(F.col("_pre") * F.col("_pre")).alias("_sxx"),
+    )
+    g = per_user.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_post").alias("_gy"),
+        F.sum("_pre").alias("_gx"),
+    )
+    j = g.crossJoin(F.broadcast(mom))
+    den = (
+        F.col("_n").cast("double") * F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double")
+    )
+    theta = (
+        F.col("_n").cast("double") * F.col("_sxy").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sy").cast("double")
+    ) / den
+    adj = (
+        F.col("_gy").cast("double") / F.col("n_users")
+        - theta
+        * (
+            F.col("_gx").cast("double") / F.col("n_users")
+            - F.col("_sx").cast("double") / F.col("_n")
+        )
+    )
+    return j.select(
+        F.col("_g").alias("cohort"),
+        "n_users",
+        F.expr("_gy div n_users").cast("long").alias("mean_post_cents"),
+        F.when(den > 0, F.floor(theta * 1000000 + F.lit(0.5)))
+        .cast("long")
+        .alias("theta_e6"),
+        F.when(den > 0, F.floor(adj * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("adj_mean_e2"),
+    )
+
+
+CUPED_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN CAST(ts AS DATE) < DATE '{CUPED_CUTOFF}'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS pre,
+         sum(CASE WHEN CAST(ts AS DATE) >= DATE '{CUPED_CUTOFF}'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS post,
+         ('0x' || substr(md5(user_id::VARCHAR || 'cuped'), 1, 8))::BIGINT % 2 AS g
+  FROM events
+  WHERE event_type = 'purchase'
+    AND value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pre) AS BIGINT) AS sx,
+         CAST(sum(post) AS BIGINT) AS sy,
+         CAST(sum(pre * post) AS BIGINT) AS sxy,
+         CAST(sum(pre * pre) AS BIGINT) AS sxx
+  FROM per_user
+),
+grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(post) AS BIGINT) AS gy,
+         CAST(sum(pre) AS BIGINT) AS gx
+  FROM per_user GROUP BY 1
+)
+SELECT CAST(g AS BIGINT) AS cohort, n_users,
+       CAST(gy // n_users AS BIGINT) AS mean_post_cents,
+       CAST(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+            THEN floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                       * 1000000 + 0.5) END AS BIGINT) AS theta_e6,
+       CAST(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+            THEN floor((CAST(gy AS DOUBLE) / n_users
+                        - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                          * (CAST(gx AS DOUBLE) / n_users
+                             - CAST(sx AS DOUBLE) / n)) * 100 + 0.5)
+            END AS BIGINT) AS adj_mean_e2
+FROM grp CROSS JOIN mom
+"""

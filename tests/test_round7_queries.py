@@ -247,3 +247,64 @@ def test_rbo_bounds_on_testdata(spark, sf_dir):
     for r in r7.rbo_leaderboard_drift(spark, sf_dir).collect():
         assert 0 <= r["n_common"] <= r7.RBO_K
         assert 0 <= r["rbo_e6"] <= full
+
+
+# --- CUPED ---------------------------------------------------------------------
+
+def test_cuped_theta_and_adjustment_recompute(spark, sf_dir):
+    """theta and the adjusted means must equal a NumPy-free Python
+    recomputation from the per-user integer totals, and the
+    user-weighted adjusted means must average back to the grand mean
+    (CUPED preserves the overall mean by construction)."""
+    from pyspark.sql import functions as F
+
+    from etl_dashboard_project_1_spark.operators import sampling
+    from etl_dashboard_project_1_spark.session import load_table
+
+    rows = {r["cohort"]: r for r in r7.cuped_adjusted_ab(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+            sampling.hash_bucket(F.col("user_id"), "cuped", 2).alias("g"),
+        )
+        .collect()
+    )
+    import datetime
+
+    cut = datetime.date(2024, 1, 16)
+    users = {}
+    for x in ev:
+        pre, post, g = users.setdefault(x["user_id"], [0, 0, x["g"]])
+        users[x["user_id"]] = [
+            pre + (x["c"] if x["d"] < cut else 0),
+            post + (x["c"] if x["d"] >= cut else 0),
+            g,
+        ]
+    n = len(users)
+    sx = sum(u[0] for u in users.values())
+    sy = sum(u[1] for u in users.values())
+    sxy = sum(u[0] * u[1] for u in users.values())
+    sxx = sum(u[0] * u[0] for u in users.values())
+    den = float(n) * sxx - float(sx) * sx
+    theta = (float(n) * sxy - float(sx) * sy) / den
+    import math
+
+    total_w_adj = 0.0
+    for g in (0, 1):
+        gu = [u for u in users.values() if u[2] == g]
+        gy, gx, ng = sum(u[1] for u in gu), sum(u[0] for u in gu), len(gu)
+        adj = float(gy) / ng - theta * (float(gx) / ng - float(sx) / n)
+        assert rows[g]["n_users"] == ng
+        assert rows[g]["theta_e6"] == math.floor(theta * 1000000 + 0.5)
+        assert rows[g]["adj_mean_e2"] == math.floor(adj * 100 + 0.5)
+        total_w_adj += adj * ng
+    # CUPED preserves the grand mean: sum_g ng*adj_g == sum(post)
+    assert abs(total_w_adj - sy) < 1e-6 * max(1, sy)

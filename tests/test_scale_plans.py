@@ -197,6 +197,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "bootstrap_ci_mean",               # 1-row CI-bounds broadcast
         "conformal_quantile_gate",         # 1-row qhat/ncal/ntrain broadcasts
         "halflife_decay_user_value",       # 1-row max-date anchor broadcast
+        "cuped_adjusted_ab",               # 1-row pooled-moments broadcast
     }
     sf = "/root/testdata/sf0.001"
     registered = set(entrymod.queries())
