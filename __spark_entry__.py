@@ -998,115 +998,47 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 }
 
 
-# --- Round-6 rotation -------------------------------------------------------
+# --- Round-7 rotation -------------------------------------------------------
 # The external driver evaluates only the FIRST 50 registry entries per round
-# (confirmed r1-r5: each CORRECTNESS_r0N.json holds exactly the first 50
-# registry keys). After the r5 window ran, every entry registered at r5 seal
-# time (236) had at least one driver row. This window holds, in order:
-#   (a) the 9-entry _ROUND6_QUEUE carried from r5 (never displacing a planned
-#       check), headed by the 2 queries whose implementations changed after
-#       sealing (ks-fix commit): ols_daily_trend_by_type got degenerate-input
-#       NULL guards; retrieval_ndcg_eval itself is unchanged (only its
-#       cartesian-guard whitelist entry moved) but stays queued per plan;
-#   (b) ks_value_drift_gate — re-certification: its pass-r5 implementation
-#       changed this round (decimal(38) integer division for the oracle's
-#       HUGEINT // semantics);
-#   (c) the 8 queries registered this round (score_decile_lift,
-#       threshold_sweep_pr, ann_ivf_recall_gate, reciprocal_best_match,
-#       bootstrap_ci_mean, conformal_quantile_gate, halflife_decay_user_value,
-#       class_weight_table);
-#   (d) 32 oldest-stale backfill slots: entries whose ONLY driver row is from
-#       round 1 (4 rounds stale), in registry order, re-certifying against
-#       silent drift. 6 r1-stale entries remain for the r7 window
-#       (sample_stratified_topn, sample_mixture_weights, pack_chunks_manifest,
-#       mm_image_meta, mm_feature_topk, mm_frame_sample); sim_ann_ivf is
-#       deliberately NOT backfilled — it is the registry's one no-oracle row,
-#       and its new exact-gate sibling ann_ivf_recall_gate (slot c) is the
-#       driver-checkable certificate for the same IVF mechanism.
-_ROUND6_FRONT: list[str] = [
-    # (a) the r6 queue, changed-implementation entries first
-    "ols_daily_trend_by_type",
-    "retrieval_ndcg_eval",
-    "interval_overlap_join",
-    "quota_largest_remainder",
-    "rfm_segments",
-    "target_encode_loo",
-    "contingency_association",
-    "asof_nearest_event",
-    "twap_daily_value",
-    # (b) re-certification of a changed pass-r5 query
-    "ks_value_drift_gate",
-    # (c) round-6 registrations
-    "score_decile_lift",
-    "threshold_sweep_pr",
-    "ann_ivf_recall_gate",
-    "reciprocal_best_match",
-    "bootstrap_ci_mean",
-    "conformal_quantile_gate",
-    "halflife_decay_user_value",
-    "class_weight_table",
-    # (d) oldest-stale backfill (latest driver row = r1), registry order
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "a5_argmax_topk",
-    "a1_minmax_filename",
-    "p5_distinct_values",
-    "o3_union_sheets",
-    "n1_sentinel_to_null",
-    "n4_mean_imputation",
-    "d1_d2_datetime_and_cast",
-    "d5_case_categorization",
-    "d6_factor_arithmetic",
-    "d7_keyed_source_select",
-    "d8_bucketing",
-    "d9_horizontal_mean",
-    "d10_hash12",
-    "j1_fuzzy_similarity_join",
-    "j2_mapping_application",
-    "d3_text_normalization",
-    "dedup_exact",
-    "dedup_simhash",
-    "text_langid",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "vocab_top_tokens",
-    "curation_pipeline",
-    "sim_cosine_topk",
-    "dedup_cluster_assign",
-    "sample_hash_10pct",
-    "sample_train_test_split",
-]
-
-# Round-7 window queue: queries added AFTER the r6 window is sealed go here
-# (never displacing a planned check), plus any query whose implementation
-# changes after its last driver row (re-certification rule).
-_ROUND7_QUEUE: list[str] = [
+# (confirmed r1-r6: each CORRECTNESS_r0N.json holds exactly the first 50
+# registry keys). After the r6 window ran, 253 of 262 registered entries had
+# a driver row (252 green at latest check; sim_ann_ivf is the one by-design
+# no-oracle row, externally gated via ann_ivf_recall_gate, pass-r6). This
+# window holds, in order:
+#   (a) the 23-entry _ROUND7_QUEUE carried from r6: the 9 never-checked
+#       r7-wave statistical queries, then the 14 re-certifications whose
+#       implementations changed after the r6 seal (adversarial-sweep fixes:
+#       order-independent integer BM25 scoring, NULL-safe indicators,
+#       try_cast JSON extraction, degenerate-input sentinels);
+#   (b) 3 re-certifications from this round's verdict/advice fixes:
+#       contingency_association (per-cell integer sufficient statistics —
+#       the runtime ln() is retired), conformal_quantile_gate (NULL
+#       value/user exclusion — the r6 NULL-ordering class), and
+#       halflife_decay_user_value (non-negative contract enforced by
+#       filter). isotonic_calibration / curriculum_interleave
+#       (asc_nulls_last pins) and rbo_leaderboard_drift (broadcast-hinted
+#       tail joins) also changed this round but already sit in (a);
+#   (c) the 6 remaining r1-stale entries (their only driver row is 6
+#       rounds old): sample_stratified_topn, sample_mixture_weights,
+#       pack_chunks_manifest, mm_image_meta, mm_feature_topk,
+#       mm_frame_sample;
+#   (d) oldest-stale backfill to 50: entries whose latest driver row is
+#       round 2, in registry order. sim_ann_ivf stays excluded by design
+#       (see above).
+_ROUND7_FRONT: list[str] = [
+    # (a) the r7 queue: never-checked wave first, then post-r6-seal re-certs
     "isotonic_calibration",
     "curriculum_interleave",
     "churn_jaccard_daily",
     "dp_noisy_counts",
     "cv_fold_scores",
-    # re-certification: implementations changed after the r6 seal (tiny-
-    # input div-by-zero sentinels, code-review NULL/plan fixes) and these
-    # are not in the r6 window (ks_value_drift_gate / score_decile_lift /
-    # bootstrap_ci_mean / conformal_quantile_gate / reciprocal_best_match
-    # / ann_ivf_recall_gate changed too but sit in _ROUND6_FRONT already)
     "quality_logit_auc",
     "value_drift_tv",
     "revenue_gini",
-    # re-certification: all-ties sweep fixes (order-independent integer
-    # BM25 scoring; degenerate-input NULL guards)
     "bm25_retrieval_topk",
     "retrieval_rrf_fusion",
     "trend_revenue_by_nation",
     "emb_pca_variance_gate",
-    # re-certification: nulls/unicode sweep fixes (NULL-safe rel/labels,
-    # try_cast JSON extraction, empty-frame median, vacuous gate bands,
-    # NULL-digit/NULL-price exclusions) — d3_text_normalization and
-    # retrieval_ndcg_eval changed too but already sit in _ROUND6_FRONT
     "json_props_extract",
     "variant_props_extract",
     "approx_quantiles_value_gate",
@@ -1114,14 +1046,51 @@ _ROUND7_QUEUE: list[str] = [
     "emb_centroid_classifier_eval",
     "retrieval_mrr_eval",
     "benford_first_digit_audit",
-    # second r7-queue wave: sequential/rank-based statistical testing
     "mann_whitney_value_test",
     "sprt_conversion_monitor",
     "rbo_leaderboard_drift",
     "cuped_adjusted_ab",
+    # (b) r7 verdict/advice fix re-certs
+    "contingency_association",
+    "conformal_quantile_gate",
+    "halflife_decay_user_value",
+    # (c) last r1-stale entries
+    "sample_stratified_topn",
+    "sample_mixture_weights",
+    "pack_chunks_manifest",
+    "mm_image_meta",
+    "mm_feature_topk",
+    "mm_frame_sample",
+    # (d) oldest-stale backfill (latest driver row = r2), registry order
+    "agg_cube_year_status",
+    "agg_rollup_region_nation",
+    "agg_grouping_sets",
+    "pivot_status_by_year",
+    "agg_percentiles",
+    "agg_distinct_counts",
+    "window_lag_delta",
+    "window_running_sum",
+    "topk_parts_per_brand",
+    "q10_returned_items",
+    "q7_nation_volume",
+    "agg_ordered_collect",
+    "histogram_order_values",
+    "q17_small_quantity_revenue",
+    "q14_promo_revenue_share",
+    "q4_priority_with_late_lines",
+    "unpivot_lineitem_measures",
+    "ntile_balance_deciles",
 ]
 
-_FRONT = _ROUND6_FRONT + _ROUND7_QUEUE
+# Round-8 window queue: queries added AFTER the r7 window is sealed go here
+# (never displacing a planned check), plus any query whose implementation
+# changes after its last driver row (re-certification rule). New queries
+# registered DURING round 7 (before the seal) take window backfill slots
+# directly — the sweeps run before sealing this round, so sweep fixes land
+# inside the same round's driver check.
+_ROUND8_QUEUE: list[str] = []
+
+_FRONT = _ROUND7_FRONT + _ROUND8_QUEUE
 
 def _rotated() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     front = {n: _REGISTRY[n] for n in _FRONT}

@@ -25,6 +25,17 @@ real regression from noise):
     local form, hashed=False — see plans/extension_queries.py).
 "value" remains sum of per-query minimums over the same 15 queries, so
 totals stay comparable with BENCH_r01..r03.
+
+Load normalization (r7 — the r5/r6 artifacts showed the raw total
+tracking box load, with the defense living out-of-band in PLANS.md):
+the payload now also carries "value_calnorm" = value × (CAL_REF /
+cal_min), where CAL_REF is pinned to the r4 fully-idle calibration
+minimum (0.097 s, BENCH_r04) and cal_min is THIS run's calibration
+minimum. Since the probe is constant JVM-side work with zero repo code,
+cal_min/CAL_REF measures how much slower this box currently runs the
+same instructions; dividing it out yields the artifact's own estimate
+of the idle-box total. Raw "value" stays the primary comparable series;
+"value_calnorm" makes the artifact self-defending under load.
 """
 
 from __future__ import annotations
@@ -43,6 +54,12 @@ from etl_dashboard_project_1_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+
+#: pinned calibration reference: the r4 fully-idle run's calibration
+#: minimum (BENCH_r04.json "calibration_sec": [0.097, ...]) — the probe's
+#: cost on this box with nothing else running. cal_min/CAL_REF_SEC is the
+#: run's own load factor.
+CAL_REF_SEC = 0.097
 
 # headline set: scan-agg, join-heavy, window, fuzzy, dedup sketches, text,
 # vector search, streaming-shaped — one per operator family
@@ -149,6 +166,10 @@ def main() -> None:
         for n, v in samples.items()
     }
     total = round(sum(timings.values()), 3)
+    cal_min = min(calibration)
+    # load factor ≥1 on a loaded box; clamp at 1 so an unusually fast probe
+    # can never inflate the normalized number below the raw measurement.
+    load_factor = max(cal_min / CAL_REF_SEC, 1.0)
     print(
         json.dumps(
             {
@@ -160,6 +181,9 @@ def main() -> None:
                 "passes": N_PASSES,
                 "spread": spread,
                 "calibration_sec": calibration,
+                "calibration_ref_sec": CAL_REF_SEC,
+                "load_factor": round(load_factor, 3),
+                "value_calnorm": round(total / load_factor, 3),
                 "extra": {n: round(min(v), 3) for n, v in extra_samples.items()},
             }
         )

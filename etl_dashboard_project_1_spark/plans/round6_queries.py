@@ -107,28 +107,25 @@ FROM fact f JOIN stats s ON f.segment = s.segment
 
 def contingency_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association audit between event type and day-of-week over ONE
-    shared contingency table: per event type, its χ² contribution and
-    its mutual-information contribution (micro-nats), plus the marginal
-    count — the feature-selection / drift-detection primitive behind
-    "is this column independent of that one?" (ab_test_zscore tests one
-    2×2 split; this audits the full |types|×7 grid with both statistics).
+    shared contingency table: per (type, dow) cell, the observed count
+    and the three exact integer margins — the sufficient statistics for
+    BOTH χ² and mutual information — plus the cell's χ² contribution
+    (pure IEEE *,/ over those integers, exactly rounded and
+    engine-identical). The feature-selection / drift-detection primitive
+    behind "is this column independent of that one?" (ab_test_zscore
+    tests one 2×2 split; this audits the full |types|×7 grid).
 
-    Exactness: cell/margin counts are exact integers; each cell's term
-    is ONE fixed-shape double expression over those integers —
-    χ² term = (O·N − rt·ct)²/(rt·ct·N), MI term = O·ln(O·N/(rt·ct))/N —
-    floored to a scaled integer PER CELL and only then summed, so
-    float-accumulation order can never differ between engines. Day-of-
-    week is epoch-day mod 7 (pure integer; both engines' DOW builtins
-    disagree on week start, so neither is used).
+    MI is NOT evaluated at runtime: per house rule (no transcendental in
+    an oracle pair — the one JVM-Math.log-vs-libm-ln 1-ulp boundary risk
+    this module otherwise eliminated), the query emits the exact
+    integers (o, rt, ct, n) per cell and the consumer computes
+    MI = Σ o·ln(o·n/(rt·ct))/n in its own float environment as a closed
+    form over them — same division of labor as the nDCG eval's
+    precomputed log table. χ² keeps its floored-per-cell e6 integer form
+    (O·N − rt·ct)²/(rt·ct·N): no log, so no ULP risk class.
 
-    DOCUMENTED BOUNDARY RISK (accepted, same class as the r4 empty-input
-    divergences): the χ² term uses only IEEE *,/ — exactly rounded and
-    engine-identical — but the MI term evaluates a runtime natural log
-    (JVM Math.log vs DuckDB libm ln). A 1-ulp disagreement scaled by
-    1e9·o could flip a floored per-cell term at an exact integer
-    boundary. No restructuring avoids the transcendental without
-    changing the statistic; probability per run is ~|cells|·2⁻⁵² scaled
-    by the digits kept, and the sf0.01/sf0.1 sweeps have never tripped.
+    Day-of-week is epoch-day mod 7 (pure integer; both engines' DOW
+    builtins disagree on week start, so neither is used).
 
     Scale shape: one (type, dow) count aggregate; the contingency frame
     is |types|×7 rows — metadata-sized, so its margin windows (including
@@ -139,7 +136,7 @@ def contingency_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
     cells = ev.groupBy(
-        "event_type", (day % 7).alias("dow")
+        "event_type", (day % 7).cast("long").alias("dow")
     ).agg(F.count(F.lit(1)).alias("o"))
     # |types|×7 rows from here on — the unpartitioned window is config-sized.
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -150,54 +147,42 @@ def contingency_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("o").cast("double") * F.col("n") - F.col("rt").cast("double") * F.col("ct")
     den = (F.col("rt").cast("double") * F.col("ct")) * F.col("n")
-    ratio = (F.col("o").cast("double") * F.col("n")) / (F.col("rt").cast("double") * F.col("ct"))
     chi2_term = F.floor(F.lit(1000000.0) * num * num / den).cast("long")
-    mi_term = F.floor(
-        (F.lit(1000000000.0) * F.col("o") * F.log(ratio)) / F.col("n")
-    ).cast("long")
-    return (
-        m.select("event_type", F.col("o"), chi2_term.alias("c2"), mi_term.alias("mi"))
-        .groupBy("event_type")
-        .agg(
-            F.sum("o").cast("long").alias("n_events"),
-            F.count(F.lit(1)).cast("long").alias("n_cells"),
-            F.sum("c2").cast("long").alias("chi2_e6"),
-            F.sum("mi").cast("long").alias("mi_e9"),
-        )
+    return m.select(
+        "event_type",
+        "dow",
+        F.col("o").cast("long").alias("o"),
+        F.col("rt").cast("long").alias("rt"),
+        F.col("ct").cast("long").alias("ct"),
+        F.col("n").cast("long").alias("n"),
+        chi2_term.alias("chi2_e6"),
     )
 
 
 CONTINGENCY_SQL = """
 WITH cells AS (
   SELECT event_type,
-         (ts::DATE - DATE '1970-01-01') % 7 AS dow,
+         CAST((ts::DATE - DATE '1970-01-01') % 7 AS BIGINT) AS dow,
          count(*) AS o
   FROM events GROUP BY 1, 2
 ),
 m AS (
-  SELECT event_type, o,
+  SELECT event_type, dow, o,
          sum(o) OVER (PARTITION BY event_type) AS rt,
          sum(o) OVER (PARTITION BY dow) AS ct,
          sum(o) OVER () AS n
   FROM cells
-),
-terms AS (
-  SELECT event_type, o,
-         CAST(floor(1000000.0
-                    * (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
-                    * (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
-                    / ((CAST(rt AS DOUBLE) * ct) * n)) AS BIGINT) AS c2,
-         CAST(floor((1000000000.0 * o
-                     * ln((CAST(o AS DOUBLE) * n) / (CAST(rt AS DOUBLE) * ct)))
-                    / n) AS BIGINT) AS mi
-  FROM m
 )
-SELECT event_type,
-       CAST(sum(o) AS BIGINT) AS n_events,
-       count(*)::BIGINT AS n_cells,
-       CAST(sum(c2) AS BIGINT) AS chi2_e6,
-       CAST(sum(mi) AS BIGINT) AS mi_e9
-FROM terms GROUP BY 1
+SELECT event_type, dow,
+       CAST(o AS BIGINT) AS o,
+       CAST(rt AS BIGINT) AS rt,
+       CAST(ct AS BIGINT) AS ct,
+       CAST(n AS BIGINT) AS n,
+       CAST(floor(1000000.0
+                  * (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+                  * (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+                  / ((CAST(rt AS DOUBLE) * ct) * n)) AS BIGINT) AS chi2_e6
+FROM m
 """
 
 
@@ -1303,7 +1288,12 @@ def conformal_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOMAIN (cumulative counts per distinct residual value), and the
     target rank ⌈0.9(n+1)⌉ = ((n+1)·9 + 9) div 10 is pure integer
     arithmetic. Types absent from train are dropped by the inner join
-    on both engines (documented).
+    on both engines (documented). NULL values/users are excluded up
+    front in BOTH engines: a NULL value carries no calibration
+    information, and a NULL residual would otherwise enter the
+    cumulative rank window where Spark's NULLS FIRST vs DuckDB's
+    NULLS LAST default shifts the q̂ threshold (the r6 NULL-ordering
+    divergence class — same fix as ks_value_drift_gate).
 
     Scale shape: split is a map-side hash; the model is a |types|-row
     broadcast; q̂'s running sum operates on the distinct-residual-cents
@@ -1312,7 +1302,9 @@ def conformal_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup, sampling
 
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
     )
     base = ev.select(
         "event_type",
@@ -1383,7 +1375,9 @@ CONFORMAL_SQL = f"""
 WITH base AS (
   SELECT event_type, {_CENTS_SQL.format(x="value")} AS v,
          ('0x' || substr(md5(user_id::VARCHAR || 'conf'), 1, 8))::BIGINT % 4 AS b
-  FROM events WHERE event_type = 'purchase'
+  FROM events
+  WHERE event_type = 'purchase'
+    AND value IS NOT NULL AND user_id IS NOT NULL
 ),
 model AS (
   SELECT event_type, sum(v) // count(*) AS pred
@@ -1435,12 +1429,18 @@ def halflife_decay_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the decay is an integer right-shift — contribution =
     v div (1 << e), e = min(age div H, 40) — no pow(), no floats
     anywhere; per-event integer contributions sum exactly in any order.
+    Negative and NULL values are excluded in BOTH engines up front:
+    integer division is only cross-engine portable on non-negative
+    operands (Spark div truncates toward zero, DuckDB // floors — a
+    refund row would diverge by one unit and could flip top-N ranks),
+    so the non-negativity contract is ENFORCED by filter rather than
+    assumed from the generator.
 
     Scale shape: anchor is a 1-row broadcast; decay is map-side; one
     per-user aggregate; the top-N is a distributed sort-limit
     (TakeOrdered — partial top-N per partition, never a global sort)."""
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
+        (F.col("event_type") == "purchase") & (F.col("value") >= 0)
     )
     base = ev.select(
         "user_id", F.to_date("ts").alias("_d"), _cents("value").alias("_v")
@@ -1470,7 +1470,7 @@ def halflife_decay_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 HALFLIFE_DECAY_SQL = f"""
 WITH base AS (
   SELECT user_id, ts::DATE AS d, {_CENTS_SQL.format(x="value")} AS v
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND value >= 0
 ),
 anchor AS (SELECT max(d) AS a FROM base),
 dec AS (

@@ -75,13 +75,18 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p")
     )
     # <=601 rows from here on — the unpartitioned windows are grid-bounded.
-    w_cum = Window.orderBy("bin_e2").rowsBetween(Window.unboundedPreceding, 0)
+    # asc_nulls_last pins Spark to DuckDB's NULLS LAST default: bin_e2 is
+    # non-NULL today (text stays non-NULL per the sweep contract), but the
+    # parity guarantee must not depend on that undocumented assumption.
+    w_cum = Window.orderBy(F.asc_nulls_last("bin_e2")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     pre = per.select(
         "bin_e2",
         "_n",
         "_p",
-        F.row_number().over(Window.orderBy("bin_e2")).alias("_i"),
+        F.row_number().over(Window.orderBy(F.asc_nulls_last("bin_e2"))).alias("_i"),
         F.sum("_n").over(w_cum).alias("_sn"),
         F.sum("_p").over(w_cum).alias("_sp"),
     ).withColumn("_m", F.max("_i").over(w_all))
@@ -194,7 +199,9 @@ def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gid = layout.dense_ids_by(scored, ["source", "_diff_e4", "doc_id"], "_gid")
     # |sources|-row dimension frame: offsets, index, count — broadcasts.
-    w_src = Window.orderBy("source")
+    # asc_nulls_last: source is non-NULL by generator contract, but the
+    # cross-engine rank must not depend on Spark's NULLS FIRST default.
+    w_src = Window.orderBy(F.asc_nulls_last("source"))
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     dims = (
         gid.groupBy("source")
@@ -796,7 +803,10 @@ def rbo_leaderboard_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one (day, user) aggregate, one per-day top-10 window
     (day-partitioned — no global sort), then a request-sized equi-join
-    of adjacent days' 10-row lists and a |days|-row aggregate."""
+    of adjacent days' 10-row lists and a |days|-row aggregate. Every
+    post-window frame is |days|×10-bounded, so all three joins carry
+    F.broadcast hints — the whole tail is exchange-free (no sort-merge
+    join anywhere in the plan)."""
     ev = load_table(spark, sf_dir, "events").filter(
         (F.col("event_type") == "purchase")
         & F.col("value").isNotNull()
@@ -818,20 +828,20 @@ def rbo_leaderboard_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("_r").alias("_rb"),
     )
-    common = top.join(nxt, ["day", "user_id"]).select(
+    common = top.join(F.broadcast(nxt), ["day", "user_id"]).select(
         "day", F.greatest("_r", "_rb").alias("m")
     )
     days = top.groupBy("day").agg(F.count(F.lit(1)).alias("_ka"))
     days_next = days.select(
         F.date_sub("day", 1).alias("day"), F.col("_ka").alias("_kb")
     )
-    pairs = days.join(days_next, "day")
+    pairs = days.join(F.broadcast(days_next), "day")
     scored = common.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("n_common"),
         F.sum(F.expr(_RBO_C_CASE)).cast("long").alias("rbo_e6"),
     )
     return (
-        pairs.join(scored, "day", "left")
+        pairs.join(F.broadcast(scored), "day", "left")
         .select(
             "day",
             F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),

@@ -13,12 +13,12 @@ import __spark_entry__ as entrymod
 
 def test_window_is_exactly_the_planned_front():
     names = list(entrymod.queries())
-    assert names[:50] == entrymod._ROUND6_FRONT
-    assert len(entrymod._ROUND6_FRONT) == 50
+    assert names[:50] == entrymod._ROUND7_FRONT
+    assert len(entrymod._ROUND7_FRONT) == 50
 
 
 def test_front_and_queue_are_wellformed():
-    front, queue = entrymod._ROUND6_FRONT, entrymod._ROUND7_QUEUE
+    front, queue = entrymod._ROUND7_FRONT, entrymod._ROUND8_QUEUE
     reg = entrymod.queries()
     assert len(set(front)) == len(front), "duplicate in window"
     assert len(set(queue)) == len(queue), "duplicate in queue"
@@ -29,7 +29,7 @@ def test_front_and_queue_are_wellformed():
 
 def test_every_window_entry_has_an_oracle():
     o = entrymod.oracle_sql()
-    missing = [n for n in entrymod._ROUND6_FRONT if n not in o]
+    missing = [n for n in entrymod._ROUND7_FRONT if n not in o]
     assert not missing, f"window entries without oracle (weaker check): {missing}"
 
 
