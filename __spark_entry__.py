@@ -32,6 +32,7 @@ from etl_dashboard_project_1_spark.plans import (
     round5_queries,
     round6_queries,
     round7_queries,
+    round8_queries,
     streaming_queries,
     timeseries_queries,
     training_queries,
@@ -995,6 +996,47 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round7_queries.cuped_adjusted_ab,
         round7_queries.CUPED_SQL,
     ),
+    # --- round-7 wave-8 registrations (checked in the r7 window) ---
+    "did_cohort_effect": (
+        round8_queries.did_cohort_effect,
+        round8_queries.DID_SQL,
+    ),
+    "survival_hazard_daily": (
+        round8_queries.survival_hazard_daily,
+        round8_queries.SURVIVAL_SQL,
+    ),
+    "acf_daily_revenue": (
+        round8_queries.acf_daily_revenue,
+        round8_queries.ACF_SQL,
+    ),
+    "decision_stump_gini": (
+        round8_queries.decision_stump_gini,
+        round8_queries.STUMP_SQL,
+    ),
+    "l_diversity_audit": (
+        round8_queries.l_diversity_audit,
+        round8_queries.L_DIVERSITY_SQL,
+    ),
+    "dedup_levenshtein_blocked": (
+        round8_queries.dedup_levenshtein_blocked,
+        round8_queries.LEVENSHTEIN_SQL,
+    ),
+    "dedup_sorted_neighborhood": (
+        round8_queries.dedup_sorted_neighborhood,
+        round8_queries.SNM_SQL,
+    ),
+    "padding_waste_audit": (
+        round8_queries.padding_waste_audit,
+        round8_queries.PADDING_SQL,
+    ),
+    "tokenizer_fertility_by_lang": (
+        round8_queries.tokenizer_fertility_by_lang,
+        round8_queries.FERTILITY_SQL,
+    ),
+    "text_repetition_audit": (
+        round8_queries.text_repetition_audit,
+        round8_queries.REPETITION_SQL,
+    ),
 }
 
 
@@ -1022,7 +1064,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #       rounds old): sample_stratified_topn, sample_mixture_weights,
 #       pack_chunks_manifest, mm_image_meta, mm_feature_topk,
 #       mm_frame_sample;
-#   (d) oldest-stale backfill to 50: entries whose latest driver row is
+#   (d) the 10 wave-8 queries registered DURING round 7 before the seal
+#       (DiD, Nelson-Aalen hazard, ACF+Ljung-Box, Gini stump,
+#       l-diversity, Levenshtein/sorted-neighborhood dedup, padding
+#       waste, tokenizer fertility, repetition audit) — new
+#       registrations take window slots directly this round because the
+#       sweeps run before sealing;
+#   (e) oldest-stale backfill to 50: entries whose latest driver row is
 #       round 2, in registry order. sim_ann_ivf stays excluded by design
 #       (see above).
 _ROUND7_FRONT: list[str] = [
@@ -1061,7 +1109,18 @@ _ROUND7_FRONT: list[str] = [
     "mm_image_meta",
     "mm_feature_topk",
     "mm_frame_sample",
-    # (d) oldest-stale backfill (latest driver row = r2), registry order
+    # (d) round-7 wave-8 registrations
+    "did_cohort_effect",
+    "survival_hazard_daily",
+    "acf_daily_revenue",
+    "decision_stump_gini",
+    "l_diversity_audit",
+    "dedup_levenshtein_blocked",
+    "dedup_sorted_neighborhood",
+    "padding_waste_audit",
+    "tokenizer_fertility_by_lang",
+    "text_repetition_audit",
+    # (e) oldest-stale backfill (latest driver row = r2), registry order
     "agg_cube_year_status",
     "agg_rollup_region_nation",
     "agg_grouping_sets",
@@ -1070,16 +1129,6 @@ _ROUND7_FRONT: list[str] = [
     "agg_distinct_counts",
     "window_lag_delta",
     "window_running_sum",
-    "topk_parts_per_brand",
-    "q10_returned_items",
-    "q7_nation_volume",
-    "agg_ordered_collect",
-    "histogram_order_values",
-    "q17_small_quantity_revenue",
-    "q14_promo_revenue_share",
-    "q4_priority_with_late_lines",
-    "unpivot_lineitem_measures",
-    "ntile_balance_deciles",
 ]
 
 # Round-8 window queue: queries added AFTER the r7 window is sealed go here

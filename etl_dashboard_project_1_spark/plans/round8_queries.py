@@ -1,0 +1,977 @@
+"""Round-7 wave-8 additions (registered during round 7, checked in the
+r7 window's backfill slots): the analysis families the engine still
+lacked —
+
+* causal inference: a difference-in-differences cohort readout
+  (completing the experimentation suite: z-test → SPRT → Mann-Whitney
+  → CUPED → DiD);
+* survival analysis: the Nelson-Aalen cumulative-hazard estimator over
+  user lifetimes (exact — a SUM of floored rational hazard steps,
+  unlike Kaplan-Meier's product form which would need a runtime log);
+* time-series diagnostics: autocorrelation of daily revenue at lags
+  1..7 plus the cumulative Ljung-Box portmanteau statistic;
+* an exact Gini-impurity decision stump (best single-threshold split),
+  the classical feature-screening primitive;
+* privacy: an l-diversity audit (the sensitive-attribute companion of
+  k_anonymity_audit);
+* two classical entity-resolution blocking strategies the dedup suite
+  didn't cover: edit-distance (Levenshtein) matching under
+  deterministic blocking, and the sorted-neighborhood method;
+* LLM-batching economics: power-of-two padding-waste audit;
+* tokenizer fertility (chars per token, per language);
+* Gopher-style intra-document repetition ratios (duplicate 1/2/3-gram
+  fractions) — the within-doc counterpart of the cross-doc novelty and
+  dedup operators.
+
+House rules (see oracle_harness / driver canon): scalar outputs only,
+counts cast to long, ratios as floor-form integer scalings, integer
+division only on non-negative operands, decimal(38,0) where integer
+products can leave int64, no runtime transcendentals, NULL inputs
+excluded by mirrored filters (a NULL value/text carries no signal), and
+shared constants interpolated into BOTH engines from one Python value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import layout, textops
+from ..operators.sampling import hash_bucket
+from ..session import fan_out, load_table
+from .round6_queries import _CENTS_SQL, _cents, _logit_col, _logit_ctes
+
+
+# --- difference-in-differences cohort effect ---------------------------------
+
+#: pre/post cutoff — the same mid-corpus calendar split CUPED uses
+DID_CUTOFF = "2024-01-16"
+
+
+def did_cohort_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout over per-event purchase value:
+    users split into two md5 cohorts (0 = control, 1 = treatment), the
+    corpus calendar split into pre/post periods, and the DiD estimate
+    is (treat_post − treat_pre) − (ctrl_post − ctrl_pre) of the cell
+    means — the quasi-experimental estimator that nets out both the
+    cohort baseline and the common time trend, which a raw post-period
+    z-test (ab_test_zscore) cannot. Completes the experimentation
+    suite: fixed-horizon z, sequential SPRT, rank-based Mann-Whitney,
+    variance-reduced CUPED, and now DiD.
+
+    Exactness: the four cells' (n, sum-cents) moments are exact int64;
+    the DiD estimate is ONE fixed-shape double expression over those
+    integers floored to micro-cents (the trend_revenue_by_nation /
+    CUPED pattern — exactly-rounded IEEE ops on integer-valued doubles,
+    engine-identical). Degenerate cells (any n = 0) emit a NULL
+    estimate via CASE in both engines.
+
+    Scale shape: one map-side hash/period classification and ONE
+    ungrouped aggregate with conditional sums — no join, no window, no
+    shuffle beyond the single partial/final agg."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    base = ev.select(
+        hash_bucket(F.col("user_id"), "did", 2).alias("_g"),
+        (F.to_date("ts") >= F.lit(DID_CUTOFF).cast("date")).alias("_post"),
+        _cents("value").alias("_v"),
+    )
+
+    def cell(g: int, post: bool, what: str) -> F.Column:
+        cond = (F.col("_g") == g) & (F.col("_post") == post)
+        if what == "n":
+            return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        return F.sum(F.when(cond, F.col("_v")).otherwise(0)).cast("long")
+
+    agg = base.agg(
+        cell(0, False, "n").alias("n_ctrl_pre"),
+        cell(0, False, "s").alias("sum_ctrl_pre"),
+        cell(0, True, "n").alias("n_ctrl_post"),
+        cell(0, True, "s").alias("sum_ctrl_post"),
+        cell(1, False, "n").alias("n_treat_pre"),
+        cell(1, False, "s").alias("sum_treat_pre"),
+        cell(1, True, "n").alias("n_treat_post"),
+        cell(1, True, "s").alias("sum_treat_post"),
+    )
+    did = (
+        "CASE WHEN n_ctrl_pre > 0 AND n_ctrl_post > 0"
+        " AND n_treat_pre > 0 AND n_treat_post > 0 THEN"
+        " CAST(floor(1000000.0 * ("
+        "   (CAST(sum_treat_post AS DOUBLE) / n_treat_post"
+        "    - CAST(sum_treat_pre AS DOUBLE) / n_treat_pre)"
+        "   - (CAST(sum_ctrl_post AS DOUBLE) / n_ctrl_post"
+        "      - CAST(sum_ctrl_pre AS DOUBLE) / n_ctrl_pre))) AS BIGINT)"
+        " ELSE NULL END"
+    )
+    return agg.select(
+        "n_ctrl_pre", "sum_ctrl_pre", "n_ctrl_post", "sum_ctrl_post",
+        "n_treat_pre", "sum_treat_pre", "n_treat_post", "sum_treat_post",
+        F.expr(did).alias("did_e6"),
+    )
+
+
+DID_SQL = f"""
+WITH base AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR || 'did'), 1, 8))::BIGINT % 2 AS g,
+         ts::DATE >= DATE '{DID_CUTOFF}' AS post,
+         {_CENTS_SQL.format(x="value")} AS v
+  FROM events
+  WHERE event_type = 'purchase'
+    AND value IS NOT NULL AND user_id IS NOT NULL
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN g = 0 AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_pre,
+    CAST(sum(CASE WHEN g = 0 AND NOT post THEN v ELSE 0 END) AS BIGINT) AS sum_ctrl_pre,
+    CAST(sum(CASE WHEN g = 0 AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_post,
+    CAST(sum(CASE WHEN g = 0 AND post THEN v ELSE 0 END) AS BIGINT) AS sum_ctrl_post,
+    CAST(sum(CASE WHEN g = 1 AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_pre,
+    CAST(sum(CASE WHEN g = 1 AND NOT post THEN v ELSE 0 END) AS BIGINT) AS sum_treat_pre,
+    CAST(sum(CASE WHEN g = 1 AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_post,
+    CAST(sum(CASE WHEN g = 1 AND post THEN v ELSE 0 END) AS BIGINT) AS sum_treat_post
+  FROM base
+)
+SELECT *,
+       CASE WHEN n_ctrl_pre > 0 AND n_ctrl_post > 0
+                 AND n_treat_pre > 0 AND n_treat_post > 0 THEN
+         CAST(floor(1000000.0 * (
+           (CAST(sum_treat_post AS DOUBLE) / n_treat_post
+            - CAST(sum_treat_pre AS DOUBLE) / n_treat_pre)
+           - (CAST(sum_ctrl_post AS DOUBLE) / n_ctrl_post
+              - CAST(sum_ctrl_pre AS DOUBLE) / n_ctrl_pre))) AS BIGINT)
+       ELSE NULL END AS did_e6
+FROM agg
+"""
+
+
+# --- Nelson-Aalen cumulative hazard ------------------------------------------
+
+#: users whose last activity falls within this many days of the corpus
+#: end are right-censored (still alive at observation end)
+SURVIVAL_CENSOR_DAYS = 7
+
+
+def survival_hazard_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over user lifetimes:
+    a user's duration is last-active-day − first-active-day; users
+    still active within SURVIVAL_CENSOR_DAYS of the corpus end are
+    right-censored. Per observed duration d the risk set n(d) = users
+    with duration ≥ d, events e(d) = UNcensored users with duration d,
+    hazard step e(d)/n(d), and H(d) = Σ_{d'≤d} e(d')/n(d') — the
+    churn/survival primitive (time-to-churn curve) the cohort retention
+    table can't provide. Nelson-Aalen is chosen over Kaplan-Meier
+    deliberately: NA is a SUM of rationals (each step floored to exact
+    ppm, order-independent), while KM's product form would force a
+    runtime log/exp — the transcendental class this repo bans from
+    oracle pairs.
+
+    Exactness: durations are integer day differences; each hazard step
+    is (e·10^6) div n on non-negative ints; the cumulative hazard is an
+    integer cumsum of those steps — bit-identical cross-engine.
+
+    Scale shape: one per-user aggregate (the only full-data shuffle);
+    the corpus-end anchor attaches as a 1-row broadcast; everything
+    after runs on the observed-duration frame, which is bounded by the
+    corpus calendar span (≤ |days| rows), so its unpartitioned
+    risk-set/cumsum windows are domain-bounded by construction (the
+    sprt/ols calendar-frame justification)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("_first"),
+        F.max(F.to_date("ts")).alias("_last"),
+    )
+    anchor = users.agg(F.max("_last").alias("_end"))
+    lifetimes = users.crossJoin(F.broadcast(anchor)).select(
+        F.datediff("_last", "_first").alias("duration"),
+        F.when(
+            F.datediff("_end", "_last") >= SURVIVAL_CENSOR_DAYS, 1
+        ).otherwise(0).alias("_event"),
+    )
+    per_d = lifetimes.groupBy("duration").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_event").alias("_e")
+    )
+    # ≤ |calendar days| rows from here on — windows are domain-bounded.
+    w_desc = Window.orderBy(F.desc("duration")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_asc = Window.orderBy(F.asc_nulls_last("duration")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per_d.withColumn("_nrisk", F.sum("_n").over(w_desc)).withColumn(
+        "_step", F.expr("(_e * 1000000) div _nrisk")
+    )
+    return risk.select(
+        F.col("duration").cast("long").alias("duration"),
+        F.col("_n").cast("long").alias("n_users"),
+        F.col("_e").cast("long").alias("n_events"),
+        F.col("_nrisk").cast("long").alias("n_risk"),
+        F.col("_step").cast("long").alias("hazard_step_ppm"),
+        F.sum("_step").over(w_asc).cast("long").alias("cum_hazard_ppm"),
+    )
+
+
+SURVIVAL_SQL = f"""
+WITH users AS (
+  SELECT user_id, min(ts::DATE) AS f, max(ts::DATE) AS l
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+anchor AS (SELECT max(l) AS e FROM users),
+lifetimes AS (
+  SELECT (l - f) AS duration,
+         CASE WHEN (e - l) >= {SURVIVAL_CENSOR_DAYS} THEN 1 ELSE 0 END AS ev
+  FROM users, anchor
+),
+per_d AS (
+  SELECT duration, count(*) AS n, sum(ev) AS e FROM lifetimes GROUP BY 1
+),
+risk AS (
+  SELECT duration, n, e,
+         sum(n) OVER (ORDER BY duration DESC) AS nrisk
+  FROM per_d
+),
+steps AS (
+  SELECT duration, n, e, nrisk, (e * 1000000) // nrisk AS step FROM risk
+)
+SELECT CAST(duration AS BIGINT) AS duration,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(e AS BIGINT) AS n_events,
+       CAST(nrisk AS BIGINT) AS n_risk,
+       CAST(step AS BIGINT) AS hazard_step_ppm,
+       CAST(sum(step) OVER (ORDER BY duration) AS BIGINT) AS cum_hazard_ppm
+FROM steps
+"""
+
+
+# --- autocorrelation of daily revenue + Ljung-Box ----------------------------
+
+ACF_MAX_LAG = 7
+
+
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily order-revenue series at lags 1..7,
+    plus the cumulative Ljung-Box portmanteau statistic — the
+    white-noise / weekly-seasonality diagnostic behind "does this KPI
+    have memory?" (seasonal_trend_decompose fits the pattern; this
+    tests whether dependence exists at all, and Q rejects the
+    white-noise null).
+
+    Exactness: with S = Σx and n the day count, the centered deviation
+    is the INTEGER n·x_t − S, so lag products and the variance sum are
+    exact integers accumulated in decimal(38,0) (n·x_t ≈ 5×10^14 at
+    the stress decade; squared ≈ 2.5×10^29 — the ks_value_drift_gate
+    headroom argument). The lag-0 row IS the variance denominator, so
+    r_k = N_k/N_0 needs no separate totals attach. r_k and the LB term
+    n(n+2)·r_k²/(n−k) are fixed-shape doubles over those exact
+    decimals, floored/rounded at e6; the cumulative Q sums the ALREADY
+    floored integer terms, so accumulation order can't diverge.
+    Degenerate cases (zero variance — the all-ties sweep — or no pairs
+    at a lag) emit NULL acf and a 0 LB term via CASE in both engines.
+
+    Scale shape: the corpus collapses to the |days|-bounded daily frame
+    in one aggregate; the lag expansion is |days|×(ACF_MAX_LAG+1) rows
+    and every window after runs on lag- or day-bounded frames (the
+    sprt/ols calendar-frame justification)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
+        F.sum(_cents("o_totalprice")).alias("_x")
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    series = daily.select(
+        F.row_number().over(Window.orderBy(F.asc_nulls_last("_day"))).alias("_t"),
+        "_x",
+    ).withColumn("_n", F.count(F.lit(1)).over(w_all)).withColumn(
+        "_s", F.sum("_x").over(w_all)
+    ).withColumn(
+        "_d", (F.col("_n") * F.col("_x") - F.col("_s")).cast("long")
+    )
+    lags = spark.range(0, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    shifted = series.select(
+        F.col("_t").alias("_tb"), F.col("_d").alias("_db")
+    )
+    prods = (
+        series.join(F.broadcast(lags))
+        .join(
+            shifted,
+            F.col("_tb") == F.col("_t") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("_npairs"),
+            F.sum(
+                F.col("_d").cast("decimal(38,0)") * F.col("_db")
+            ).alias("_nk"),
+            F.max("_n").alias("_n"),
+        )
+    )
+    # ACF_MAX_LAG+1 rows from here on.
+    w_lag = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cum = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        prods.withColumn(
+            "_d0", F.max(F.when(F.col("lag") == 0, F.col("_nk"))).over(w_lag)
+        )
+        .filter(F.col("lag") >= 1)
+        .withColumn(
+            "_r",
+            F.when(
+                (F.col("_npairs") > 0) & (F.col("_d0") > 0),
+                F.col("_nk").cast("double") / F.col("_d0").cast("double"),
+            ),
+        )
+        .withColumn(
+            "_lb_e6",
+            F.when(
+                F.col("_r").isNotNull() & (F.col("_n") > F.col("lag")),
+                F.floor(
+                    F.lit(1000000.0)
+                    * F.col("_n")
+                    * (F.col("_n") + 2)
+                    * F.col("_r")
+                    * F.col("_r")
+                    / (F.col("_n") - F.col("lag"))
+                    + F.lit(0.5)
+                ),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    return out.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("_n").cast("long").alias("n_days"),
+        F.col("_npairs").cast("long").alias("n_pairs"),
+        F.expr("CAST(floor(_r * 1000000 + 0.5) AS BIGINT)").alias("acf_e6"),
+        "_lb_e6",
+        F.sum("_lb_e6").over(w_cum).cast("long").alias("lb_q_e6"),
+    ).withColumnRenamed("_lb_e6", "lb_term_e6")
+
+
+ACF_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate::DATE AS day, sum({_CENTS_SQL.format(x="o_totalprice")}) AS x
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+series AS (
+  SELECT row_number() OVER (ORDER BY day) AS t, x,
+         count(*) OVER () AS n, sum(x) OVER () AS s
+  FROM daily
+),
+dev AS (SELECT t, n, CAST(n * x - s AS BIGINT) AS d FROM series),
+prods AS (
+  SELECT l.lag, count(*) AS npairs,
+         sum(CAST(a.d AS DECIMAL(38,0)) * b.d) AS nk,
+         max(a.n) AS n
+  FROM range(0, {ACF_MAX_LAG + 1}) l(lag)
+  JOIN dev a ON true
+  JOIN dev b ON b.t = a.t + l.lag
+  GROUP BY 1
+),
+wide AS (
+  SELECT lag, npairs, nk, n,
+         max(CASE WHEN lag = 0 THEN nk END) OVER () AS d0
+  FROM prods
+),
+r AS (
+  SELECT lag, n, npairs,
+         CASE WHEN npairs > 0 AND d0 > 0
+              THEN CAST(nk AS DOUBLE) / CAST(d0 AS DOUBLE) END AS r
+  FROM wide WHERE lag >= 1
+),
+terms AS (
+  SELECT lag, n, npairs, r,
+         CAST(CASE WHEN r IS NOT NULL AND n > lag
+              THEN floor(1000000.0 * n * (n + 2) * r * r / (n - lag) + 0.5)
+              ELSE 0 END AS BIGINT) AS lb
+  FROM r
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(npairs AS BIGINT) AS n_pairs,
+       CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS acf_e6,
+       lb AS lb_term_e6,
+       CAST(sum(lb) OVER (ORDER BY lag) AS BIGINT) AS lb_q_e6
+FROM terms
+"""
+
+
+# --- exact Gini-impurity decision stump --------------------------------------
+
+#: logit-bin clamp in e2 units (the isotonic PAV grid bound)
+STUMP_CLAMP_E2 = 300
+
+
+def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-threshold decision stump on the shared quality logit
+    against lang='en': over the clamped e2 score-bin domain, find the
+    threshold θ minimizing the weighted Gini impurity of the ≤θ / >θ
+    split — the exact feature-screening primitive behind every
+    tree-based baseline (contingency_association screens a categorical
+    pair; this screens a continuous feature against a binary label and
+    returns the actionable cut point).
+
+    Exactness: per-bin (n, positives) are exact integers; with left
+    cumulative (nL, pL) and totals (N, P), weighted impurity
+    = 2·[pL(nL−pL)/nL + pR(nR−pR)/nR]/N is the exact rational
+    2·(pL(nL−pL)·nR + pR(nR−pR)·nL) / (nL·nR·N), floored to e9 in
+    decimal(38,0) integer division (count triple-products leave int64
+    past ~10^6 rows — the ks headroom argument). Non-negative
+    operands, so Spark div == DuckDB //. The argmin tiebreaks on the
+    smaller θ via row_number over the bin-bounded frame.
+
+    Scale shape: the corpus collapses to the ≤601-bin frame in one
+    aggregate; all windows (cumulatives, totals, argmin rank) run on
+    that grid-bounded frame. NULL-text docs are excluded by mirrored
+    filter (no score signal)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    b = docs.select(
+        F.greatest(
+            F.least(
+                F.floor(_logit_col() * 100 + F.lit(0.5)).cast("long"),
+                F.lit(STUMP_CLAMP_E2),
+            ),
+            F.lit(-STUMP_CLAMP_E2),
+        ).alias("thr_e2"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("_y"),
+    )
+    per = b.groupBy("thr_e2").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p")
+    )
+    # ≤601 rows from here on — every window is grid-bounded.
+    w_cum = Window.orderBy(F.asc_nulls_last("thr_e2")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = per.select(
+        "thr_e2",
+        F.sum("_n").over(w_cum).alias("_nl"),
+        F.sum("_p").over(w_cum).alias("_pl"),
+        F.sum("_n").over(w_all).alias("_nt"),
+        F.sum("_p").over(w_all).alias("_pt"),
+    ).filter(F.col("_nl") < F.col("_nt"))
+    scored = cum.select(
+        "thr_e2", "_nl", "_pl", "_nt", "_pt",
+        F.expr(
+            "(2000000000 * (CAST(_pl AS DECIMAL(38,0)) * (_nl - _pl) * (_nt - _nl)"
+            " + CAST(_pt - _pl AS DECIMAL(38,0)) * ((_nt - _nl) - (_pt - _pl)) * _nl))"
+            " div (CAST(_nl AS DECIMAL(38,0)) * (_nt - _nl) * _nt)"
+        ).cast("long").alias("_gini_e9"),
+    )
+    best = scored.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.asc("_gini_e9"), F.asc("thr_e2"))
+        ),
+    ).filter(F.col("_rk") == 1)
+    return best.select(
+        F.col("thr_e2").cast("long").alias("thr_e2"),
+        F.col("_nl").cast("long").alias("n_left"),
+        F.col("_pl").cast("long").alias("p_left"),
+        (F.col("_nt") - F.col("_nl")).cast("long").alias("n_right"),
+        (F.col("_pt") - F.col("_pl")).cast("long").alias("p_right"),
+        F.col("_gini_e9").alias("gini_split_e9"),
+        F.expr(
+            "CAST((2000000000 * (CAST(_pt AS DECIMAL(38,0)) * (_nt - _pt)))"
+            " div (CAST(_nt AS DECIMAL(38,0)) * _nt) AS BIGINT)"
+        ).alias("gini_root_e9"),
+    )
+
+
+STUMP_SQL = f"""
+WITH {_logit_ctes()},
+bb AS (
+  SELECT greatest(least(CAST(floor(logit * 100 + 0.5) AS BIGINT),
+                        {STUMP_CLAMP_E2}), -{STUMP_CLAMP_E2}) AS thr_e2,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM s WHERE logit IS NOT NULL
+),
+per AS (SELECT thr_e2, count(*)::BIGINT AS n, sum(y)::BIGINT AS p
+        FROM bb GROUP BY 1),
+cum AS (
+  SELECT thr_e2,
+         sum(n) OVER (ORDER BY thr_e2) AS nl,
+         sum(p) OVER (ORDER BY thr_e2) AS pl,
+         sum(n) OVER () AS nt,
+         sum(p) OVER () AS pt
+  FROM per
+),
+scored AS (
+  SELECT thr_e2, nl, pl, nt, pt,
+         CAST((2000000000 * (CAST(pl AS HUGEINT) * (nl - pl) * (nt - nl)
+               + CAST(pt - pl AS HUGEINT) * ((nt - nl) - (pt - pl)) * nl))
+              // (CAST(nl AS HUGEINT) * (nt - nl) * nt) AS BIGINT)
+           AS gini_e9
+  FROM cum WHERE nl < nt
+),
+best AS (
+  SELECT *, row_number() OVER (ORDER BY gini_e9 ASC, thr_e2 ASC) AS rk
+  FROM scored
+)
+SELECT CAST(thr_e2 AS BIGINT) AS thr_e2,
+       CAST(nl AS BIGINT) AS n_left,
+       CAST(pl AS BIGINT) AS p_left,
+       CAST(nt - nl AS BIGINT) AS n_right,
+       CAST(pt - pl AS BIGINT) AS p_right,
+       gini_e9 AS gini_split_e9,
+       CAST((2000000000 * (CAST(pt AS HUGEINT) * (nt - pt)))
+            // (CAST(nt AS HUGEINT) * nt) AS BIGINT) AS gini_root_e9
+FROM best WHERE rk = 1
+"""
+
+# Mirror note: the Spark side filters `text IS NOT NULL`; the oracle's
+# shared `s` CTE carries no text column, so it filters `logit IS NOT
+# NULL` instead — equivalent, since the logit is NULL exactly when text
+# is (every component NULLs through; non-NULL text yields a non-NULL
+# logit via the greatest() guards).
+
+
+# --- l-diversity audit --------------------------------------------------------
+
+L_DIVERSITY = 3
+#: sensitive-attribute coarsening: account balance in 1000-unit buckets
+L_DIV_BUCKET = 1000
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the customer table: within each
+    quasi-identifier equivalence class (market segment × nation — the
+    k_anonymity_audit QI set), count the DISTINCT sensitive values
+    (account balance coarsened to 1000-unit buckets) and flag classes
+    below l = 3 — the attribute-disclosure companion of k-anonymity
+    (a class can be k-large yet reveal everyone's balance band if all
+    members share it).
+
+    Exactness: the bucket is floor(balance / 1000) — one IEEE divide +
+    floor, engine-identical — and everything else is exact counting.
+    NULL balances carry no sensitive value and are ignored by
+    count(DISTINCT) in both engines.
+
+    Scale shape: one shuffle to QI classes (|segments|×|nations|
+    bounded output); the distinct-count runs inside that aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / F.lit(float(L_DIV_BUCKET))).cast("long")
+        ).cast("long").alias("n_sensitive"),
+    )
+    return classes.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "class_size",
+        "n_sensitive",
+        F.when(F.col("n_sensitive") >= L_DIVERSITY, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("meets_l"),
+    )
+
+
+L_DIVERSITY_SQL = f"""
+SELECT c_mktsegment, c_nationkey,
+       count(*)::BIGINT AS class_size,
+       count(DISTINCT CAST(floor(c_acctbal / {float(L_DIV_BUCKET)}) AS BIGINT))::BIGINT
+         AS n_sensitive,
+       CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / {float(L_DIV_BUCKET)})
+                                          AS BIGINT)) >= {L_DIVERSITY}
+                 THEN 1 ELSE 0 END AS BIGINT) AS meets_l
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+# --- edit-distance near-dup under deterministic blocking ---------------------
+
+LEV_PREFIX = 60      #: chars compared (bounds the O(len²) DP per pair)
+LEV_EDIT_MAX = 8     #: max edit distance to report
+LEV_MAX_BLOCK = 64   #: skew guard — blocks larger than this are dropped
+
+
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate detection under deterministic
+    blocking: candidate pairs share a block key (first token,
+    token-count÷8 bucket) and match when the Levenshtein distance of
+    their LEV_PREFIX-char prefixes is ≤ LEV_EDIT_MAX — the classical
+    typo/OCR-noise ER strategy the token-set family (Jaccard, MinHash,
+    SimHash) cannot express, because edit distance sees character
+    ORDER. Both engines ship the same code-point Levenshtein builtin,
+    so the measure is exact and engine-identical.
+
+    Exactness: integer distances, integer block keys; the pair set is
+    fully determined by the blocking rule.
+
+    Scale shape: one shuffle to blocks; the self-join is equi on the
+    block key, and the ``LEV_MAX_BLOCK`` guard (the max_shingle_df
+    pattern) drops pathological blocks so per-block work is
+    O(LEV_MAX_BLOCK²·LEV_PREFIX²) bounded — no quadratic blowup on a
+    skewed key. Dropped blocks are a documented coverage cap (the
+    no-silent-caps rule: the guard is part of the operator contract,
+    like max_shingle_df)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    d = docs.select(
+        "doc_id",
+        F.substring("text", 1, LEV_PREFIX).alias("_p"),
+        F.split(F.trim(F.col("text")), r"\s+").getItem(0).alias("_t0"),
+        F.expr(
+            f"CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) div 8"
+        ).alias("_g"),
+    )
+    w_blk = Window.partitionBy("_t0", "_g")
+    small = d.withColumn("_bn", F.count(F.lit(1)).over(w_blk)).filter(
+        F.col("_bn") <= LEV_MAX_BLOCK
+    )
+    a = small.select(
+        F.col("doc_id").alias("id_a"), F.col("_p").alias("_pa"), "_t0", "_g"
+    )
+    b = small.select(
+        F.col("doc_id").alias("id_b"), F.col("_p").alias("_pb"), "_t0", "_g"
+    )
+    pairs = (
+        a.join(b, ["_t0", "_g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("lev", F.levenshtein("_pa", "_pb"))
+        .filter(F.col("lev") <= LEV_EDIT_MAX)
+    )
+    return pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("lev").cast("long"),
+    )
+
+
+LEVENSHTEIN_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, {LEV_PREFIX}) AS p,
+         regexp_split_to_array(trim(text), '\s+')[1] AS t0,
+         len(regexp_split_to_array(trim(text), '\s+')) // 8 AS g
+  FROM documents WHERE text IS NOT NULL
+),
+small AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY t0, g) AS bn FROM d
+  ) WHERE bn <= {LEV_MAX_BLOCK}
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev
+FROM small a JOIN small b
+  ON a.t0 = b.t0 AND a.g = b.g AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= {LEV_EDIT_MAX}
+"""
+
+
+# --- sorted-neighborhood near-dup --------------------------------------------
+
+SNM_WINDOW = 3       #: rank-distance window (pairs within W positions)
+SNM_PREFIX = 40      #: sort-key prefix length
+#: report pairs with token Jaccard ≥ 90% (in bp) — the corpus draws from
+#: a small shared vocabulary, so distinct-token Jaccard has a high random
+#: baseline (median ~0.55 between ADJACENT-key docs); 0.9 keeps the
+#: operator's output at genuinely-near-dup pairs
+SNM_JACC_BP = 9000
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-duplicate detection (Hernández &
+    Stolfo): sort the corpus by a blocking key (lower-cased
+    SNM_PREFIX-char prefix, doc_id tiebreak), then verify ONLY pairs
+    within SNM_WINDOW rank positions — the linear-candidate ER
+    strategy that complements hash blocking (LSH buckets can split
+    near-dups across buckets; a sorted scan catches everything whose
+    keys SORT adjacently). Verification is exact distinct-token
+    Jaccard in basis points.
+
+    Exactness: the global order (prefix, doc_id) is a binary string
+    comparison — identical in both engines; ranks, rank gaps, and the
+    Jaccard bp are integers.
+
+    Scale shape: the global rank rides ``layout.dense_ids_by``
+    (range-partition + per-partition rank + offset carry — no
+    single-partition sort); the neighbor pairing is an integer
+    equi-join on rank+offset (SNM_WINDOW·n pairs, linear); token sets
+    stay JVM-side arrays (array_intersect), never exploded."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, SNM_PREFIX).alias("_p"),
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("_tk"),
+    )
+    ranked = layout.dense_ids_by(keyed, ["_p", "doc_id"], "_rn")
+    offs = spark.range(1, SNM_WINDOW + 1).select(F.col("id").alias("_off"))
+    left = ranked.join(F.broadcast(offs)).select(
+        F.col("doc_id").alias("_ida"),
+        F.col("_tk").alias("_ta"),
+        (F.col("_rn") + F.col("_off")).alias("_tgt"),
+        F.col("_off").alias("gap"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("_idb"),
+        F.col("_tk").alias("_tb"),
+        F.col("_rn").alias("_tgt"),
+    )
+    pairs = (
+        left.join(right, "_tgt")
+        .withColumn("_i", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn("_u", F.size("_ta") + F.size("_tb") - F.col("_i"))
+        .withColumn("jacc_bp", F.expr("(CAST(_i AS BIGINT) * 10000) div _u"))
+        .filter(F.col("jacc_bp") >= SNM_JACC_BP)
+    )
+    return pairs.select(
+        F.least("_ida", "_idb").cast("long").alias("id_a"),
+        F.greatest("_ida", "_idb").cast("long").alias("id_b"),
+        F.col("gap").cast("long").alias("gap"),
+        F.col("jacc_bp").cast("long").alias("jacc_bp"),
+    )
+
+
+SNM_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         substr(lower(text), 1, {SNM_PREFIX}) AS p,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY p, doc_id) AS rn FROM d
+),
+pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb,
+         b.rn - a.rn AS gap,
+         len(list_intersect(a.tk, b.tk)) AS i,
+         len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS u
+  FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNM_WINDOW}
+)
+SELECT CAST(least(ida, idb) AS BIGINT) AS id_a,
+       CAST(greatest(ida, idb) AS BIGINT) AS id_b,
+       CAST(gap AS BIGINT) AS gap,
+       CAST((i * 10000) // u AS BIGINT) AS jacc_bp
+FROM pairs
+WHERE (i * 10000) // u >= {SNM_JACC_BP}
+"""
+
+
+# --- power-of-two padding-waste audit ----------------------------------------
+
+
+def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-padding economics for LLM training/serving: documents are
+    assigned to power-of-two length buckets (the standard bucketed-
+    batching scheme) and the audit reports, per bucket, the exact
+    token waste — (bucket_width − n_tokens) summed — and the waste
+    share in basis points. This is the number that decides bucket
+    granularity: pad-to-longest in a power-of-two bucket wastes
+    ≤ 50% worst-case; the audit shows the realized figure per bucket.
+
+    Exactness: the bucket is 2^ceil(log2(n)) computed as
+    shiftleft(1, length(bin(n−1))) — pure integer bit arithmetic, no
+    engine log2 (the column_encoding_advisor trick); waste and shares
+    are exact integer arithmetic.
+
+    Scale shape: map-side token count + bucket assignment, ONE
+    aggregate to the ≤ ~40-row bucket frame."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    b = docs.select(
+        F.expr(
+            "CAST(CASE WHEN size(split(trim(text), '\\\\s+')) <= 1 THEN 1"
+            " ELSE shiftleft(CAST(1 AS BIGINT),"
+            " length(bin(size(split(trim(text), '\\\\s+')) - 1))) END AS BIGINT)"
+        ).alias("bucket"),
+        F.expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").alias("_nt"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("sum_tokens"),
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        (F.col("n_docs") * F.col("bucket") - F.col("sum_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+        F.expr(
+            "CAST(((n_docs * bucket - sum_tokens) * 10000)"
+            " div (n_docs * bucket) AS BIGINT)"
+        ).alias("waste_bp"),
+    )
+
+
+PADDING_SQL = r"""
+WITH b AS (
+  SELECT CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) <= 1 THEN 1
+              ELSE 1::BIGINT << length(bin(
+                     len(regexp_split_to_array(trim(text), '\s+')) - 1))
+         END AS bucket,
+         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS nt
+  FROM documents WHERE text IS NOT NULL
+),
+agg AS (
+  SELECT bucket, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS sum_tokens
+  FROM b GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, sum_tokens,
+       CAST(n_docs * bucket - sum_tokens AS BIGINT) AS waste_tokens,
+       CAST(((n_docs * bucket - sum_tokens) * 10000)
+            // (n_docs * bucket) AS BIGINT) AS waste_bp
+FROM agg
+"""
+
+
+# --- tokenizer fertility by language -----------------------------------------
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: characters per
+    word-token and word-tokens per whitespace-token (both in exact e3
+    integer ratios) — the compression-rate number a tokenizer team
+    tracks per language, since a tokenizer that is frugal on English
+    and profligate on CJK silently skews both cost and mixture weights
+    (the per-lang companion of text_token_count, which reports per-doc
+    counts without the language rollup).
+
+    Exactness: counts are exact integers; ratios are non-negative
+    integer divisions with CASE NULL sentinels for empty denominators
+    (a language whose every doc has zero word tokens).
+
+    Scale shape: map-side counting, ONE aggregate to the |langs|-row
+    frame."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.sum(textops.token_count("text")).cast("long").alias("sum_ws_tokens"),
+        F.sum(textops.word_token_count("text")).cast("long").alias("sum_word_tokens"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "sum_ws_tokens",
+        "sum_word_tokens",
+        F.expr(
+            "CASE WHEN sum_word_tokens > 0 THEN"
+            " CAST((sum_chars * 1000) div sum_word_tokens AS BIGINT) END"
+        ).alias("chars_per_token_e3"),
+        F.expr(
+            "CASE WHEN sum_ws_tokens > 0 THEN"
+            " CAST((sum_word_tokens * 1000) div sum_ws_tokens AS BIGINT) END"
+        ).alias("tokens_per_word_e3"),
+    )
+
+
+FERTILITY_SQL = r"""
+WITH per AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(length(text))::BIGINT AS sum_chars,
+         sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+           AS sum_ws_tokens,
+         sum(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]', 0)))::BIGINT
+           AS sum_word_tokens
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY 1
+)
+SELECT lang, n_docs, sum_chars, sum_ws_tokens, sum_word_tokens,
+       CASE WHEN sum_word_tokens > 0
+            THEN CAST((sum_chars * 1000) // sum_word_tokens AS BIGINT) END
+         AS chars_per_token_e3,
+       CASE WHEN sum_ws_tokens > 0
+            THEN CAST((sum_word_tokens * 1000) // sum_ws_tokens AS BIGINT) END
+         AS tokens_per_word_e3
+FROM per
+"""
+
+
+# --- intra-document repetition audit (Gopher-style) --------------------------
+
+
+def text_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition ratios: per document, the
+    duplicate fraction of its 1-, 2- and 3-grams (in basis points) —
+    the within-doc quality filter (Rae et al.'s repetition rules) that
+    catches boilerplate loops and degenerate generations, which the
+    CROSS-doc operators (ngram_novelty, dedup_*) cannot see by
+    construction.
+
+    Exactness: gram totals and distinct counts are exact integers;
+    duplicate fractions are non-negative integer divisions; documents
+    shorter than the gram order emit NULL for that order via CASE in
+    both engines.
+
+    Scale shape: entirely map-side — grams are built with
+    transform/slice over the token array and deduplicated with
+    array_distinct INSIDE the row (no explode, no shuffle at all)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    toks = "split(lower(trim(text)), '\\\\s+')"
+
+    def uniq(k: int) -> str:
+        if k == 1:
+            return f"size(array_distinct({toks}))"
+        return (
+            f"CASE WHEN size({toks}) >= {k} THEN size(array_distinct("
+            f"transform(sequence(1, size({toks}) - {k} + 1),"
+            f" i -> concat_ws(' ', slice({toks}, i, {k}))))) END"
+        )
+
+    def total(k: int) -> str:
+        return f"CASE WHEN size({toks}) >= {k} THEN size({toks}) - {k} + 1 END"
+
+    cols = [F.col("doc_id").cast("long").alias("doc_id"),
+            F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens")]
+    for k in (1, 2, 3):
+        cols.append(F.expr(f"CAST({uniq(k)} AS BIGINT)").alias(f"uniq{k}"))
+        cols.append(
+            F.expr(
+                f"CASE WHEN {total(k)} > 0 THEN CAST((({total(k)} - {uniq(k)})"
+                f" * 10000) div ({total(k)}) AS BIGINT) END"
+            ).alias(f"dup{k}_bp")
+        )
+    return docs.select(*cols)
+
+
+REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id,
+         len(w) AS nt,
+         len(list_distinct(w)) AS u1,
+         CASE WHEN len(w) >= 2 THEN len(list_distinct(
+           [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))])) END AS u2,
+         CASE WHEN len(w) >= 3 THEN len(list_distinct(
+           [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])) END AS u3
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(u1 AS BIGINT) AS uniq1,
+       CASE WHEN nt >= 1 THEN CAST(((nt - u1) * 10000) // nt AS BIGINT) END
+         AS dup1_bp,
+       CAST(u2 AS BIGINT) AS uniq2,
+       CASE WHEN nt >= 2 THEN CAST(((nt - 1 - u2) * 10000) // (nt - 1) AS BIGINT) END
+         AS dup2_bp,
+       CAST(u3 AS BIGINT) AS uniq3,
+       CASE WHEN nt >= 3 THEN CAST(((nt - 2 - u3) * 10000) // (nt - 2) AS BIGINT) END
+         AS dup3_bp
+FROM g
+"""

@@ -198,6 +198,9 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "conformal_quantile_gate",         # 1-row qhat/ncal/ntrain broadcasts
         "halflife_decay_user_value",       # 1-row max-date anchor broadcast
         "cuped_adjusted_ab",               # 1-row pooled-moments broadcast
+        "survival_hazard_daily",           # 1-row max-date anchor broadcast
+        "acf_daily_revenue",               # 8-row lag-grid broadcast over the day frame
+        "dedup_sorted_neighborhood",       # 3-row rank-offset grid broadcast
     }
     sf = "/root/testdata/sf0.001"
     registered = set(entrymod.queries())
