@@ -428,3 +428,72 @@ def test_every_registered_query_survives_all_ties_tables(spark, tmp_path_factory
         except Exception as e:  # noqa: BLE001 — collecting ALL failures
             failures[name] = str(e).split("\n")[0][:160]
     assert not failures, failures
+
+
+def test_every_registered_query_survives_all_nulls_tables(spark, tmp_path_factory):
+    """All-NULLs robustness: every registry query must execute against
+    50-row mirrors whose NULLABLE payload columns are entirely NULL —
+    the ingestion-gap regime (a feed that delivers keys but no values).
+    Found live by tools/tiny_sweep.py --nulls in r6: NULL-propagating
+    indicators, element_at on empty collect_list frames, and JSON casts
+    on non-numeric fields; all now guarded. Promoted to a permanent
+    gate in r7 (the cross-engine value comparison stays in the tool,
+    run per round)."""
+    import __spark_entry__ as entrymod
+
+    from tools.tiny_sweep import build
+
+    nulls_dir = str(tmp_path_factory.mktemp("nulls_sf"))
+    build(50, nulls_dir, mode="nulls")
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, nulls_dir).collect()
+        except Exception as e:  # noqa: BLE001 — collecting ALL failures
+            failures[name] = str(e).split("\n")[0][:160]
+    assert not failures, failures
+
+
+def test_every_registered_query_survives_unicode_tables(spark, tmp_path_factory):
+    """Adversarial-unicode robustness: every registry query must execute
+    against 50-row mirrors whose text columns carry combining marks,
+    RTL, astral-plane codepoints and zero-width characters. Found live
+    by tools/tiny_sweep.py --unicode in r6: a byte-vs-codepoint length
+    divergence in d3 normalization. Promoted to a permanent gate in r7
+    (cross-engine comparison stays in the tool; one documented
+    divergence: mm_audio_peaks' ASCII-only oracle contract)."""
+    import __spark_entry__ as entrymod
+
+    from tools.tiny_sweep import build
+
+    uni_dir = str(tmp_path_factory.mktemp("unicode_sf"))
+    build(50, uni_dir, mode="unicode")
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, uni_dir).collect()
+        except Exception as e:  # noqa: BLE001 — collecting ALL failures
+            failures[name] = str(e).split("\n")[0][:160]
+    assert not failures, failures
+
+
+def test_every_registered_query_survives_dupe_key_tables(spark, tmp_path_factory):
+    """At-least-once-delivery robustness: every registry query must
+    execute against mirrors where EVERY row (including primary keys)
+    exists exactly twice — the duplicated-ingestion regime that breaks
+    key-uniqueness assumptions (1:N joins become 2:2N, distinct counts
+    halve relative to row counts). Exploratory in r6 (--dupes),
+    promoted to a permanent crash gate in r7."""
+    import __spark_entry__ as entrymod
+
+    from tools.tiny_sweep import build
+
+    dupes_dir = str(tmp_path_factory.mktemp("dupes_sf"))
+    build(25, dupes_dir, mode="dupes")
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, dupes_dir).collect()
+        except Exception as e:  # noqa: BLE001 — collecting ALL failures
+            failures[name] = str(e).split("\n")[0][:160]
+    assert not failures, failures

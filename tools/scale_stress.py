@@ -144,6 +144,32 @@ QUERIES = [
     # value domain / calendar days) in one aggregate.
     "mann_whitney_value_test",
     "sprt_conversion_monitor",
+    # r7 wave 2 (cont.): rbo's per-day top-10 window weak-scales on the
+    # day partitioning and its tail joins are |days|x10-bounded; cuped is
+    # two per-user aggregates plus a 1-row pooled-moment broadcast.
+    "rbo_leaderboard_drift",
+    "cuped_adjusted_ab",
+    # wave-8 members. did/survival/cuped-class reducers (one aggregate /
+    # per-user agg + bounded frames); acf/stump/l-div/padding/fertility
+    # collapse to calendar/grid/QI/bucket/lang-bounded frames;
+    # repetition is pure map-side (output grows linearly); SNM's
+    # candidate set is W·n by construction (replicated twins sort
+    # adjacently but the window is fixed). dedup_levenshtein_blocked is
+    # deliberately ABSENT for the minhash replication-artifact reason:
+    # key-shifted copies are textual TWINS, so every block gains
+    # `copies` identical members and the pair count inside each block
+    # grows quadratically until the LEV_MAX_BLOCK guard drops it — a
+    # replication artifact, not a property of real 10x data (its
+    # real-data scaling is measured sf0.01 -> sf0.1 in PLANS.md).
+    "did_cohort_effect",
+    "survival_hazard_daily",
+    "acf_daily_revenue",
+    "decision_stump_gini",
+    "l_diversity_audit",
+    "dedup_sorted_neighborhood",
+    "padding_waste_audit",
+    "tokenizer_fertility_by_lang",
+    "text_repetition_audit",
 ]
 
 
