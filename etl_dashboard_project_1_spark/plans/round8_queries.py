@@ -149,15 +149,18 @@ FROM agg
 
 # --- Nelson-Aalen cumulative hazard ------------------------------------------
 
-#: users whose last activity falls within this many days of the corpus
-#: end are right-censored (still alive at observation end)
+#: users whose last activity falls STRICTLY within this many days of
+#: the corpus end (gap < SURVIVAL_CENSOR_DAYS) are right-censored
+#: (still alive at observation end); a gap of exactly
+#: SURVIVAL_CENSOR_DAYS counts as an observed churn event
 SURVIVAL_CENSOR_DAYS = 7
 
 
 def survival_hazard_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative-hazard estimator over user lifetimes:
     a user's duration is last-active-day − first-active-day; users
-    still active within SURVIVAL_CENSOR_DAYS of the corpus end are
+    still active strictly within SURVIVAL_CENSOR_DAYS of the corpus
+    end (gap < 7 days; a 7-day gap is an observed churn) are
     right-censored. Per observed duration d the risk set n(d) = users
     with duration ≥ d, events e(d) = UNcensored users with duration d,
     hazard step e(d)/n(d), and H(d) = Σ_{d'≤d} e(d')/n(d') — the
@@ -267,8 +270,12 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n(n+2)·r_k²/(n−k) are fixed-shape doubles over those exact
     decimals, floored/rounded at e6; the cumulative Q sums the ALREADY
     floored integer terms, so accumulation order can't diverge.
-    Degenerate cases (zero variance — the all-ties sweep — or no pairs
-    at a lag) emit NULL acf and a 0 LB term via CASE in both engines.
+    Degenerate cases: zero variance (the all-ties sweep) emits NULL
+    acf and a 0 LB term via CASE in both engines; a lag with NO pairs
+    (series shorter than the lag) is DROPPED from the output by the
+    identical inner join + group in both engines — the output holds
+    one row per lag that has at least one pair, not a fixed 7-row
+    frame.
 
     Scale shape: the corpus collapses to the |days|-bounded daily frame
     in one aggregate; the lag expansion is |days|×(ACF_MAX_LAG+1) rows
@@ -600,11 +607,18 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     their LEV_PREFIX-char prefixes is ≤ LEV_EDIT_MAX — the classical
     typo/OCR-noise ER strategy the token-set family (Jaccard, MinHash,
     SimHash) cannot express, because edit distance sees character
-    ORDER. Both engines ship the same code-point Levenshtein builtin,
-    so the measure is exact and engine-identical.
+    ORDER.
 
     Exactness: integer distances, integer block keys; the pair set is
-    fully determined by the blocking rule.
+    fully determined by the blocking rule. ORACLE CONTRACT — ASCII
+    text only (the mm_audio_peaks precedent): Spark's ``levenshtein``
+    counts CODE-POINT edits while DuckDB's counts UTF-8 BYTE edits
+    (verified live: 'häst'↔'hast' = 1 vs 2; '中文文本'↔'中文文字' = 1
+    vs 3), so the two builtins agree exactly on ASCII and diverge on
+    multi-byte text. The operator's Spark-side semantics (code-point
+    edits) are the correct ones at any scale; the DuckDB pairing is a
+    certification device whose equivalence holds on the ASCII corpus
+    contract, documented here rather than silently assumed.
 
     Scale shape: one shuffle to blocks; the self-join is equi on the
     block key, and the ``LEV_MAX_BLOCK`` guard (the max_shingle_df
@@ -660,12 +674,16 @@ small AS (
     SELECT *, count(*) OVER (PARTITION BY t0, g) AS bn FROM d
   ) WHERE bn <= {LEV_MAX_BLOCK}
 )
-SELECT CAST(a.doc_id AS BIGINT) AS id_a,
-       CAST(b.doc_id AS BIGINT) AS id_b,
-       CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev
-FROM small a JOIN small b
-  ON a.t0 = b.t0 AND a.g = b.g AND a.doc_id < b.doc_id
-WHERE levenshtein(a.p, b.p) <= {LEV_EDIT_MAX}
+,
+pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, levenshtein(a.p, b.p) AS lv
+  FROM small a JOIN small b
+    ON a.t0 = b.t0 AND a.g = b.g AND a.doc_id < b.doc_id
+)
+SELECT CAST(ida AS BIGINT) AS id_a,
+       CAST(idb AS BIGINT) AS id_b,
+       CAST(lv AS BIGINT) AS lev
+FROM pairs WHERE lv <= {LEV_EDIT_MAX}
 """
 
 
@@ -748,11 +766,12 @@ r AS (
   SELECT *, row_number() OVER (ORDER BY p, doc_id) AS rn FROM d
 ),
 pairs AS (
-  SELECT a.doc_id AS ida, b.doc_id AS idb,
-         b.rn - a.rn AS gap,
-         len(list_intersect(a.tk, b.tk)) AS i,
-         len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS u
-  FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNM_WINDOW}
+  SELECT ida, idb, gap, i, la + lb - i AS u FROM (
+    SELECT a.doc_id AS ida, b.doc_id AS idb,
+           b.rn - a.rn AS gap,
+           len(list_intersect(a.tk, b.tk)) AS i,
+           len(a.tk) AS la, len(b.tk) AS lb
+    FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNM_WINDOW})
 )
 SELECT CAST(least(ida, idb) AS BIGINT) AS id_a,
        CAST(greatest(ida, idb) AS BIGINT) AS id_b,

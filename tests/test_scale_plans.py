@@ -379,121 +379,49 @@ def test_every_registered_query_survives_empty_tables(spark, tmp_path_factory):
             failures[name] = str(e).split("\n")[0][:160]
     assert not failures, failures
 
+import pytest
 
-def test_every_registered_query_survives_tiny_tables(spark, tmp_path_factory):
-    """Tiny-input robustness: every registry query must execute (not
-    crash) against 3-row mirrors of the tables — the next failure class
-    up from empty: groups EXIST but one side's count can be zero, so
-    divisions that the empty sweep never evaluates (KS cohort split,
-    decile positives, AUC classes, drift periods, Gini totals) run with
-    a 0 divisor unless guarded. Found live by tools/tiny_sweep.py: 5
-    queries crashed under ANSI div-by-zero; all now emit mirrored
-    sentinels. Full cross-engine value comparison at 3 rows lives in
-    tools/tiny_sweep.py (run per round; 2 documented divergences:
-    set_ops' empty-class counts and j1_fuzzy_difflib's pinned oracle)."""
+
+#: adversarial-mirror crash gates, one per tiny_sweep build mode. Found
+#: live across rounds 5-7 (history per mode):
+#:   tiny/3-row — ANSI div-by-zero on empty cohorts/classes/periods (5
+#:     queries, r5/r6); ties — zero-variance PCA power iterate, single-
+#:     year regression denominators (r6); nulls — NULL-propagating
+#:     indicators, element_at on empty collect_list, JSON casts on
+#:     non-numeric fields (r6); unicode — byte-vs-codepoint length in
+#:     d3, ANSI NumberFormatException on non-schema JSON (r6); dupes —
+#:     duplicate-primary-key ingestion (exploratory r6, gate since r7).
+#: Cross-engine VALUE comparison for all modes lives in
+#: tools/tiny_sweep.py (run per round; documented divergences recorded
+#: in PLANS.md).
+SWEEP_GATES = [
+    ("tiny", 3, None),
+    ("ties", 50, "ties"),
+    ("nulls", 50, "nulls"),
+    ("unicode", 50, "unicode"),
+    ("dupes", 25, "dupes"),
+]
+
+
+@pytest.mark.parametrize(
+    "label,n_rows,mode", SWEEP_GATES, ids=[g[0] for g in SWEEP_GATES]
+)
+def test_every_registered_query_survives_adversarial_tables(
+    spark, tmp_path_factory, label, n_rows, mode
+):
+    """Every registry query must execute (not crash) against the
+    adversarial mirror for this mode — see SWEEP_GATES for the failure
+    classes each mode has caught."""
     import __spark_entry__ as entrymod
 
     from tools.tiny_sweep import build
 
-    tiny_dir = str(tmp_path_factory.mktemp("tiny_sf"))
-    build(3, tiny_dir)
+    out_dir = str(tmp_path_factory.mktemp(f"{label}_sf"))
+    build(n_rows, out_dir, mode=mode)
     failures = {}
     for name, fn in entrymod.queries().items():
         try:
-            fn(spark, tiny_dir).collect()
-        except Exception as e:  # noqa: BLE001 — collecting ALL failures
-            failures[name] = str(e).split("\n")[0][:160]
-    assert not failures, failures
-
-
-def test_every_registered_query_survives_all_ties_tables(spark, tmp_path_factory):
-    """All-ties robustness: every registry query must execute against
-    50-row mirrors whose payload columns are ALL one constant value
-    (every ranking a total tie, zero variance everywhere). Found live by
-    tools/tiny_sweep.py --ties: the PCA gate's power iterate collapsed
-    on a zero-variance corpus (ZeroDivisionError) and the revenue-trend
-    regression divided by a zero denominator on single-year nations.
-    Cross-engine value comparison at all-ties lives in the tool (run per
-    round; one documented divergence: set-ops empty-class)."""
-    import __spark_entry__ as entrymod
-
-    from tools.tiny_sweep import build
-
-    ties_dir = str(tmp_path_factory.mktemp("ties_sf"))
-    build(50, ties_dir, mode="ties")
-    failures = {}
-    for name, fn in entrymod.queries().items():
-        try:
-            fn(spark, ties_dir).collect()
-        except Exception as e:  # noqa: BLE001 — collecting ALL failures
-            failures[name] = str(e).split("\n")[0][:160]
-    assert not failures, failures
-
-
-def test_every_registered_query_survives_all_nulls_tables(spark, tmp_path_factory):
-    """All-NULLs robustness: every registry query must execute against
-    50-row mirrors whose NULLABLE payload columns are entirely NULL —
-    the ingestion-gap regime (a feed that delivers keys but no values).
-    Found live by tools/tiny_sweep.py --nulls in r6: NULL-propagating
-    indicators, element_at on empty collect_list frames, and JSON casts
-    on non-numeric fields; all now guarded. Promoted to a permanent
-    gate in r7 (the cross-engine value comparison stays in the tool,
-    run per round)."""
-    import __spark_entry__ as entrymod
-
-    from tools.tiny_sweep import build
-
-    nulls_dir = str(tmp_path_factory.mktemp("nulls_sf"))
-    build(50, nulls_dir, mode="nulls")
-    failures = {}
-    for name, fn in entrymod.queries().items():
-        try:
-            fn(spark, nulls_dir).collect()
-        except Exception as e:  # noqa: BLE001 — collecting ALL failures
-            failures[name] = str(e).split("\n")[0][:160]
-    assert not failures, failures
-
-
-def test_every_registered_query_survives_unicode_tables(spark, tmp_path_factory):
-    """Adversarial-unicode robustness: every registry query must execute
-    against 50-row mirrors whose text columns carry combining marks,
-    RTL, astral-plane codepoints and zero-width characters. Found live
-    by tools/tiny_sweep.py --unicode in r6: a byte-vs-codepoint length
-    divergence in d3 normalization. Promoted to a permanent gate in r7
-    (cross-engine comparison stays in the tool; one documented
-    divergence: mm_audio_peaks' ASCII-only oracle contract)."""
-    import __spark_entry__ as entrymod
-
-    from tools.tiny_sweep import build
-
-    uni_dir = str(tmp_path_factory.mktemp("unicode_sf"))
-    build(50, uni_dir, mode="unicode")
-    failures = {}
-    for name, fn in entrymod.queries().items():
-        try:
-            fn(spark, uni_dir).collect()
-        except Exception as e:  # noqa: BLE001 — collecting ALL failures
-            failures[name] = str(e).split("\n")[0][:160]
-    assert not failures, failures
-
-
-def test_every_registered_query_survives_dupe_key_tables(spark, tmp_path_factory):
-    """At-least-once-delivery robustness: every registry query must
-    execute against mirrors where EVERY row (including primary keys)
-    exists exactly twice — the duplicated-ingestion regime that breaks
-    key-uniqueness assumptions (1:N joins become 2:2N, distinct counts
-    halve relative to row counts). Exploratory in r6 (--dupes),
-    promoted to a permanent crash gate in r7."""
-    import __spark_entry__ as entrymod
-
-    from tools.tiny_sweep import build
-
-    dupes_dir = str(tmp_path_factory.mktemp("dupes_sf"))
-    build(25, dupes_dir, mode="dupes")
-    failures = {}
-    for name, fn in entrymod.queries().items():
-        try:
-            fn(spark, dupes_dir).collect()
+            fn(spark, out_dir).collect()
         except Exception as e:  # noqa: BLE001 — collecting ALL failures
             failures[name] = str(e).split("\n")[0][:160]
     assert not failures, failures
