@@ -1037,6 +1037,23 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round8_queries.text_repetition_audit,
         round8_queries.REPETITION_SQL,
     ),
+    # --- round-7 wave-9 registrations (checked in the r7 window) ---
+    "cms_heavy_hitters": (
+        round8_queries.cms_heavy_hitters,
+        round8_queries.CMS_SQL,
+    ),
+    "quantile_loss_eval": (
+        round8_queries.quantile_loss_eval,
+        round8_queries.PINBALL_SQL,
+    ),
+    "ece_calibration_eval": (
+        round8_queries.ece_calibration_eval,
+        round8_queries.ECE_SQL,
+    ),
+    "theil_sen_trend": (
+        round8_queries.theil_sen_trend,
+        round8_queries.THEILSEN_SQL,
+    ),
 }
 
 
@@ -1120,15 +1137,18 @@ _ROUND7_FRONT: list[str] = [
     "padding_waste_audit",
     "tokenizer_fertility_by_lang",
     "text_repetition_audit",
+    # (d cont.) wave-9 registrations (CMS heavy hitters, pinball loss,
+    # held-out ECE, banded Theil-Sen) — each verified individually on
+    # all five adversarial sweep datasets before taking a slot
+    "cms_heavy_hitters",
+    "quantile_loss_eval",
+    "ece_calibration_eval",
+    "theil_sen_trend",
     # (e) oldest-stale backfill (latest driver row = r2), registry order
     "agg_cube_year_status",
     "agg_rollup_region_nation",
     "agg_grouping_sets",
     "pivot_status_by_year",
-    "agg_percentiles",
-    "agg_distinct_counts",
-    "window_lag_delta",
-    "window_running_sum",
 ]
 
 # Round-8 window queue: queries added AFTER the r7 window is sealed go here

@@ -994,3 +994,482 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          AS dup3_bp
 FROM g
 """
+
+
+# --- count-min-sketch heavy hitters + exact gate -----------------------------
+
+CMS_DEPTH = 4        #: independent hash rows
+CMS_WIDTH = 64       #: buckets per row
+CMS_TOP_K = 20       #: heavy hitters reported (by exact count)
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter estimates with an exact gate: the
+    CMS (depth 4 × width 64, md5-wheel hashing — deterministic, no
+    engine RNG) summarizes per-user event counts in a 256-cell table;
+    the top-K users BY EXACT COUNT are then probed against the sketch
+    and the audit reports estimate vs truth and the one-sided error —
+    the streaming-frequency primitive (Cormode & Muthukrishnan) behind
+    bounded-memory hot-key detection, with the same estimate+exact-gate
+    pattern as the KMV and MinHash gates: the sketch's never-
+    underestimate property is asserted per row (``gate_ok``).
+
+    Exactness: cell counters, exact counts and estimates are integers;
+    the estimate is min over the 4 probed cells; overestimate share is
+    a non-negative integer division in bp.
+
+    Scale shape: TWO aggregates over events — the 256-cell sketch
+    (config-bounded output, map-side partial agg does the heavy
+    lifting) and the exact per-user counts whose top-K is a distributed
+    sort-limit; the probe joins the K×4 candidate frame (broadcast) to
+    the 256-cell table. At 100 TB the sketch build is the cheap
+    pass; the exact side exists because this is the GATE form (the
+    production form is the sketch alone)."""
+    from ..operators.dedup import md5_int
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    rows = spark.range(0, CMS_DEPTH).select(F.col("id").cast("int").alias("_i"))
+    hashed = ev.join(F.broadcast(rows)).select(
+        "_i",
+        (
+            md5_int(F.concat(F.col("user_id").cast("string"), F.lit("cms"), F.col("_i")))
+            % CMS_WIDTH
+        ).alias("_b"),
+    )
+    cells = hashed.groupBy("_i", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("user_id"))
+        .limit(CMS_TOP_K)
+    )
+    probes = exact.join(F.broadcast(rows)).select(
+        "user_id",
+        "_n",
+        "_i",
+        (
+            md5_int(F.concat(F.col("user_id").cast("string"), F.lit("cms"), F.col("_i")))
+            % CMS_WIDTH
+        ).alias("_b"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["_i", "_b"])
+        .groupBy("user_id", "_n")
+        .agg(F.min("_c").alias("_est"))
+    )
+    return est.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("_n").cast("long").alias("exact_count"),
+        F.col("_est").cast("long").alias("cms_estimate"),
+        F.expr("CAST(((_est - _n) * 10000) div _n AS BIGINT)").alias("over_bp"),
+        F.when(F.col("_est") >= F.col("_n"), 1).otherwise(0).cast("long").alias("gate_ok"),
+    )
+
+
+CMS_SQL = f"""
+WITH rows_d AS (SELECT i::INT AS i FROM range({CMS_DEPTH}) t(i)),
+ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+hashed AS (
+  SELECT i,
+         ('0x' || substr(md5(user_id::VARCHAR || 'cms' || i::VARCHAR), 1, 8))::BIGINT
+           % {CMS_WIDTH} AS b
+  FROM ev, rows_d
+),
+cells AS (SELECT i, b, count(*) AS c FROM hashed GROUP BY 1, 2),
+exact AS (
+  SELECT user_id, count(*) AS n FROM ev GROUP BY 1
+  ORDER BY n DESC, user_id ASC LIMIT {CMS_TOP_K}
+),
+probes AS (
+  SELECT user_id, n, i,
+         ('0x' || substr(md5(user_id::VARCHAR || 'cms' || i::VARCHAR), 1, 8))::BIGINT
+           % {CMS_WIDTH} AS b
+  FROM exact, rows_d
+),
+est AS (
+  SELECT user_id, n, min(c) AS est
+  FROM probes JOIN cells USING (i, b)
+  GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n AS BIGINT) AS exact_count,
+       CAST(est AS BIGINT) AS cms_estimate,
+       CAST(((est - n) * 10000) // n AS BIGINT) AS over_bp,
+       CAST(CASE WHEN est >= n THEN 1 ELSE 0 END AS BIGINT) AS gate_ok
+FROM est
+"""
+
+
+# --- pinball (quantile) loss eval --------------------------------------------
+
+PINBALL_TAU_NUM = 9   #: tau = 9/10 — evaluate a P90 prediction
+PINBALL_TAU_DEN = 10
+
+
+def quantile_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball-loss evaluation of a per-type P90 purchase-value
+    predictor: the "model" is each type's exact empirical 0.9-quantile
+    (rank ⌈0.9·n⌉ over the distinct-cents domain), and the eval reports
+    the mean pinball loss L_τ(v,q) = τ(v−q)⁺ + (1−τ)(q−v)⁺ per type —
+    the quantile-regression metric (the MAE of quantile models) that
+    completes the eval suite: AUC ranks, decile lift calibrates bands,
+    conformal gates coverage, pinball scores QUANTILE point predictions.
+
+    Exactness: the quantile is an exact rank over per-type cumulative
+    counts on the distinct-cents domain; per-event losses are exact
+    integers ×10 (τ = 9/10 folds into integer weights 9 and 1); the
+    mean is a non-negative integer division in x10-cents.
+
+    Scale shape: one per-(type, cents) aggregate; the quantile rank
+    runs on the price-range-bounded cents domain per type (the
+    ks/conformal justification); the prediction re-attaches via a
+    |types|-row broadcast join; the loss aggregate is map-side
+    partial."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    base = ev.select("event_type", _cents("value").alias("_v"))
+    per_v = base.groupBy("event_type", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc_nulls_last("_v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_type = Window.partitionBy("event_type")
+    cum = per_v.select(
+        "event_type",
+        "_v",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_type).alias("_n"),
+    )
+    pred = (
+        cum.filter(
+            F.col("_cum")
+            >= F.expr(
+                f"(_n * {PINBALL_TAU_NUM} + {PINBALL_TAU_DEN - 1})"
+                f" div {PINBALL_TAU_DEN}"
+            )
+        )
+        .groupBy("event_type")
+        .agg(F.min("_v").alias("_q"), F.max("_n").alias("_n"))
+    )
+    loss = (
+        base.join(F.broadcast(pred), "event_type")
+        .select(
+            "event_type",
+            "_n",
+            F.expr(
+                f"CASE WHEN _v >= _q THEN {PINBALL_TAU_NUM} * (_v - _q)"
+                f" ELSE {PINBALL_TAU_DEN - PINBALL_TAU_NUM} * (_q - _v) END"
+            ).alias("_l"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("_n").cast("long").alias("n_events"),
+            F.sum("_l").cast("long").alias("sum_loss_x10"),
+        )
+    )
+    return loss.join(F.broadcast(pred.select("event_type", "_q")), "event_type").select(
+        "event_type",
+        "n_events",
+        F.col("_q").cast("long").alias("pred_q_cents"),
+        "sum_loss_x10",
+        F.expr("CAST(sum_loss_x10 div n_events AS BIGINT)").alias("mean_loss_x10"),
+    )
+
+
+PINBALL_SQL = f"""
+WITH base AS (
+  SELECT event_type, {_CENTS_SQL.format(x="value")} AS v
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+per_v AS (SELECT event_type, v, count(*) AS c FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, v,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM per_v
+),
+pred AS (
+  SELECT event_type, min(v) AS q, max(n) AS n
+  FROM cum
+  WHERE cum >= (n * {PINBALL_TAU_NUM} + {PINBALL_TAU_DEN - 1}) // {PINBALL_TAU_DEN}
+  GROUP BY 1
+),
+loss AS (
+  SELECT b.event_type, max(p.n) AS n,
+         sum(CASE WHEN b.v >= p.q THEN {PINBALL_TAU_NUM} * (b.v - p.q)
+                  ELSE {PINBALL_TAU_DEN - PINBALL_TAU_NUM} * (p.q - b.v) END)
+           AS sum_loss
+  FROM base b JOIN pred p ON b.event_type = p.event_type
+  GROUP BY 1
+)
+SELECT l.event_type,
+       CAST(l.n AS BIGINT) AS n_events,
+       CAST(p.q AS BIGINT) AS pred_q_cents,
+       CAST(l.sum_loss AS BIGINT) AS sum_loss_x10,
+       CAST(l.sum_loss // l.n AS BIGINT) AS mean_loss_x10
+FROM loss l JOIN pred p ON l.event_type = p.event_type
+"""
+
+
+# --- held-out expected calibration error -------------------------------------
+
+ECE_CLAMP_E1 = 30    #: coarse e1 logit-bin clamp (≤61 bins)
+
+
+def ece_calibration_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Expected Calibration Error of the isotonic-calibrated
+    quality model: documents split into md5 halves, the PAV isotonic
+    fit (the exact max-min closed form from isotonic_calibration, on a
+    coarser ≤61-bin grid) is computed on the TRAIN half, and each TEST-
+    half bin reports its observed positive rate vs the train fit plus
+    the |gap|-weighted ECE contribution — the calibration EVAL that
+    completes the calibration FIT: isotonic_calibration measures the
+    in-sample curve; this measures whether it transfers to unseen data
+    (Naeini et al.'s ECE, binned form).
+
+    Exactness: the PAV fit is the same exact integer max-min closed
+    form (floor commutes with min/max); test rates are exact ppm
+    integer divisions; the ECE contribution |rate−fit|·n_test is exact
+    integer arithmetic (summable in any order). Test bins with no train
+    fit (score region unseen in training) emit NULL fit and are
+    excluded from the ECE sum via CASE in both engines — reported, not
+    silently dropped.
+
+    Scale shape: both halves collapse to ≤61-bin frames in one
+    aggregate each; the PAV pair expansion, windows, and the train-test
+    bin join are all grid-bounded (the isotonic justification)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    b = docs.select(
+        F.greatest(
+            F.least(
+                F.floor(_logit_col() * 10 + F.lit(0.5)).cast("long"),
+                F.lit(ECE_CLAMP_E1),
+            ),
+            F.lit(-ECE_CLAMP_E1),
+        ).alias("bin_e1"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("_y"),
+        hash_bucket(F.col("doc_id"), "ece", 2).alias("_h"),
+    )
+    per_tr = b.filter(F.col("_h") == 0).groupBy("bin_e1").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p")
+    )
+    # ≤61 rows from here on — grid-bounded (the isotonic justification).
+    w_cum = Window.orderBy(F.asc_nulls_last("bin_e1")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pre = per_tr.select(
+        "bin_e1",
+        "_n",
+        "_p",
+        F.row_number().over(Window.orderBy(F.asc_nulls_last("bin_e1"))).alias("_i"),
+        F.sum("_n").over(w_cum).alias("_sn"),
+        F.sum("_p").over(w_cum).alias("_sp"),
+    ).withColumn("_m", F.max("_i").over(w_all))
+    pairs = pre.select(
+        F.col("_i").alias("_j"),
+        (F.col("_sn") - F.col("_n")).alias("_snp"),
+        (F.col("_sp") - F.col("_p")).alias("_spp"),
+        F.explode(F.sequence(F.col("_i"), F.col("_m"))).alias("_k"),
+    )
+    right = pre.select(
+        F.col("_i").alias("_k"), F.col("_sn").alias("_snk"), F.col("_sp").alias("_spk")
+    )
+    mj = (
+        pairs.join(F.broadcast(right), "_k")
+        .groupBy("_j")
+        .agg(F.min(F.expr("((_spk - _spp) * 1000000) div (_snk - _snp)")).alias("_mj"))
+    )
+    w_fit = Window.orderBy("_j").rowsBetween(Window.unboundedPreceding, 0)
+    fit = (
+        mj.select(F.col("_j").alias("_i"), F.max("_mj").over(w_fit).alias("_f"))
+        .join(F.broadcast(pre.select("_i", "bin_e1")), "_i")
+        .select("bin_e1", F.col("_f").alias("fit_ppm"))
+    )
+    per_te = b.filter(F.col("_h") == 1).groupBy("bin_e1").agg(
+        F.count(F.lit(1)).alias("_nt"), F.sum("_y").alias("_pt")
+    )
+    joined = per_te.join(F.broadcast(fit), "bin_e1", "left").select(
+        "bin_e1",
+        "_nt",
+        "_pt",
+        "fit_ppm",
+        F.expr("(_pt * 1000000) div _nt").alias("_rate"),
+    )
+    w_tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    out = joined.withColumn(
+        "_contrib",
+        F.expr("CASE WHEN fit_ppm IS NOT NULL THEN abs(_rate - fit_ppm) * _nt END"),
+    ).withColumn("_ntot", F.sum("_nt").over(w_tot))
+    return out.select(
+        F.col("bin_e1").cast("long").alias("bin_e1"),
+        F.col("_nt").cast("long").alias("n_test"),
+        F.col("_pt").cast("long").alias("p_test"),
+        F.col("_rate").cast("long").alias("rate_ppm"),
+        F.col("fit_ppm").cast("long").alias("fit_ppm"),
+        F.expr(
+            "CAST(CASE WHEN fit_ppm IS NOT NULL THEN abs(_rate - fit_ppm) END AS BIGINT)"
+        ).alias("gap_ppm"),
+        F.expr(
+            "CAST(CASE WHEN fit_ppm IS NOT NULL THEN (abs(_rate - fit_ppm) * _nt)"
+            " div _ntot END AS BIGINT)"
+        ).alias("ece_term_ppm"),
+    )
+
+
+ECE_SQL = f"""
+WITH {_logit_ctes()},
+bb AS (
+  SELECT greatest(least(CAST(floor(logit * 10 + 0.5) AS BIGINT),
+                        {ECE_CLAMP_E1}), -{ECE_CLAMP_E1}) AS bin_e1,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'ece'), 1, 8))::BIGINT % 2 AS h
+  FROM s
+  WHERE logit IS NOT NULL
+),
+per_tr AS (SELECT bin_e1, count(*)::BIGINT AS n, sum(y)::BIGINT AS p
+           FROM bb WHERE h = 0 GROUP BY 1),
+pre AS (
+  SELECT bin_e1, n, p,
+         row_number() OVER (ORDER BY bin_e1) AS i,
+         sum(n) OVER (ORDER BY bin_e1) AS sn,
+         sum(p) OVER (ORDER BY bin_e1) AS sp,
+         count(*) OVER () AS m
+  FROM per_tr
+),
+pairs AS (
+  SELECT a.i AS j, a.sn - a.n AS snp, a.sp - a.p AS spp,
+         b.i AS k, b.sn AS snk, b.sp AS spk
+  FROM pre a JOIN pre b ON b.i >= a.i
+),
+mj AS (
+  SELECT j, min(((spk - spp) * 1000000) // (snk - snp)) AS mjv
+  FROM pairs GROUP BY 1
+),
+fit AS (
+  SELECT p2.bin_e1, f.f AS fit_ppm FROM (
+    SELECT j AS i, max(mjv) OVER (ORDER BY j) AS f FROM mj
+  ) f JOIN pre p2 ON p2.i = f.i
+),
+per_te AS (SELECT bin_e1, count(*)::BIGINT AS nt, sum(y)::BIGINT AS pt
+           FROM bb WHERE h = 1 GROUP BY 1),
+joined AS (
+  SELECT t.bin_e1, t.nt, t.pt, fit.fit_ppm,
+         (t.pt * 1000000) // t.nt AS rate,
+         sum(t.nt) OVER () AS ntot
+  FROM per_te t LEFT JOIN fit ON t.bin_e1 = fit.bin_e1
+)
+SELECT CAST(bin_e1 AS BIGINT) AS bin_e1,
+       CAST(nt AS BIGINT) AS n_test,
+       CAST(pt AS BIGINT) AS p_test,
+       CAST(rate AS BIGINT) AS rate_ppm,
+       CAST(fit_ppm AS BIGINT) AS fit_ppm,
+       CAST(CASE WHEN fit_ppm IS NOT NULL THEN abs(rate - fit_ppm) END AS BIGINT)
+         AS gap_ppm,
+       CAST(CASE WHEN fit_ppm IS NOT NULL
+                 THEN (abs(rate - fit_ppm) * nt) // ntot END AS BIGINT)
+         AS ece_term_ppm
+FROM joined
+"""
+
+
+# --- banded Theil-Sen robust trend -------------------------------------------
+
+THEILSEN_MAX_SPAN_DAYS = 90  #: pair band — slopes only between days ≤90 apart
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Theil-Sen robust slope of daily order revenue: the median
+    of pairwise slopes (Δrevenue/Δdays) over all day pairs at most 90
+    days apart — the outlier-robust trend estimator that complements
+    the least-squares ols_daily_trend_by_type (one spiky day moves OLS;
+    the slope MEDIAN shrugs it off; banding is the standard
+    large-series variant and keeps the pair frame calendar-bounded).
+
+    Exactness: per-pair slope_e6 = floor(1e6·Δcents/Δdays) — one IEEE
+    divide + floor over exact integers, engine-identical; the median is
+    the exact lower median by rank over the slope-value domain.
+
+    Scale shape: the corpus collapses to the |days| daily frame in one
+    aggregate; the banded self-join and every window after run on
+    calendar-bounded frames (≤|days|·90 pairs — constant in DATA
+    volume, growing only with the time span; same justification class
+    as sprt/ols, one size up and documented as such)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("_day")).agg(
+        F.sum(_cents("o_totalprice")).alias("_x")
+    )
+    d = daily.select(
+        F.datediff("_day", F.lit("1970-01-01").cast("date")).cast("long").alias("_d"),
+        "_x",
+    )
+    b = d.select(F.col("_d").alias("_db"), F.col("_x").alias("_xb"))
+    slopes = (
+        d.join(
+            F.broadcast(b),
+            (F.col("_db") > F.col("_d"))
+            & (F.col("_db") <= F.col("_d") + THEILSEN_MAX_SPAN_DAYS),
+        )
+        .select(
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("_xb") - F.col("_x"))
+                / (F.col("_db") - F.col("_d"))
+            )
+            .cast("long")
+            .alias("_s")
+        )
+    )
+    per_s = slopes.groupBy("_s").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = Window.orderBy(F.asc_nulls_last("_s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = per_s.select(
+        "_s",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    med = cum.filter(F.col("_cum") >= F.expr("(_n + 1) div 2")).agg(
+        F.min("_s").alias("_med"), F.max("_n").alias("_np")
+    )
+    ndays = daily.agg(F.count(F.lit(1)).alias("_nd"))
+    return med.crossJoin(F.broadcast(ndays)).select(
+        F.col("_nd").cast("long").alias("n_days"),
+        F.col("_np").cast("long").alias("n_pairs"),
+        F.col("_med").cast("long").alias("theilsen_slope_e6"),
+    ).where(F.col("_np").isNotNull())
+
+
+THEILSEN_SQL = f"""
+WITH daily AS (
+  SELECT o_orderdate::DATE AS day, sum({_CENTS_SQL.format(x="o_totalprice")}) AS x
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+d AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS dd, x FROM daily),
+slopes AS (
+  SELECT CAST(floor(1000000.0 * (b.x - a.x) / (b.dd - a.dd)) AS BIGINT) AS s
+  FROM d a JOIN d b
+    ON b.dd > a.dd AND b.dd <= a.dd + {THEILSEN_MAX_SPAN_DAYS}
+),
+per_s AS (SELECT s, count(*) AS c FROM slopes GROUP BY 1),
+cum AS (
+  SELECT s, sum(c) OVER (ORDER BY s) AS cum, sum(c) OVER () AS n FROM per_s
+),
+med AS (
+  SELECT min(s) AS m, max(n) AS np FROM cum WHERE cum >= (n + 1) // 2
+)
+SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(np AS BIGINT) AS n_pairs,
+       CAST(m AS BIGINT) AS theilsen_slope_e6
+FROM med
+WHERE np IS NOT NULL
+"""

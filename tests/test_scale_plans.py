@@ -201,6 +201,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "survival_hazard_daily",           # 1-row max-date anchor broadcast
         "acf_daily_revenue",               # 8-row lag-grid broadcast over the day frame
         "dedup_sorted_neighborhood",       # 3-row rank-offset grid broadcast
+        "cms_heavy_hitters",               # 4-row depth-grid broadcast (sketch hash rows)
+        "theil_sen_trend",                 # banded |days|-frame self-join + 1-row count broadcast
     }
     sf = "/root/testdata/sf0.001"
     registered = set(entrymod.queries())
