@@ -170,6 +170,14 @@ QUERIES = [
     "padding_waste_audit",
     "tokenizer_fertility_by_lang",
     "text_repetition_audit",
+    # wave-9 members. cms's 256-cell sketch and the pinball/theilsen
+    # cents/day domains are bounded intermediates; ece's grids are
+    # ≤61 bins; theilsen's pair frame is calendar-constant under
+    # replication (same days, 10x the per-day totals).
+    "cms_heavy_hitters",
+    "quantile_loss_eval",
+    "ece_calibration_eval",
+    "theil_sen_trend",
 ]
 
 
