@@ -1054,6 +1054,27 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round8_queries.theil_sen_trend,
         round8_queries.THEILSEN_SQL,
     ),
+    # --- round-7 wave-10 registrations (post-seal — r8 window queue) ---
+    "hhi_market_concentration": (
+        round8_queries.hhi_market_concentration,
+        round8_queries.HHI_SQL,
+    ),
+    "bloom_fpr_audit": (
+        round8_queries.bloom_fpr_audit,
+        round8_queries.BLOOM_FPR_SQL,
+    ),
+    "sample_systematic_every_k": (
+        round8_queries.sample_systematic_every_k,
+        round8_queries.SYSTEMATIC_SQL,
+    ),
+    "ltv_cohort_curve": (
+        round8_queries.ltv_cohort_curve,
+        round8_queries.LTV_SQL,
+    ),
+    "overdispersion_check": (
+        round8_queries.overdispersion_check,
+        round8_queries.OVERDISPERSION_SQL,
+    ),
 }
 
 
@@ -1154,10 +1175,17 @@ _ROUND7_FRONT: list[str] = [
 # Round-8 window queue: queries added AFTER the r7 window is sealed go here
 # (never displacing a planned check), plus any query whose implementation
 # changes after its last driver row (re-certification rule). New queries
-# registered DURING round 7 (before the seal) take window backfill slots
-# directly — the sweeps run before sealing this round, so sweep fixes land
-# inside the same round's driver check.
-_ROUND8_QUEUE: list[str] = []
+# registered DURING round 7 (before the seal) took window backfill slots
+# directly — the sweeps ran before sealing, so no sweep-fix re-certs carry.
+# The wave-10 registrations below landed after the seal; each was verified
+# at both SFs and on all five adversarial sweep datasets before queueing.
+_ROUND8_QUEUE: list[str] = [
+    "hhi_market_concentration",
+    "bloom_fpr_audit",
+    "sample_systematic_every_k",
+    "ltv_cohort_curve",
+    "overdispersion_check",
+]
 
 _FRONT = _ROUND7_FRONT + _ROUND8_QUEUE
 

@@ -1473,3 +1473,459 @@ SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
 FROM med
 WHERE np IS NOT NULL
 """
+
+
+# --- wave 10 (registered after the r7 seal — checked in the r8 window) -------
+
+HHI_SHARE_SCALE = 10000  #: shares in basis points; HHI on the 0..10000 scale
+
+
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market-concentration index per nation over
+    customer revenue shares — the antitrust-standard concentration
+    measure (revenue_gini ranks inequality of the whole distribution;
+    HHI = Σ share² is the regulator's threshold number, comparable
+    against the 1500/2500 DOJ bands on the 0..10000 scale).
+
+    Exactness: shares are FLOORED basis points (share_bp = rev·10⁴ div
+    nation_rev, non-negative integer division), and the index is the
+    exact integer Σ share_bp² div 10⁴ — the floored-share HHI, a
+    deterministic, engine-identical statistic (documented as such: the
+    real-valued HHI differs by at most |customers|·2·10⁻⁴·10⁴ from it).
+
+    Scale shape: one (nation, customer) revenue aggregate (the only
+    full-data shuffle), nation totals via a second bounded aggregate
+    re-attached as a |nations|-row broadcast, and a final bounded
+    groupBy — no windows over data-sized frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    rev = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("_r"))
+    )
+    tot = rev.groupBy("c_nationkey").agg(
+        F.sum("_r").alias("_t"), F.count(F.lit(1)).alias("_nc")
+    )
+    shares = rev.join(F.broadcast(tot), "c_nationkey").select(
+        "c_nationkey",
+        "_nc",
+        F.expr(f"(_r * {HHI_SHARE_SCALE}) div _t").alias("_s"),
+    )
+    return (
+        shares.groupBy("c_nationkey")
+        .agg(
+            F.max("_nc").cast("long").alias("n_customers"),
+            F.expr(f"CAST(sum(_s * _s) div {HHI_SHARE_SCALE} AS BIGINT)").alias("hhi"),
+        )
+        .select(
+            "c_nationkey",
+            "n_customers",
+            "hhi",
+            F.when(F.col("hhi") >= 2500, F.lit("high"))
+            .when(F.col("hhi") >= 1500, F.lit("moderate"))
+            .otherwise(F.lit("low"))
+            .alias("band"),
+        )
+    )
+
+
+HHI_SQL = f"""
+WITH rev AS (
+  SELECT c_nationkey, c_custkey, sum({_CENTS_SQL.format(x="o_totalprice")}) AS r
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT c_nationkey, sum(r) AS t, count(*) AS nc FROM rev GROUP BY 1),
+shares AS (
+  SELECT rev.c_nationkey, nc, (r * {HHI_SHARE_SCALE}) // t AS s
+  FROM rev JOIN tot ON rev.c_nationkey = tot.c_nationkey
+)
+SELECT c_nationkey,
+       CAST(max(nc) AS BIGINT) AS n_customers,
+       CAST(sum(s * s) // {HHI_SHARE_SCALE} AS BIGINT) AS hhi,
+       CASE WHEN sum(s * s) // {HHI_SHARE_SCALE} >= 2500 THEN 'high'
+            WHEN sum(s * s) // {HHI_SHARE_SCALE} >= 1500 THEN 'moderate'
+            ELSE 'low' END AS band
+FROM shares GROUP BY 1
+"""
+
+
+# --- Bloom-filter false-positive-rate audit ----------------------------------
+
+BF_BITS = 1024       #: bitmap size m (32 32-bit words)
+BF_HASHES = 3        #: hash functions k (md5 wheel — portable)
+
+
+def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured false-positive rate of a Bloom filter over the purchase
+    user set, probed with EVERY distinct event user — the sketch-audit
+    companion of bloom_filtered_events_join: that query proves the
+    prefilter preserves join results; this one measures the sketch's
+    actual selectivity loss (FPR) and fill ratio, the two numbers that
+    size m and k for a 100 TB runtime filter. Same estimate+exact-gate
+    family as the CMS/KMV gates — no-false-negatives is asserted as
+    ``gate_ok`` (every true member must probe positive).
+
+    Unlike operators/bloom (xxhash64 — JVM-only), the audit's positions
+    come from the md5 wheel so BOTH engines build bit-identical
+    bitmaps; the bitmap stays RELATIONAL (a ≤32-row (word, mask) table)
+    rather than a packed array, so the probe is a plain broadcast
+    equi-join on the word index in both engines.
+
+    Exactness: positions, masks, counts and the FPR bp are exact
+    integers throughout.
+
+    Scale shape: members/probes are distinct-user aggregates; the
+    bitmap build is a ≤16-row groupBy; probing joins each probe's k
+    positions to the broadcast word table and counts hits — map-side
+    after one users shuffle."""
+    from ..operators.dedup import md5_int
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    members = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    probes = ev.select("user_id").distinct()
+    hashes = spark.range(0, BF_HASHES).select(F.col("id").cast("int").alias("_i"))
+
+    def pos(col: F.Column) -> F.Column:
+        return md5_int(
+            F.concat(col.cast("string"), F.lit("bf"), F.col("_i"))
+        ) % BF_BITS
+
+    words = (
+        members.join(F.broadcast(hashes))
+        .select(pos(F.col("user_id")).alias("_p"))
+        .distinct()
+        .groupBy(F.expr("_p div 32").alias("_w"))
+        .agg(
+            # 32-bit words: DuckDB raises on `1::BIGINT << 63` (checked
+            # overflow), so both engines stay in the safe shift range
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))")).alias(
+                "_mask"
+            )
+        )
+    )
+    truth = probes.join(
+        members.withColumn("_is_member", F.lit(1)), "user_id", "left"
+    ).select("user_id", F.coalesce("_is_member", F.lit(0)).alias("_m"))
+    ppos = truth.join(F.broadcast(hashes)).select(
+        "user_id",
+        "_m",
+        F.expr(
+            f"conv(substring(md5(concat(CAST(user_id AS STRING), 'bf', CAST(_i AS STRING))), 1, 8), 16, 10) % {BF_BITS}"
+        ).cast("long").alias("_p"),
+    )
+    hits = (
+        ppos.join(
+            F.broadcast(words),
+            (F.expr("_p div 32") == F.col("_w"))
+            & (
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))").bitwiseAND(
+                    F.col("_mask")
+                )
+                != 0
+            ),
+        )
+        .groupBy("user_id", "_m")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    per_probe = truth.join(
+        hits.select("user_id", "_hits"), "user_id", "left"
+    ).select(
+        "_m",
+        F.when(F.coalesce("_hits", F.lit(0)) == BF_HASHES, 1).otherwise(0).alias("_pos"),
+    )
+    fill = words.agg(F.sum(F.bit_count("_mask")).alias("_set"))
+    agg = per_probe.agg(
+        F.sum("_m").cast("long").alias("n_members"),
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("_pos").cast("long").alias("n_bloom_positive"),
+        F.sum(F.when((F.col("_pos") == 1) & (F.col("_m") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positive"),
+        F.sum(F.when((F.col("_pos") == 0) & (F.col("_m") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_negative"),
+    )
+    return agg.crossJoin(F.broadcast(fill)).select(
+        "n_members",
+        "n_probes",
+        "n_bloom_positive",
+        "n_false_positive",
+        F.expr(
+            "CAST(CASE WHEN n_probes - n_members > 0 THEN"
+            " (n_false_positive * 10000) div (n_probes - n_members)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("fpr_bp"),
+        F.expr(f"CAST((_set * 10000) div {BF_BITS} AS BIGINT)").alias("fill_bp"),
+        F.when(F.col("n_false_negative") == 0, 1).otherwise(0).cast("long").alias("gate_ok"),
+    )
+
+
+BLOOM_FPR_SQL = f"""
+WITH ev AS (SELECT user_id, event_type FROM events WHERE user_id IS NOT NULL),
+members AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'),
+probes AS (SELECT DISTINCT user_id FROM ev),
+hashes AS (SELECT i::INT AS i FROM range({BF_HASHES}) t(i)),
+mpos AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR || 'bf' || i::VARCHAR), 1, 8))::BIGINT
+           % {BF_BITS} AS p
+  FROM members, hashes
+),
+words AS (
+  SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS mask
+  FROM mpos GROUP BY 1
+),
+truth AS (
+  SELECT p.user_id, CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END AS mem
+  FROM probes p LEFT JOIN members m ON p.user_id = m.user_id
+),
+ppos AS (
+  SELECT user_id, mem,
+         ('0x' || substr(md5(user_id::VARCHAR || 'bf' || i::VARCHAR), 1, 8))::BIGINT
+           % {BF_BITS} AS p
+  FROM truth, hashes
+),
+hits AS (
+  SELECT user_id, mem, count(*) AS h
+  FROM ppos JOIN words
+    ON p // 32 = w AND (mask & (1::BIGINT << CAST(p % 32 AS INT))) != 0
+  GROUP BY 1, 2
+),
+per_probe AS (
+  SELECT t.mem,
+         CASE WHEN coalesce(h.h, 0) = {BF_HASHES} THEN 1 ELSE 0 END AS pos
+  FROM truth t LEFT JOIN hits h ON t.user_id = h.user_id
+),
+fill AS (SELECT sum(bit_count(mask)) AS nset FROM words),
+agg AS (
+  SELECT CAST(sum(mem) AS BIGINT) AS n_members,
+         count(*)::BIGINT AS n_probes,
+         CAST(sum(pos) AS BIGINT) AS n_bloom_positive,
+         CAST(sum(CASE WHEN pos = 1 AND mem = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_positive,
+         CAST(sum(CASE WHEN pos = 0 AND mem = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_negative
+  FROM per_probe
+)
+SELECT n_members, n_probes, n_bloom_positive, n_false_positive,
+       CAST(CASE WHEN n_probes - n_members > 0 THEN
+              (n_false_positive * 10000) // (n_probes - n_members)
+            ELSE 0 END AS BIGINT) AS fpr_bp,
+       CAST((nset * 10000) // {BF_BITS} AS BIGINT) AS fill_bp,
+       CAST(CASE WHEN n_false_negative = 0 THEN 1 ELSE 0 END AS BIGINT) AS gate_ok
+FROM agg, fill
+"""
+
+
+# --- systematic (every-k-th) sampling ----------------------------------------
+
+SYSTEMATIC_K = 10    #: keep every K-th document
+SYSTEMATIC_OFFSET = 3  #: deterministic phase
+
+
+def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling: rank the corpus in a fixed total order
+    (doc_id) and keep every K-th row at a fixed phase — the classical
+    equal-interval design that guarantees EXACTLY ⌈n/K⌉ ± 1 rows and
+    perfect stride coverage, which Bernoulli/hash sampling
+    (sample_hash_10pct) only achieves in expectation. The sampler an
+    eval pipeline uses when it needs a deterministic, evenly-spaced
+    holdout.
+
+    Exactness: ranks and the modulus are exact integers; the sample is
+    fully determined by (K, offset, doc_id order).
+
+    Scale shape: the rank rides ``layout.dense_ids_by`` (range
+    partition + offset carry — no single-partition sort); the keep
+    predicate is map-side."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ranked = layout.dense_ids_by(docs.select("doc_id", "lang"), ["doc_id"], "_rk")
+    return (
+        ranked.filter(
+            F.col("_rk") % SYSTEMATIC_K == SYSTEMATIC_OFFSET
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("_rk").cast("long").alias("rank"),
+            "lang",
+        )
+    )
+
+
+SYSTEMATIC_SQL = f"""
+WITH r AS (
+  SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) AS rk FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rk AS BIGINT) AS rank,
+       lang
+FROM r WHERE rk % {SYSTEMATIC_K} = {SYSTEMATIC_OFFSET}
+"""
+
+
+# --- LTV cohort curve ---------------------------------------------------------
+
+
+def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime-value curve per signup cohort: users grouped
+    by first-signup day, purchases attributed at their day-age since
+    signup, and each (cohort, age) cell reports purchasers, revenue,
+    cumulative revenue, and cumulative revenue per cohort member — the
+    product-analytics curve (does day-30 LTV cover acquisition cost?)
+    that retention_cohorts' activity matrix and asof_signup_attribution's
+    per-event rows don't aggregate.
+
+    Exactness: ages are integer day differences; revenue is exact
+    cents; cumulative sums are integer windows; per-member values are
+    non-negative integer divisions.
+
+    Scale shape: one per-user first-signup aggregate, one equi-join of
+    purchases to it (shuffles on user_id), one (cohort, age) aggregate;
+    the cumulative window is partitioned by cohort over the ≤|days| age
+    domain (calendar-bounded)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("_cohort"))
+    )
+    cohort_size = signup.groupBy("_cohort").agg(F.count(F.lit(1)).alias("_sz"))
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("user_id", F.to_date("ts").alias("_pday"), _cents("value").alias("_v"))
+    aged = (
+        purchases.join(signup, "user_id")
+        .filter(F.col("_pday") >= F.col("_cohort"))
+        .select(
+            "_cohort",
+            F.datediff("_pday", "_cohort").alias("age_days"),
+            "user_id",
+            "_v",
+        )
+    )
+    cells = aged.groupBy("_cohort", "age_days").agg(
+        F.countDistinct("user_id").alias("_buyers"),
+        F.sum("_v").alias("_rev"),
+    )
+    w_cum = (
+        Window.partitionBy("_cohort")
+        .orderBy(F.asc_nulls_last("age_days"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = cells.join(F.broadcast(cohort_size), "_cohort").select(
+        F.col("_cohort").alias("cohort_day"),
+        F.col("age_days").cast("long").alias("age_days"),
+        F.col("_sz").cast("long").alias("cohort_users"),
+        F.col("_buyers").cast("long").alias("n_buyers"),
+        F.col("_rev").cast("long").alias("revenue_cents"),
+        F.sum("_rev").over(w_cum).cast("long").alias("cum_revenue_cents"),
+        F.expr("CAST(sum(_rev) OVER (PARTITION BY _cohort ORDER BY age_days"
+               " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) div _sz"
+               " AS BIGINT)").alias("cum_ltv_per_user_cents"),
+    )
+    return out
+
+
+LTV_SQL = f"""
+WITH signup AS (
+  SELECT user_id, min(ts::DATE) AS cohort FROM events
+  WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1
+),
+csize AS (SELECT cohort, count(*) AS sz FROM signup GROUP BY 1),
+aged AS (
+  SELECT s.cohort, (e.ts::DATE - s.cohort) AS age_days, e.user_id,
+         {_CENTS_SQL.format(x="e.value")} AS v
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+    AND e.ts::DATE >= s.cohort
+),
+cells AS (
+  SELECT cohort, age_days, count(DISTINCT user_id) AS buyers, sum(v) AS rev
+  FROM aged GROUP BY 1, 2
+)
+SELECT c.cohort AS cohort_day,
+       CAST(age_days AS BIGINT) AS age_days,
+       CAST(sz AS BIGINT) AS cohort_users,
+       CAST(buyers AS BIGINT) AS n_buyers,
+       CAST(rev AS BIGINT) AS revenue_cents,
+       CAST(sum(rev) OVER (PARTITION BY c.cohort ORDER BY age_days) AS BIGINT)
+         AS cum_revenue_cents,
+       CAST(sum(rev) OVER (PARTITION BY c.cohort ORDER BY age_days) // sz AS BIGINT)
+         AS cum_ltv_per_user_cents
+FROM cells c JOIN csize ON c.cohort = csize.cohort
+"""
+
+
+# --- overdispersion (index of dispersion) check -------------------------------
+
+
+def overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion check per event type over purchase cents:
+    D = s²/x̄ = (n·Σx² − S²) / ((n−1)·S), the variance-to-mean ratio
+    that decides Poisson vs negative-binomial modeling (D ≈ 1 Poisson;
+    D ≫ 1 overdispersed — use NB). The count-model diagnostic the
+    anomaly/forecast family (rolling_zscore, seasonal_naive) assumes
+    but never tests.
+
+    Exactness: S and Q = Σx² are exact integer moments (Q accumulates
+    in decimal(38,0) — cents² ≈ 10¹² per row leaves int64 past ~10⁶
+    rows); the numerator n·Q − S² ≥ 0 by Cauchy-Schwarz, so the e6
+    index is a NON-NEGATIVE integer division — Spark decimal div ==
+    DuckDB HUGEINT // (the decision_stump_gini house rule). Degenerate
+    groups (n < 2 or S = 0) emit a NULL index via CASE in both
+    engines.
+
+    Scale shape: one map-side moment aggregate to the |types|-row
+    frame; nothing else."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    m = ev.select("event_type", _cents("value").alias("_v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_v")).alias("_q"),
+    )
+    return m.select(
+        "event_type",
+        F.col("_n").cast("long").alias("n_events"),
+        F.col("_s").cast("long").alias("sum_cents"),
+        F.expr(
+            "CASE WHEN _n >= 2 AND _s > 0 THEN"
+            " CAST(((_n * _q - CAST(_s AS DECIMAL(38,0)) * _s) * 1000000)"
+            " div ((_n - 1) * CAST(_s AS DECIMAL(38,0))) AS BIGINT) END"
+        ).alias("dispersion_e6"),
+        F.expr(
+            "CASE WHEN _n >= 2 AND _s > 0 THEN"
+            " CASE WHEN ((_n * _q - CAST(_s AS DECIMAL(38,0)) * _s) * 1000000)"
+            " div ((_n - 1) * CAST(_s AS DECIMAL(38,0))) > 1000000"
+            " THEN 1 ELSE 0 END END"
+        ).cast("long").alias("overdispersed"),
+    )
+
+
+OVERDISPERSION_SQL = f"""
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+         sum(v) AS s,
+         sum(CAST(v AS HUGEINT) * v) AS q
+  FROM (SELECT event_type, {_CENTS_SQL.format(x="value")} AS v
+        FROM events WHERE value IS NOT NULL AND value >= 0)
+  GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(s AS BIGINT) AS sum_cents,
+       CASE WHEN n >= 2 AND s > 0 THEN
+         CAST(((n * q - CAST(s AS HUGEINT) * s) * 1000000)
+              // ((n - 1) * CAST(s AS HUGEINT)) AS BIGINT) END AS dispersion_e6,
+       CAST(CASE WHEN n >= 2 AND s > 0 THEN
+         CASE WHEN ((n * q - CAST(s AS HUGEINT) * s) * 1000000)
+              // ((n - 1) * CAST(s AS HUGEINT)) > 1000000
+              THEN 1 ELSE 0 END END AS BIGINT) AS overdispersed
+FROM m
+"""

@@ -203,6 +203,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "dedup_sorted_neighborhood",       # 3-row rank-offset grid broadcast
         "cms_heavy_hitters",               # 4-row depth-grid broadcast (sketch hash rows)
         "theil_sen_trend",                 # banded |days|-frame self-join + 1-row count broadcast
+        "bloom_fpr_audit",                 # 3-row hash-grid + 1-row fill-count broadcasts
     }
     sf = "/root/testdata/sf0.001"
     registered = set(entrymod.queries())

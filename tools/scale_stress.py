@@ -178,6 +178,15 @@ QUERIES = [
     "quantile_loss_eval",
     "ece_calibration_eval",
     "theil_sen_trend",
+    # wave-10 members. hhi/ltv are key-partitioned reducers (disjoint
+    # customer/user spaces weak-scale 1:1); bloom's bitmap and word
+    # table are config-sized while members/probes grow; systematic
+    # rides dense_ids_by; overdispersion is one moment aggregate.
+    "hhi_market_concentration",
+    "bloom_fpr_audit",
+    "sample_systematic_every_k",
+    "ltv_cohort_curve",
+    "overdispersion_check",
 ]
 
 
