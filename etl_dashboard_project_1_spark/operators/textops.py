@@ -177,37 +177,63 @@ def chunk_tokens_overlap(
 
 def unigram_logprob(df, id_col: str, text_col: str):
     """Corpus-LM quality score (the unigram cousin of the CCNet-style
-    perplexity filter): per-doc mean log-probability of its tokens under
-    the corpus's own unigram distribution. Very negative means rare/noisy
-    vocabulary; near zero means stopword soup — both tails are what
-    corpus filters cut.
+    perplexity filter): per-doc mean token SURPRISAL under the corpus's
+    own unigram distribution, in integer floor-log₂ bits. High means
+    rare/noisy vocabulary; near zero means stopword soup — both tails
+    are what corpus filters cut.
+
+    Exactness: the per-token term is ``ilog2(total) − ilog2(c)`` where
+    ``ilog2(x) = floor(log2(x)) = length(bin(x)) − 1`` — computed via
+    the binary-string length, an EXACT integer in both engines (no
+    runtime transcendental; libm vs JVM ``log`` can differ in the last
+    ulp, the repo's banned risk class — the contingency/Nelson-Aalen
+    precedent). The term is ≥ 0 because c ≤ total, so the x100 mean is
+    a non-negative integer division. The real-valued mean log₂-prob is
+    recoverable offline to ±1 bit/token from the emitted sufficient
+    statistics (n_tokens, sum_surprisal_bits).
 
     Shape: token table (no shuffle) → vocab counts (one vocab-sized
-    shuffle, broadcast back) → per-doc mean (one doc-keyed shuffle). The
+    shuffle, broadcast back) → per-doc sum (one doc-keyed shuffle). The
     corpus total joins lazily as a 1-row broadcast.
     """
     tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
     freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
-    total = tok.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    total = tok.agg(F.count(F.lit(1)).alias("_total"))
     return (
         tok.join(F.broadcast(freq), "_tok")
         .crossJoin(F.broadcast(total))
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.avg(F.log(F.col("_c") / F.col("_total"))).alias("mean_logprob"),
+            F.sum(
+                F.length(F.expr("bin(_total)")) - F.length(F.expr("bin(_c)"))
+            ).cast("long").alias("sum_surprisal_bits"),
         )
-        .select(F.col("_id").alias(id_col), "n_tokens", "mean_logprob")
+        .withColumn(
+            "mean_surprisal_bits_x100",
+            F.expr("CAST((sum_surprisal_bits * 100) div n_tokens AS BIGINT)"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "sum_surprisal_bits",
+            "mean_surprisal_bits_x100",
+        )
     )
 
 
 def bigram_logprob(df, id_col: str, text_col: str):
     """Bigram corpus-LM quality score — the conditional-probability step
     from the unigram filter toward the KenLM-style CCNet perplexity
-    filter: per-doc mean ``ln P(w_i | w_{i-1})`` with
-    ``P = c(w_{i-1} w_i) / c(w_{i-1}·)`` (denominator = occurrences of
-    the word as a bigram PREFIX, so the conditional normalizes exactly:
-    Σ_w2 c2(w1,w2) = c1(w1)).
+    filter: per-doc mean SURPRISAL of ``P(w_i | w_{i-1})`` in integer
+    floor-log₂ bits, with ``P = c(w_{i-1} w_i) / c(w_{i-1}·)``
+    (denominator = occurrences of the word as a bigram PREFIX, so the
+    conditional normalizes exactly: Σ_w2 c2(w1,w2) = c1(w1)).
+
+    Exactness: the per-occurrence term is ``ilog2(c1) − ilog2(c2)``
+    via binary-string lengths — exact integers in both engines, no
+    runtime transcendental (see unigram_logprob); ≥ 0 because
+    c2 ≤ c1, so the x100 mean is a non-negative integer division.
 
     Shape: positional bigrams are a zip_with of the token array with its
     own shift (map-only); bigram and prefix counts are two aggregates of
@@ -216,7 +242,8 @@ def bigram_logprob(df, id_col: str, text_col: str):
     — then one doc-keyed mean. Same join discipline as tfidf, one order
     of n-gram higher.
 
-    Returns (id_col, n_bigrams, mean_logprob)."""
+    Returns (id_col, n_bigrams, sum_surprisal_bits,
+    mean_surprisal_bits_x100)."""
     w = tokens(text_col)
     n = F.size(w)
     ln1 = F.greatest(n - 1, F.lit(0))
@@ -245,9 +272,20 @@ def bigram_logprob(df, id_col: str, text_col: str):
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.avg(F.log(F.col("_c2") / F.col("_c1"))).alias("mean_logprob"),
+            F.sum(
+                F.length(F.expr("bin(_c1)")) - F.length(F.expr("bin(_c2)"))
+            ).cast("long").alias("sum_surprisal_bits"),
         )
-        .select(F.col("_id").alias(id_col), "n_bigrams", "mean_logprob")
+        .withColumn(
+            "mean_surprisal_bits_x100",
+            F.expr("CAST((sum_surprisal_bits * 100) div n_bigrams AS BIGINT)"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            "sum_surprisal_bits",
+            "mean_surprisal_bits_x100",
+        )
     )
 
 

@@ -1373,14 +1373,12 @@ GROUP BY source
 
 
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram corpus-LM quality score per document (mean token
-    log-probability under the corpus's own unigram distribution)."""
+    """Unigram corpus-LM quality score per document: mean token
+    surprisal in integer floor-log₂ bits under the corpus's own unigram
+    distribution (exact-integer form — no runtime transcendental; see
+    textops.unigram_logprob)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    out = textops.unigram_logprob(docs, "doc_id", "text")
-    return out.select(
-        "doc_id", "n_tokens",
-        derive.portable_round(F.col("mean_logprob"), 4).alias("mean_logprob"),
-    )
+    return textops.unigram_logprob(docs, "doc_id", "text")
 
 
 UNIGRAM_LOGPROB_SQL = r"""
@@ -1388,24 +1386,23 @@ WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents
 ),
 freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
-n AS (SELECT count(*)::DOUBLE AS total FROM tok)
+n AS (SELECT count(*) AS total FROM tok)
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
-       floor(avg(ln(c / total)) * 10000 + 0.5) / 10000 AS mean_logprob
+       CAST(sum(length(bin(total)) - length(bin(c))) AS BIGINT) AS sum_surprisal_bits,
+       CAST((sum(length(bin(total)) - length(bin(c))) * 100) // count(*) AS BIGINT)
+         AS mean_surprisal_bits_x100
 FROM tok JOIN freq USING (tok), n
 GROUP BY doc_id
 """
 
 
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram conditional-LM quality score per document (the next n-gram
-    order above text_unigram_logprob; see textops.bigram_logprob)."""
+    """Bigram conditional-LM quality score per document: mean bigram
+    surprisal in integer floor-log₂ bits (the next n-gram order above
+    text_unigram_logprob; exact-integer form — see
+    textops.bigram_logprob)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    out = textops.bigram_logprob(docs, "doc_id", "text")
-    return out.select(
-        "doc_id",
-        "n_bigrams",
-        derive.portable_round(F.col("mean_logprob"), 4).alias("mean_logprob"),
-    )
+    return textops.bigram_logprob(docs, "doc_id", "text")
 
 
 BIGRAM_LOGPROB_SQL = r"""
@@ -1420,7 +1417,9 @@ c2 AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY 1, 2),
 c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY 1)
 SELECT doc_id,
        count(*)::BIGINT AS n_bigrams,
-       floor(avg(ln(c2 / c1::DOUBLE)) * 10000 + 0.5) / 10000 AS mean_logprob
+       CAST(sum(length(bin(c1)) - length(bin(c2))) AS BIGINT) AS sum_surprisal_bits,
+       CAST((sum(length(bin(c1)) - length(bin(c2))) * 100) // count(*) AS BIGINT)
+         AS mean_surprisal_bits_x100
 FROM occ JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY doc_id
 """

@@ -708,9 +708,18 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys SORT adjacently). Verification is exact distinct-token
     Jaccard in basis points.
 
-    Exactness: the global order (prefix, doc_id) is a binary string
-    comparison — identical in both engines; ranks, rank gaps, and the
-    Jaccard bp are integers.
+    Exactness: ranks, rank gaps, and the Jaccard bp are integers. The
+    global order (prefix, doc_id) carries a BMP-ordering CONTRACT (the
+    dedup_levenshtein_blocked pattern): Spark/Java sorts strings by
+    UTF-16 code units while DuckDB sorts UTF-8 bytes — the two orders
+    agree on all Basic-Multilingual-Plane text (every code point the
+    testdata and unicode sweep contain: ASCII, accents, CJK, Greek)
+    but DIVERGE on supplementary-plane characters (emoji, rare CJK-B),
+    where UTF-16 surrogates (0xD800–0xDFFF) sort below U+E000-range
+    code points that UTF-8 bytes sort above. Corpora with
+    supplementary-plane prefixes need a prefix normalization (e.g.
+    strip non-BMP) before this operator; the oracle pair asserts
+    equality only under the contract.
 
     Scale shape: the global rank rides ``layout.dense_ids_by``
     (range-partition + per-partition rank + offset carry — no
@@ -1492,6 +1501,13 @@ def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer Σ share_bp² div 10⁴ — the floored-share HHI, a
     deterministic, engine-identical statistic (documented as such: the
     real-valued HHI differs by at most |customers|·2·10⁻⁴·10⁴ from it).
+    Non-negativity contract: rows with o_totalprice < 0 are filtered in
+    BOTH engines (Spark ``div`` truncates toward zero, DuckDB ``//``
+    floors — they differ on negatives; a credit-heavy customer could
+    otherwise push _r or even _t below zero). int64 headroom: _r is
+    per-(nation, customer) revenue in cents, so ``_r * 10⁴`` stays in
+    int64 up to $9.2×10¹² per customer; ``Σ share_bp²`` is bounded by
+    10⁸·|customers| — DuckDB's integer sum is HUGEINT either way.
 
     Scale shape: one (nation, customer) revenue aggregate (the only
     full-data shuffle), nation totals via a second bounded aggregate
@@ -1502,7 +1518,7 @@ def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey"), F.col("c_nationkey")
     )
     rev = (
-        orders.filter(F.col("o_totalprice").isNotNull())
+        orders.filter(F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") >= 0))
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey", "c_custkey")
         .agg(F.sum(_cents("o_totalprice")).alias("_r"))
@@ -1537,7 +1553,7 @@ HHI_SQL = f"""
 WITH rev AS (
   SELECT c_nationkey, c_custkey, sum({_CENTS_SQL.format(x="o_totalprice")}) AS r
   FROM orders JOIN customer ON o_custkey = c_custkey
-  WHERE o_totalprice IS NOT NULL
+  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
   GROUP BY 1, 2
 ),
 tot AS (SELECT c_nationkey, sum(r) AS t, count(*) AS nc FROM rev GROUP BY 1),
@@ -1782,7 +1798,12 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: ages are integer day differences; revenue is exact
     cents; cumulative sums are integer windows; per-member values are
-    non-negative integer divisions.
+    non-negative integer divisions. Refund rows (value < 0) are
+    EXCLUDED in both engines — the module's house rule is integer
+    division only on non-negative operands (Spark ``div`` truncates
+    toward zero, DuckDB ``//`` floors; they differ on negatives), and
+    a refund-heavy age cell could otherwise drive cum_revenue
+    negative. Same guard as halflife_decay_user_value.
 
     Scale shape: one per-user first-signup aggregate, one equi-join of
     purchases to it (shuffles on user_id), one (cohort, age) aggregate;
@@ -1796,7 +1817,9 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cohort_size = signup.groupBy("_cohort").agg(F.count(F.lit(1)).alias("_sz"))
     purchases = ev.filter(
-        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & (F.col("value") >= 0)
     ).select("user_id", F.to_date("ts").alias("_pday"), _cents("value").alias("_v"))
     aged = (
         purchases.join(signup, "user_id")
@@ -1841,7 +1864,7 @@ aged AS (
   SELECT s.cohort, (e.ts::DATE - s.cohort) AS age_days, e.user_id,
          {_CENTS_SQL.format(x="e.value")} AS v
   FROM events e JOIN signup s ON e.user_id = s.user_id
-  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL AND e.value >= 0
     AND e.ts::DATE >= s.cohort
 ),
 cells AS (

@@ -1,36 +1,120 @@
 """Rotation-window contract: the external driver evaluates exactly the
 FIRST 50 registry entries per round, so the ordering IS the round's
 check plan. Pin it so a refactor cannot silently shuffle the window
-before the driver runs."""
+before the driver runs.
 
+Round-8 extension (r7 verdict item 6): the contract now also enforces
+the staleness SLO (no entry's latest driver row older than 6 rounds,
+given the planned window) and the re-certification rule (any entry whose
+implementation fingerprint drifted from the sealed snapshot must sit in
+the front or the next-round queue)."""
+
+import glob
+import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Resolve the current front/queue by round number so this file never pins a
+# round-specific attribute name again.
+_front_attrs = sorted(
+    (int(m.group(1)), a)
+    for a in dir(entrymod)
+    for m in [re.fullmatch(r"_ROUND(\d+)_FRONT", a)]
+    if m
+)
+_queue_attrs = sorted(
+    (int(m.group(1)), a)
+    for a in dir(entrymod)
+    for m in [re.fullmatch(r"_ROUND(\d+)_QUEUE", a)]
+    if m
+)
+FRONT = getattr(entrymod, _front_attrs[-1][1])
+QUEUE = getattr(entrymod, _queue_attrs[-1][1])
+CURRENT_ROUND = _front_attrs[-1][0]  # the round whose window is sealed here
+
+
+def _latest_driver_round() -> dict:
+    latest = {}
+    for f in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r0*.json"))):
+        r = int(re.search(r"_r0*(\d+)\.json$", f).group(1))
+        with open(f) as fh:
+            for k in json.load(fh):
+                latest[k] = max(latest.get(k, 0), r)
+    return latest
+
 
 def test_window_is_exactly_the_planned_front():
     names = list(entrymod.queries())
-    assert names[:50] == entrymod._ROUND7_FRONT
-    assert len(entrymod._ROUND7_FRONT) == 50
+    assert names[:50] == FRONT
+    assert len(FRONT) == 50
+    assert entrymod._FRONT == FRONT + QUEUE
+
+
+def test_queue_round_follows_front_round():
+    assert _queue_attrs[-1][0] == CURRENT_ROUND + 1
 
 
 def test_front_and_queue_are_wellformed():
-    front, queue = entrymod._ROUND7_FRONT, entrymod._ROUND8_QUEUE
     reg = entrymod.queries()
-    assert len(set(front)) == len(front), "duplicate in window"
-    assert len(set(queue)) == len(queue), "duplicate in queue"
-    assert not set(front) & set(queue), "entry in both window and queue"
-    missing = [n for n in front + queue if n not in reg]
+    assert len(set(FRONT)) == len(FRONT), "duplicate in window"
+    assert len(set(QUEUE)) == len(QUEUE), "duplicate in queue"
+    assert not set(FRONT) & set(QUEUE), "entry in both window and queue"
+    missing = [n for n in FRONT + QUEUE if n not in reg]
     assert not missing, f"planned entries absent from registry: {missing}"
 
 
 def test_every_window_entry_has_an_oracle():
     o = entrymod.oracle_sql()
-    missing = [n for n in entrymod._ROUND7_FRONT if n not in o]
+    missing = [n for n in FRONT if n not in o]
     assert not missing, f"window entries without oracle (weaker check): {missing}"
+
+
+def test_staleness_slo():
+    """Given the planned window, no registered entry's latest driver row
+    may end up older than 6 rounds: entries outside the front must have a
+    row from round >= CURRENT_ROUND - 6 (sim_ann_ivf is the one by-design
+    no-oracle exception, externally gated via ann_ivf_recall_gate)."""
+    latest = _latest_driver_round()
+    floor = CURRENT_ROUND - 6
+    violations = {
+        n: latest.get(n)
+        for n in entrymod.queries()
+        if n not in FRONT
+        and n != "sim_ann_ivf"
+        and latest.get(n, 0) < floor
+    }
+    assert not violations, (
+        f"entries with driver rows older than round {floor} left outside "
+        f"the window: {violations}"
+    )
+
+
+def test_changed_implementations_are_in_the_window():
+    """Re-certification tripwire: any entry whose implementation
+    fingerprint drifted from the sealed FINGERPRINTS.json snapshot must be
+    scheduled (front or next queue); new entries (absent from the
+    snapshot) likewise. See tools/impl_fingerprint.py for scope/limits."""
+    from tools.impl_fingerprint import current_fingerprints, load_snapshot
+
+    snap = load_snapshot()
+    assert snap, "FINGERPRINTS.json missing — run tools/impl_fingerprint.py --write at seal"
+    cur = current_fingerprints()
+    scheduled = set(FRONT) | set(QUEUE)
+    drifted = [
+        n for n, fp in cur.items()
+        if (n not in snap or snap[n] != fp) and n not in scheduled
+    ]
+    assert not drifted, (
+        f"implementation changed since snapshot but not scheduled for "
+        f"re-certification: {drifted}"
+    )
 
 
 def test_no_complex_output_columns_anywhere(spark):
