@@ -33,6 +33,7 @@ from etl_dashboard_project_1_spark.plans import (
     round6_queries,
     round7_queries,
     round8_queries,
+    round9_queries,
     streaming_queries,
     timeseries_queries,
     training_queries,
@@ -1075,6 +1076,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round8_queries.overdispersion_check,
         round8_queries.OVERDISPERSION_SQL,
     ),
+    # --- round-8 wave-11 registrations (post-seal — r9 window queue) ---
+    "group_sequential_obf": (
+        round9_queries.group_sequential_obf,
+        round9_queries.GSQ_SQL,
+    ),
+    "sample_weighted_allocation": (
+        round9_queries.sample_weighted_allocation,
+        round9_queries.WALLOC_SQL,
+    ),
+    "kll_quantile_gate": (
+        round9_queries.kll_quantile_gate,
+        round9_queries.KLL_SQL,
+    ),
 }
 
 
@@ -1091,17 +1105,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #       driver row existed (r7 advice fixes: ltv refund exclusion + hhi
 #       non-negativity contract), so their first driver row postdates the
 #       current implementation;
-#   (b) 3 re-certifications from this round's verdict/advice fixes:
+#   (b) 4 re-certifications from this round's verdict/advice/sweep fixes:
 #       text_unigram_logprob / text_bigram_logprob (rewritten to integer
 #       floor-log2 surprisal sufficient statistics — the last two runtime
 #       transcendentals are retired, per the contingency/Nelson-Aalen
-#       precedent) and dedup_sorted_neighborhood (ordering contract
+#       precedent), dedup_sorted_neighborhood (ordering contract
 #       re-documented as BMP-only — behavior unchanged, but the re-cert
-#       rule is any-source-change);
-#   (c) oldest-stale backfill to 50: the first 42 (registry order) of the
-#       44 entries whose latest driver row is round 2. The remaining two
-#       (dq_rule_violations, text_pii_scrub) head _ROUND9_QUEUE.
-#       sim_ann_ivf stays excluded by design (see above).
+#       rule is any-source-change), and q1_pricing_summary (exact
+#       integer centi-unit rewrite after the --dupes sweep caught the
+#       r1-era float-sum rounding flip);
+#   (c) oldest-stale backfill to 50: the first 41 (registry order) of the
+#       44 entries whose latest driver row is round 2. The remaining
+#       three (text_tfidf_topk, dq_rule_violations, text_pii_scrub) head
+#       _ROUND9_QUEUE. sim_ann_ivf stays excluded by design (see above).
 _ROUND8_FRONT: list[str] = [
     # (a) the r8 queue: never-checked wave-10
     "hhi_market_concentration",
@@ -1109,10 +1125,16 @@ _ROUND8_FRONT: list[str] = [
     "sample_systematic_every_k",
     "ltv_cohort_curve",
     "overdispersion_check",
-    # (b) r8 verdict/advice fix re-certs
+    # (b) r8 verdict/advice/sweep fix re-certs. q1_pricing_summary was
+    # rewritten THIS round onto exact integer centi-unit sums after the
+    # 25-row --dupes sweep caught its r1-era round(sum(double)) form
+    # flipping a 2-dp rounding between engines (order-dependent float
+    # accumulation landing 1 ulp from a .xx5 boundary) — the flagship
+    # takes a window slot; text_tfidf_topk moves to _ROUND9_QUEUE.
     "text_unigram_logprob",
     "text_bigram_logprob",
     "dedup_sorted_neighborhood",
+    "q1_pricing_summary",
     # (c) oldest-stale backfill (latest driver row = r2), registry order
     "agg_percentiles",
     "agg_distinct_counts",
@@ -1155,16 +1177,21 @@ _ROUND8_FRONT: list[str] = [
     "h9_llm_headers",
     "text_repetition",
     "text_chunk_overlap",
-    "text_tfidf_topk",
 ]
 
 # Round-9 window queue: queries added AFTER the r8 window is sealed go here
 # (never displacing a planned check), plus any query whose implementation
 # changes after its last driver row (re-certification rule). Seeded with the
-# two r2-stale entries the r8 window could not fit.
+# two r2-stale entries the r8 window could not fit, followed by the wave-11
+# registrations (each verified at both SFs and on all five adversarial sweep
+# datasets before queueing).
 _ROUND9_QUEUE: list[str] = [
+    "text_tfidf_topk",
     "dq_rule_violations",
     "text_pii_scrub",
+    "group_sequential_obf",
+    "sample_weighted_allocation",
+    "kll_quantile_gate",
 ]
 
 _FRONT = _ROUND8_FRONT + _ROUND9_QUEUE

@@ -20,42 +20,110 @@ from pyspark.sql import functions as F
 from ..session import load_table
 
 
+def _e2(col: str) -> F.Column:
+    """Exact centi-units: floor(x*100 + 0.5) as long — the portable_round
+    form (F.round half-rounds differently from DuckDB round on boundary
+    values; see round6_queries._cents)."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-agg. Filter + the 2 grouping cols + 5
     measure cols reach the parquet scan (pushdown/pruning); the agg is a
-    two-phase hash aggregate — the canonical 100TB-friendly plan."""
+    two-phase hash aggregate — the canonical 100TB-friendly plan.
+
+    Exactness (r8 rewrite — the flagship inherits the BM25/house rule):
+    every measure is a 2-decimal value, so sums accumulate in EXACT
+    integer centi-units (decimal(38,0) against 100 TB overflow) and the
+    rounded outputs are integer arithmetic until one final correctly-
+    rounded division — order-independent, engine-identical on any row
+    multiset. The r1 float form (``round(sum(double))``) was caught by
+    the 25-row --dupes sweep landing an avg within 1 ulp of a .xx5
+    boundary (summation order flipped the 2-dp rounding between
+    engines). Integer round-half-up of a rational a/b is
+    ``(2a + b) div (2b)``; the measures are non-negative by TPC-H
+    domain (prices/quantities/rates), which the integer divisions
+    assume — the per-measure counts guard div-by-zero on all-NULL
+    groups, mirrored CASE both sides."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    dec = "decimal(38,0)"
+    qty = _e2("l_quantity").cast(dec)
+    price = _e2("l_extendedprice").cast(dec)
+    # (1-disc) and (1+tax) as exact integer percents: disc/tax are
+    # 2-decimal rates, so price·(1-disc) is exact in e4 units and
+    # price·(1-disc)·(1+tax) in e6 units
+    disc_price_e4 = price * (100 - _e2("l_discount"))
+    charge_e6 = disc_price_e4 * (100 + _e2("l_tax"))
+    g = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty).alias("_sq"),
+            F.sum(price).alias("_sp"),
+            F.sum(disc_price_e4).alias("_sdp"),
+            F.sum(charge_e6).alias("_sc"),
+            F.sum(_e2("l_discount")).alias("_sd"),
+            F.count(F.col("l_quantity")).alias("_nq"),
+            F.count(F.col("l_extendedprice")).alias("_np"),
+            F.count(F.col("l_discount")).alias("_nd"),
+            F.count(F.lit(1)).alias("_n"),
         )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("_sq").cast("double") / 100).alias("sum_qty"),
+        (F.col("_sp").cast("double") / 100).alias("sum_base_price"),
+        (F.expr("(_sdp + 50) div 100").cast("double") / 100).alias("sum_disc_price"),
+        (F.expr("(_sc + 5000) div 10000").cast("double") / 100).alias("sum_charge"),
+        (
+            F.expr("CASE WHEN _nq > 0 THEN (2 * _sq + _nq) div (2 * _nq) END")
+            .cast("double") / 100
+        ).alias("avg_qty"),
+        (
+            F.expr("CASE WHEN _np > 0 THEN (2 * _sp + _np) div (2 * _np) END")
+            .cast("double") / 100
+        ).alias("avg_price"),
+        (
+            F.expr("CASE WHEN _nd > 0 THEN (200 * _sd + _nd) div (2 * _nd) END")
+            .cast("double") / 10000
+        ).alias("avg_disc"),
+        F.col("_n").alias("count_order"),
     )
 
 
 Q1_SQL = """
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT))      AS sq,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)) AS sp,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS HUGEINT))) AS sdp,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS HUGEINT))
+             * (100 + CAST(floor(l_tax * 100 + 0.5) AS HUGEINT)))      AS sc,
+         sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))       AS sd,
+         count(l_quantity)      AS nq,
+         count(l_extendedprice) AS np,
+         count(l_discount)      AS nd,
+         count(*)               AS n
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                    AS sum_qty,
-       round(sum(l_extendedprice), 2)                               AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 2)                                    AS avg_qty,
-       round(avg(l_extendedprice), 2)                               AS avg_price,
-       round(avg(l_discount), 4)                                    AS avg_disc,
-       count(*)                                                     AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-GROUP BY l_returnflag, l_linestatus
+       CAST(sq AS DOUBLE) / 100                           AS sum_qty,
+       CAST(sp AS DOUBLE) / 100                           AS sum_base_price,
+       CAST((sdp + 50) // 100 AS DOUBLE) / 100            AS sum_disc_price,
+       CAST((sc + 5000) // 10000 AS DOUBLE) / 100         AS sum_charge,
+       CAST(CASE WHEN nq > 0 THEN (2 * sq + nq) // (2 * nq) END AS DOUBLE) / 100
+                                                          AS avg_qty,
+       CAST(CASE WHEN np > 0 THEN (2 * sp + np) // (2 * np) END AS DOUBLE) / 100
+                                                          AS avg_price,
+       CAST(CASE WHEN nd > 0 THEN (200 * sd + nd) // (2 * nd) END AS DOUBLE) / 10000
+                                                          AS avg_disc,
+       CAST(n AS BIGINT)                                  AS count_order
+FROM g
 """
 
 

@@ -405,6 +405,57 @@ SWEEP_GATES = [
     ("dupes", 25, "dupes"),
 ]
 
+#: r8 upgrade (r7 verdict item 4): the adjudicated cross-engine
+#: divergences per mode are PINNED here — a new divergence is a test
+#: failure, not a PLANS.md diff. Each entry is a documented contract
+#: violation by the adversarial data, not a bug:
+#:   set_ops_retained_customers — empty-class divergence in every mode
+#:     (Spark ungrouped agg on empty input emits 1 all-NULL row where
+#:     the GROUP-BY oracle emits 0);
+#:   j1_fuzzy_difflib — pinned full-dimension oracle at 3 rows;
+#:   mm_audio_peaks — documented ASCII-only oracle contract;
+#:   the dupes set — operators whose rank/argmax/set semantics assume
+#:     the schema's primary-key uniqueness contract: duplicating every
+#:     row with IDENTICAL keys leaves no total order for row_number /
+#:     top-k tie-breaks (duplicate doc_ids/event_ids/custkeys), so the
+#:     two engines legitimately pick different representatives. The
+#:     engine's defined behavior on duplicate-PK corrupt input is to
+#:     SURFACE it (id_continuity_audit / ri_audit_all_edges stay green
+#:     and report it), not to define semantics for it.
+#: q1_pricing_summary was in the r7 dupes list and is deliberately NOT
+#: pinned: its divergence was the order-dependent float-sum class, not
+#: a precondition — fixed in r8 by the exact integer centi-unit rewrite.
+EXPECTED_DIVERGENCES = {
+    "tiny": {"set_ops_retained_customers", "j1_fuzzy_difflib"},
+    "ties": {"set_ops_retained_customers"},
+    "nulls": {"set_ops_retained_customers"},
+    "unicode": {"set_ops_retained_customers", "mm_audio_peaks"},
+    "dupes": {
+        "asof_signup_attribution",
+        "curriculum_interleave",
+        "dedup_containment",
+        "dedup_minhash_estimate_gate",
+        "dedup_minhash_lsh",
+        "dedup_minhash_recall_eval",
+        "dedup_ngram_jaccard",
+        "dedup_source_matrix",
+        "emb_centroid_classifier_eval",
+        "emb_knn_eval",
+        "max_drawdown_user",
+        "mm_feature_topk",
+        "retrieval_mrr_eval",
+        "retrieval_ndcg_eval",
+        "revenue_gini",
+        "session_funnel_conversion",
+        "session_peak_concurrency",
+        "set_ops_retained_customers",
+        "sim_ann_lsh",
+        "sim_cosine_topk",
+        "stream_session_window",
+        "text_boilerplate_strip",
+    },
+}
+
 
 @pytest.mark.parametrize(
     "label,n_rows,mode", SWEEP_GATES, ids=[g[0] for g in SWEEP_GATES]
@@ -414,17 +465,40 @@ def test_every_registered_query_survives_adversarial_tables(
 ):
     """Every registry query must execute (not crash) against the
     adversarial mirror for this mode — see SWEEP_GATES for the failure
-    classes each mode has caught."""
+    classes each mode has caught — AND, when it has an oracle, its
+    cross-engine VALUE comparison must either match or be one of the
+    pinned EXPECTED_DIVERGENCES for the mode (r8 upgrade: the sweep
+    value gate is now part of the suite; a 21st dupes divergence fails
+    here instead of updating a doc)."""
     import __spark_entry__ as entrymod
 
+    from tests.oracle_harness import compare
     from tools.tiny_sweep import build
 
     out_dir = str(tmp_path_factory.mktemp(f"{label}_sf"))
     build(n_rows, out_dir, mode=mode)
-    failures = {}
+    oracles = entrymod.oracle_sql()
+    crashes, diverged = {}, {}
     for name, fn in entrymod.queries().items():
+        sql = oracles.get(name)
+        if sql is None:
+            try:
+                fn(spark, out_dir).collect()
+            except Exception as e:  # noqa: BLE001 — collecting ALL failures
+                crashes[name] = str(e).split("\n")[0][:160]
+            continue
         try:
-            fn(spark, out_dir).collect()
-        except Exception as e:  # noqa: BLE001 — collecting ALL failures
-            failures[name] = str(e).split("\n")[0][:160]
-    assert not failures, failures
+            ok, msg = compare(spark, fn, sql, out_dir)
+        except Exception:  # noqa: BLE001 — classify by re-running Spark alone
+            try:
+                fn(spark, out_dir).collect()
+            except Exception as e2:  # noqa: BLE001
+                crashes[name] = str(e2).split("\n")[0][:160]
+                continue
+            diverged[name] = "oracle-side error"
+            continue
+        if not ok:
+            diverged[name] = msg[:120]
+    assert not crashes, crashes
+    unexpected = {n: m for n, m in diverged.items() if n not in EXPECTED_DIVERGENCES[label]}
+    assert not unexpected, f"NEW cross-engine divergences under --{label}: {unexpected}"

@@ -187,6 +187,16 @@ QUERIES = [
     "sample_systematic_every_k",
     "ltv_cohort_curve",
     "overdispersion_check",
+    # wave-11 members. gsq reduces to a user-keyed aggregate then ≤K-row
+    # frames; walloc is one stratum-partitioned rank over a |strata|-row
+    # allocation; kll is two full scans around a capacity-bounded sketch.
+    "group_sequential_obf",
+    "sample_weighted_allocation",
+    "kll_quantile_gate",
+    # r8 re-certs: the logprob pair's integer floor-log2 rewrite changed
+    # the aggregate expressions — re-measure the vocab-join shape.
+    "text_unigram_logprob",
+    "text_bigram_logprob",
 ]
 
 
