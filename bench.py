@@ -189,6 +189,13 @@ def main() -> None:
     # load factor ≥1 on a loaded box; clamp at 1 so an unusually fast probe
     # can never inflate the normalized number below the raw measurement.
     load_factor = max(cal_min / CAL_REF_SEC, 1.0)
+    # the damped linear fit is only validated near load factors [1.1, 1.7];
+    # far outside it the extrapolation can fall below the provable envelope
+    # (or below zero) — clamp the estimate into [full-proportional, raw]
+    calnorm = min(
+        max(total - CAL_SENSITIVITY_SEC * (load_factor - 1.0), total / load_factor),
+        total,
+    )
     print(
         json.dumps(
             {
@@ -202,11 +209,10 @@ def main() -> None:
                 "calibration_sec": calibration,
                 "calibration_ref_sec": CAL_REF_SEC,
                 "load_factor": round(load_factor, 3),
-                # damped linear model (see module docstring): only the
-                # probe-correlated component of the total is removed
-                "value_calnorm": round(
-                    total - CAL_SENSITIVITY_SEC * (load_factor - 1.0), 3
-                ),
+                # damped linear model (see module docstring), clamped into
+                # the envelope: only the probe-correlated component of the
+                # total is removed
+                "value_calnorm": round(calnorm, 3),
                 # provable envelope: true idle total ∈ [full-proportional
                 # correction, raw]; the r7 full-proportional form is the
                 # lower edge

@@ -21,10 +21,11 @@ from ..session import load_table
 
 
 def _e2(col: str) -> F.Column:
-    """Exact centi-units: floor(x*100 + 0.5) as long — the portable_round
-    form (F.round half-rounds differently from DuckDB round on boundary
-    values; see round6_queries._cents)."""
-    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+    """Exact centi-units — the shared portable-round-to-cents primitive
+    (one definition repo-wide; its SQL mirror is _CENTS_SQL)."""
+    from .round6_queries import _cents
+
+    return _cents(col)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

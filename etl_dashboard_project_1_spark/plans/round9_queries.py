@@ -48,7 +48,7 @@ GSQ_LOOKS = 5
 GSQ_OBF_C = 2.040
 GSQ_BOUNDS = [
     round(GSQ_OBF_C * _math.sqrt(GSQ_LOOKS / k), 4) for k in range(1, GSQ_LOOKS + 1)
-]  # [4.562, 3.2254, 2.6336, 2.2806, 2.04]
+]  # [4.5616, 3.2255, 2.6336, 2.2808, 2.04]
 #: conversion definition shared with ab_test_zscore (purchase above 150)
 GSQ_CONV_MIN = 150
 
@@ -80,6 +80,10 @@ def group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unpartitioned windows sit on aggregate-reduced, look-bounded
     frames."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # NULL-day users (all-NULL ts) are excluded in BOTH engines BEFORE the
+    # ntile: Spark's ascending ntile sorts NULLS FIRST, DuckDB's NULLS
+    # LAST, so a NULL day would shift every look-bucket boundary (the r6
+    # bootstrap_ci NULL-ordering class, caught in this round's review)
     users = ev.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("_day"),
         F.max(
@@ -89,7 +93,7 @@ def group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("_conv"),
-    )
+    ).filter(F.col("_day").isNotNull())
     arms = users.withColumn(
         "_arm", md5_int(F.concat(F.col("user_id").cast("string"), F.lit("gsq"))) % 2
     )
@@ -155,6 +159,7 @@ WITH users AS (
                   THEN 1 ELSE 0 END) AS conv,
          ('0x' || substr(md5(user_id::VARCHAR || 'gsq'), 1, 8))::BIGINT % 2 AS arm
   FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+  HAVING min(ts::DATE) IS NOT NULL
 ),
 days AS (
   SELECT day, ntile({GSQ_LOOKS}) OVER (ORDER BY day) AS look
@@ -217,7 +222,13 @@ def sample_weighted_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum the allocated rows are picked in deterministic md5-wheel
     order. The sampling module's missing member: stratified_topn is
     equal-n per stratum, sample_sqrt_mixture is per-row rate-based —
-    neither hits an exact global budget ∝ weight.
+    neither hits an exact global budget ∝ weight. Budget contract: when
+    a stratum's seat count exceeds its ROW count (one huge document),
+    the whole stratum is taken and the global sample under-delivers —
+    reported, not silent: the output carries stratum_size next to
+    stratum_alloc, so alloc > size IS the shortfall signal (Hamilton's
+    method is single-pass proportional; redistributing shortfalls would
+    be a different estimator).
 
     Exactness: seats and remainders are exact integers — base_s =
     (B·w_s) div W and rem_s = (B·w_s) mod W on non-negative int64
@@ -264,6 +275,7 @@ def sample_weighted_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_alloc"
         ),
     )
+    w_lang = Window.partitionBy("lang")
     picked = (
         docs.select(
             "lang",
@@ -274,10 +286,9 @@ def sample_weighted_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "_pick",
-            F.row_number().over(
-                Window.partitionBy("lang").orderBy("_h", "doc_id")
-            ),
+            F.row_number().over(w_lang.orderBy("_h", "doc_id")),
         )
+        .withColumn("_sz", F.count(F.lit(1)).over(w_lang))
         .join(F.broadcast(alloc), "lang")
         .filter(F.col("_pick") <= F.col("_alloc"))
     )
@@ -285,6 +296,7 @@ def sample_weighted_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("_alloc").cast("long").alias("stratum_alloc"),
+        F.col("_sz").cast("long").alias("stratum_size"),
         F.col("_pick").cast("long").alias("pick_rank"),
     )
 
@@ -316,12 +328,14 @@ alloc AS (
 ),
 picked AS (
   SELECT d.lang, d.doc_id, a.alloc,
-         row_number() OVER (PARTITION BY d.lang ORDER BY d.h, d.doc_id) AS pick
+         row_number() OVER (PARTITION BY d.lang ORDER BY d.h, d.doc_id) AS pick,
+         count(*) OVER (PARTITION BY d.lang) AS sz
   FROM docs d JOIN alloc a ON d.lang = a.lang
 )
 SELECT lang,
        CAST(doc_id AS BIGINT) AS doc_id,
        CAST(alloc AS BIGINT) AS stratum_alloc,
+       CAST(sz AS BIGINT) AS stratum_size,
        CAST(pick AS BIGINT) AS pick_rank
 FROM picked WHERE pick <= alloc
 """
@@ -353,7 +367,11 @@ def kll_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ([#rows < v, #rows ≤ v] — exact integers) and asserts the target
     falls within KLL_TOL_BP of it. Tie-robust by construction: under
     total ties the interval is [0, n] and every probe passes vacuously;
-    at L = 0 the sketch IS the data and the gate is exact.
+    at L = 0 the sketch IS the data and the gate is exact. Every probe
+    ALWAYS emits a row (probes left-join the estimates): an
+    under-sampled sketch that reaches no estimate for a probe reports
+    gate_ok = 0 with NULL estimate — the failure the gate exists to
+    detect is never silently dropped — and n = 0 passes vacuously.
 
     Exactness: ilog2 via length(bin(x)) (the logprob precedent), the
     level modulus 2^L via shiftleft, weighted ranks and rank intervals
@@ -404,15 +422,11 @@ def kll_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_rn") * F.col("_mod") >= F.expr("(q_bp * _n) div 10000")
         )
         .groupBy("q_bp")
-        .agg(
-            F.min("_v").alias("est_cents"),
-            F.max("_n").alias("_n"),
-            F.max("_lvl").alias("_lvl"),
-        )
+        .agg(F.min("_v").alias("est_cents"))
     )
     ranks = (
         vals.crossJoin(F.broadcast(est))
-        .groupBy("q_bp", "est_cents", "_n", "_lvl")
+        .groupBy("q_bp", "est_cents")
         .agg(
             F.sum(F.when(F.col("_v") < F.col("est_cents"), 1).otherwise(0)).alias(
                 "_lo"
@@ -422,9 +436,15 @@ def kll_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # probes LEFT-join the estimates so a probe NEVER silently vanishes
+    # (review catch): if the sketch under-samples and no kept row's
+    # weighted rank reaches the target, the probe row survives with
+    # gate_ok = 0 — the sketch failure is REPORTED, not dropped. n = 0 is
+    # the vacuous-pass case (the sketch of nothing is exact).
+    base = probes.crossJoin(F.broadcast(meta)).join(ranks, "q_bp", "left")
     tol = F.expr(f"({KLL_TOL_BP} * _n) div 10000")
     target = F.expr("(q_bp * _n) div 10000")
-    return ranks.select(
+    return base.select(
         "q_bp",
         F.col("_n").cast("long").alias("n_rows"),
         F.col("_lvl").cast("long").alias("level"),
@@ -432,7 +452,9 @@ def kll_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_lo").cast("long").alias("rank_lo"),
         F.col("_hi").cast("long").alias("rank_hi"),
         target.cast("long").alias("target_rank"),
-        F.when(
+        F.when(F.col("_n") == 0, 1)
+        .when(F.col("est_cents").isNull(), 0)
+        .when(
             (target >= F.col("_lo") + 1 - tol) & (target <= F.col("_hi") + tol),
             1,
         )
@@ -463,16 +485,16 @@ kept AS (
 ),
 probes AS (SELECT unnest([{_KLL_PROBES_SQL}])::BIGINT AS q_bp),
 est AS (
-  SELECT q_bp, min(v) AS est_cents, max(n) AS n, max(lvl) AS lvl
+  SELECT q_bp, min(v) AS est_cents
   FROM kept JOIN probes ON rn * md >= (q_bp * n) // 10000
   GROUP BY q_bp
 ),
 ranks AS (
-  SELECT q_bp, est_cents, e.n AS n, lvl,
+  SELECT q_bp, est_cents,
          sum(CASE WHEN v < est_cents THEN 1 ELSE 0 END) AS lo,
          sum(CASE WHEN v <= est_cents THEN 1 ELSE 0 END) AS hi
-  FROM vals, est e
-  GROUP BY q_bp, est_cents, e.n, lvl
+  FROM vals, est
+  GROUP BY q_bp, est_cents
 )
 SELECT q_bp,
        CAST(n AS BIGINT) AS n_rows,
@@ -481,8 +503,10 @@ SELECT q_bp,
        CAST(lo AS BIGINT) AS rank_lo,
        CAST(hi AS BIGINT) AS rank_hi,
        CAST((q_bp * n) // 10000 AS BIGINT) AS target_rank,
-       CAST(CASE WHEN (q_bp * n) // 10000 >= lo + 1 - ({KLL_TOL_BP} * n) // 10000
+       CAST(CASE WHEN n = 0 THEN 1
+                 WHEN est_cents IS NULL THEN 0
+                 WHEN (q_bp * n) // 10000 >= lo + 1 - ({KLL_TOL_BP} * n) // 10000
                   AND (q_bp * n) // 10000 <= hi + ({KLL_TOL_BP} * n) // 10000
                  THEN 1 ELSE 0 END AS BIGINT) AS gate_ok
-FROM ranks
+FROM probes CROSS JOIN meta LEFT JOIN ranks USING (q_bp)
 """

@@ -42,7 +42,7 @@ CURRENT_ROUND = _front_attrs[-1][0]  # the round whose window is sealed here
 
 def _latest_driver_round() -> dict:
     latest = {}
-    for f in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r0*.json"))):
+    for f in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         r = int(re.search(r"_r0*(\d+)\.json$", f).group(1))
         with open(f) as fh:
             for k in json.load(fh):
@@ -79,20 +79,24 @@ def test_every_window_entry_has_an_oracle():
 def test_staleness_slo():
     """Given the planned window, no registered entry's latest driver row
     may end up older than 6 rounds: entries outside the front must have a
-    row from round >= CURRENT_ROUND - 6 (sim_ann_ivf is the one by-design
-    no-oracle exception, externally gated via ann_ivf_recall_gate)."""
+    row from round >= CURRENT_ROUND - 6, unless they are already
+    scheduled in the next-round queue (post-seal registrations and
+    bumped stale entries live there by design). sim_ann_ivf is the one
+    by-design no-oracle exception, externally gated via
+    ann_ivf_recall_gate."""
     latest = _latest_driver_round()
     floor = CURRENT_ROUND - 6
+    scheduled = set(FRONT) | set(QUEUE)
     violations = {
         n: latest.get(n)
         for n in entrymod.queries()
-        if n not in FRONT
+        if n not in scheduled
         and n != "sim_ann_ivf"
         and latest.get(n, 0) < floor
     }
     assert not violations, (
-        f"entries with driver rows older than round {floor} left outside "
-        f"the window: {violations}"
+        f"entries with driver rows older than round {floor} left "
+        f"unscheduled: {violations}"
     )
 
 

@@ -468,7 +468,7 @@ def test_every_registered_query_survives_adversarial_tables(
     classes each mode has caught — AND, when it has an oracle, its
     cross-engine VALUE comparison must either match or be one of the
     pinned EXPECTED_DIVERGENCES for the mode (r8 upgrade: the sweep
-    value gate is now part of the suite; a 21st dupes divergence fails
+    value gate is now part of the suite; a 23rd dupes divergence fails
     here instead of updating a doc)."""
     import __spark_entry__ as entrymod
 
