@@ -35,20 +35,29 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness (r8 rewrite — the flagship inherits the BM25/house rule):
     every measure is a 2-decimal value, so sums accumulate in EXACT
-    integer centi-units (decimal(38,0) against 100 TB overflow) and the
-    rounded outputs are integer arithmetic until one final correctly-
-    rounded division — order-independent, engine-identical on any row
-    multiset. The r1 float form (``round(sum(double))``) was caught by
-    the 25-row --dupes sweep landing an avg within 1 ulp of a .xx5
-    boundary (summation order flipped the 2-dp rounding between
-    engines). Integer round-half-up of a rational a/b is
-    ``(2a + b) div (2b)``; the measures are non-negative by TPC-H
-    domain (prices/quantities/rates), which the integer divisions
-    assume — the per-measure counts guard div-by-zero on all-NULL
-    groups, mirrored CASE both sides."""
+    integer centi-units and the rounded outputs are integer arithmetic
+    until one final correctly-rounded division — order-independent,
+    engine-identical on any row multiset. The r1 float form
+    (``round(sum(double))``) was caught by the 25-row --dupes sweep
+    landing an avg within 1 ulp of a .xx5 boundary (summation order
+    flipped the 2-dp rounding between engines). Integer round-half-up
+    of a rational a/b is ``(2a + b) div (2b)``; the measures are
+    non-negative by TPC-H domain (prices/quantities/rates), which the
+    integer divisions assume — the per-measure counts guard div-by-zero
+    on all-NULL groups, mirrored CASE both sides.
+
+    Headroom (A/B-measured — decimal(38,0) everywhere costs ~25% more
+    local wall-clock): qty_e2 ≤ 5×10³ and disc_e2 ≤ 10 sum in PLAIN
+    int64 (≤ ~10¹⁶ even at 10¹³-row groups); price/disc-price/charge
+    per-row values need ≤ 12 digits, so they ride decimal(18,0) — the
+    compact long-backed decimal — and Spark's sum buffer auto-widens to
+    decimal(28,0), covering the ~1.1×10²⁴ charge-sum bound of a 100 TB
+    single-group aggregate with 4 digits to spare. The ~1.8× local cost
+    vs the float form is the exactness tax; at scale the scan dominates
+    and the conversions are vectorized map-side work."""
     li = load_table(spark, sf_dir, "lineitem")
-    dec = "decimal(38,0)"
-    qty = _e2("l_quantity").cast(dec)
+    dec = "decimal(18,0)"
+    qty = _e2("l_quantity")
     price = _e2("l_extendedprice").cast(dec)
     # (1-disc) and (1+tax) as exact integer percents: disc/tax are
     # 2-decimal rates, so price·(1-disc) is exact in e4 units and

@@ -204,6 +204,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "cms_heavy_hitters",               # 4-row depth-grid broadcast (sketch hash rows)
         "theil_sen_trend",                 # banded |days|-frame self-join + 1-row count broadcast
         "bloom_fpr_audit",                 # 3-row hash-grid + 1-row fill-count broadcasts
+        "sample_weighted_allocation",      # 1-row weight-total broadcast (seat math)
+        "kll_quantile_gate",               # 1-row (n, level, mod) meta + 4-row probe broadcasts
     }
     sf = "/root/testdata/sf0.001"
     registered = set(entrymod.queries())
@@ -448,6 +450,12 @@ EXPECTED_DIVERGENCES = {
         "revenue_gini",
         "session_funnel_conversion",
         "session_peak_concurrency",
+        # sessionize_events flickers run-to-run under dupes: row_number
+        # over fully-duplicated (ts, event_id) rows has no total order,
+        # so Spark's pick varies per execution and matches the oracle
+        # only by luck (r7's 50-row tool run caught it; a 25-row run can
+        # pass) — pinned because it CAN diverge, the class definition
+        "sessionize_events",
         "set_ops_retained_customers",
         "sim_ann_lsh",
         "sim_cosine_topk",
@@ -468,8 +476,8 @@ def test_every_registered_query_survives_adversarial_tables(
     classes each mode has caught — AND, when it has an oracle, its
     cross-engine VALUE comparison must either match or be one of the
     pinned EXPECTED_DIVERGENCES for the mode (r8 upgrade: the sweep
-    value gate is now part of the suite; a 23rd dupes divergence fails
-    here instead of updating a doc)."""
+    value gate is now part of the suite; any divergence outside the
+    pinned set fails here instead of updating a doc)."""
     import __spark_entry__ as entrymod
 
     from tests.oracle_harness import compare
