@@ -1089,6 +1089,23 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round9_queries.kll_quantile_gate,
         round9_queries.KLL_SQL,
     ),
+    # --- round-8 wave-12 registrations (post-seal — r9 window queue) ---
+    "ipw_ate_estimate": (
+        round9_queries.ipw_ate_estimate,
+        round9_queries.IPW_SQL,
+    ),
+    "trimmed_mean_value": (
+        round9_queries.trimmed_mean_value,
+        round9_queries.TRIMMED_MEAN_SQL,
+    ),
+    "langid_kappa_eval": (
+        round9_queries.langid_kappa_eval,
+        round9_queries.LANGID_KAPPA_SQL,
+    ),
+    "ab_power_mde": (
+        round9_queries.ab_power_mde,
+        round9_queries.AB_POWER_SQL,
+    ),
 }
 
 
@@ -1192,6 +1209,12 @@ _ROUND9_QUEUE: list[str] = [
     "group_sequential_obf",
     "sample_weighted_allocation",
     "kll_quantile_gate",
+    # wave-12 (same post-seal discipline: both SFs + all five sweeps
+    # verified before queueing)
+    "ipw_ate_estimate",
+    "trimmed_mean_value",
+    "langid_kappa_eval",
+    "ab_power_mde",
 ]
 
 _FRONT = _ROUND8_FRONT + _ROUND9_QUEUE

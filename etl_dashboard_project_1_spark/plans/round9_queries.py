@@ -510,3 +510,452 @@ SELECT q_bp,
                  THEN 1 ELSE 0 END AS BIGINT) AS gate_ok
 FROM probes CROSS JOIN meta LEFT JOIN ranks USING (q_bp)
 """
+
+
+# === wave 12 (also registered during round 8 post-seal — r9/r10 queue) =======
+#
+# The remaining analysis-family gaps after wave-11: the causal suite's
+# observational member (IPW), the robust-stats trimmed mean, the
+# chance-corrected agreement scalar (Cohen's kappa) over the langid
+# eval, and the experimentation suite's design-side power/MDE readout.
+
+# --- IPW average-treatment-effect estimate ------------------------------------
+
+IPW_SALT = "ipw"
+
+
+def ipw_ate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE — the OBSERVATIONAL member of the
+    causal suite (z → SPRT → Mann-Whitney → CUPED → DiD → IPW):
+    treatment is NOT randomized here ("clicked at least once", which
+    confounds with engagement), so arm means are biased; IPW reweights
+    by the estimated propensity e(x) = P(T|X=x) within activity strata
+    x = ilog2(user event count) (≤ ~40 bins, bounded) to recover the
+    ATE on purchase spend under unconfoundedness-given-activity.
+
+    Exactness: propensities stay RATIONAL (t_x/n_x) — each bin's IPW
+    term Σy·n_x/t_x is computed as the exact integer floor
+    ``(ysum·n_x) div t_x`` (decimal(38,0)/HUGEINT product headroom) and
+    summed as integers (order-independent — the q1/BM25 lesson: never
+    sum per-bin doubles). The final ATE is ONE division of
+    exact-integer-valued doubles (identical shape both engines, the
+    DiD precedent), floor-rounded to 4 dp. Bins without positivity
+    (t_x = 0 or t_x = n_x) are EXCLUDED and reported — the textbook
+    overlap violation, surfaced not hidden.
+
+    Scale shape: one user-keyed aggregate (the only data-sized
+    shuffle), one ≤40-row bin aggregate, one global roll-up."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("_nev"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("_t"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("value").isNotNull()
+                & (F.col("value") >= 0),
+                _cents("value"),
+            ).otherwise(0)
+        ).alias("_y"),
+    )
+    bins = (
+        users.withColumn("_x", F.expr("length(bin(_nev))"))
+        .groupBy("_x")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_t").alias("_tn"),
+            F.sum(F.when(F.col("_t") == 1, F.col("_y")).otherwise(0)).alias("_yt"),
+            F.sum(F.when(F.col("_t") == 0, F.col("_y")).otherwise(0)).alias("_yc"),
+        )
+    )
+    dec = "CAST(_yt AS DECIMAL(38,0))"
+    decc = "CAST(_yc AS DECIMAL(38,0))"
+    terms = bins.select(
+        "_x",
+        "_n",
+        "_tn",
+        F.expr("_tn > 0 AND _tn < _n").alias("_pos"),
+        F.expr(
+            f"CASE WHEN _tn > 0 AND _tn < _n THEN CAST(({dec} * _n) div _tn AS BIGINT) END"
+        ).alias("_wt"),
+        F.expr(
+            f"CASE WHEN _tn > 0 AND _tn < _n THEN CAST(({decc} * _n) div (_n - _tn) AS BIGINT) END"
+        ).alias("_wc"),
+    )
+    out = terms.agg(
+        F.sum(F.when(F.col("_pos"), F.col("_n")).otherwise(0)).cast("long").alias("n_users"),
+        F.count(F.when(F.col("_pos"), 1)).cast("long").alias("n_bins_used"),
+        F.count(F.when(~F.col("_pos"), 1)).cast("long").alias("n_bins_excluded"),
+        F.sum("_wt").alias("_swt"),
+        F.sum("_wc").alias("_swc"),
+    )
+    ate = F.expr(
+        "CASE WHEN n_users > 0 THEN"
+        " floor((CAST(_swt AS DOUBLE) - CAST(_swc AS DOUBLE)) / n_users / 100"
+        " * 10000 + 0.5) / 10000 END"
+    )
+    return out.select(
+        "n_users", "n_bins_used", "n_bins_excluded", ate.alias("ate_dollars")
+    )
+
+
+IPW_SQL = f"""
+WITH users AS (
+  SELECT user_id, count(*) AS nev,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t,
+         sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL AND value >= 0
+                  THEN {_CENTS_SQL.format(x="value")} ELSE 0 END) AS y
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+bins AS (
+  SELECT length(bin(nev)) AS x, count(*) AS n, sum(t) AS tn,
+         sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS yt,
+         sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS yc
+  FROM users GROUP BY 1
+),
+terms AS (
+  SELECT n, tn > 0 AND tn < n AS pos,
+         CASE WHEN tn > 0 AND tn < n
+              THEN CAST((CAST(yt AS HUGEINT) * n) // tn AS BIGINT) END AS wt,
+         CASE WHEN tn > 0 AND tn < n
+              THEN CAST((CAST(yc AS HUGEINT) * n) // (n - tn) AS BIGINT) END AS wc
+  FROM bins
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN pos THEN n ELSE 0 END) AS BIGINT) AS n_users,
+         CAST(count(CASE WHEN pos THEN 1 END) AS BIGINT) AS n_bins_used,
+         CAST(count(CASE WHEN NOT pos THEN 1 END) AS BIGINT) AS n_bins_excluded,
+         sum(wt) AS swt, sum(wc) AS swc
+  FROM terms
+)
+SELECT n_users, n_bins_used, n_bins_excluded,
+       CASE WHEN n_users > 0 THEN
+         floor((CAST(swt AS DOUBLE) - CAST(swc AS DOUBLE)) / n_users / 100
+               * 10000 + 0.5) / 10000 END AS ate_dollars
+FROM s
+"""
+
+
+# --- exact trimmed mean (robust-stats member) ----------------------------------
+
+TRIM_LO_PCT = 5
+TRIM_HI_PCT = 95
+
+
+def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5–95% trimmed mean of purchase cents per event type — the
+    robust-location member winsorize_event_values (which CLIPS) and
+    rolling_median (which windows) don't provide: drop the tail ranks
+    entirely, average the middle 90%.
+
+    Exactness: cut ranks are integer ``(pct·n) div 100``; each distinct
+    value's kept multiplicity is the exact integer overlap of its
+    cumulative-rank span [cum − c, cum) with (klo, khi]; the trimmed
+    mean is a non-negative integer division. No per-row ranks anywhere.
+
+    Scale shape: one (type, value) groupBy off the scan, then windows
+    over the DISTINCT-CENTS domain per type (the ks/quantile_loss
+    justification: bounded by the value domain, not the row count)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type").isNotNull())
+        & F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+    )
+    per_v = (
+        ev.select("event_type", _cents("value").alias("_v"))
+        .groupBy("event_type", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_dom = (
+        Window.partitionBy("event_type")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = per_v.select(
+        "event_type",
+        "_v",
+        "_c",
+        F.sum("_c").over(w_dom).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+        F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_c")).over(w_all).alias("_s"),
+    )
+    klo = F.expr(f"({TRIM_LO_PCT} * _n) div 100")
+    khi = F.expr(f"({TRIM_HI_PCT} * _n) div 100")
+    kept = F.greatest(
+        F.lit(0),
+        F.least(F.col("_cum"), khi) - F.greatest(F.col("_cum") - F.col("_c"), klo),
+    )
+    g = cum.groupBy("event_type").agg(
+        F.max("_n").cast("long").alias("n_events"),
+        F.max(khi - klo).cast("long").alias("n_kept"),
+        F.sum(F.col("_v").cast("decimal(38,0)") * kept).alias("_ts"),
+        F.max("_s").alias("_sall"),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "n_kept",
+        F.expr("CASE WHEN n_kept > 0 THEN CAST(_ts div n_kept AS BIGINT) END").alias(
+            "trimmed_mean_cents"
+        ),
+        F.expr("CASE WHEN n_events > 0 THEN CAST(_sall div n_events AS BIGINT) END").alias(
+            "mean_cents"
+        ),
+    )
+
+
+TRIMMED_MEAN_SQL = f"""
+WITH per_v AS (
+  SELECT event_type, {_CENTS_SQL.format(x="value")} AS v, count(*) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND value >= 0
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, v, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n,
+         sum(CAST(v AS HUGEINT) * c) OVER (PARTITION BY event_type) AS s
+  FROM per_v
+),
+k AS (
+  SELECT *, ({TRIM_LO_PCT} * n) // 100 AS klo, ({TRIM_HI_PCT} * n) // 100 AS khi
+  FROM cum
+),
+g AS (
+  SELECT event_type,
+         max(n) AS n, max(khi - klo) AS kept,
+         sum(CAST(v AS HUGEINT)
+             * greatest(0, least(cum, khi) - greatest(cum - c, klo))) AS ts,
+         max(s) AS sall
+  FROM k GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(kept AS BIGINT) AS n_kept,
+       CASE WHEN kept > 0 THEN CAST(ts // kept AS BIGINT) END AS trimmed_mean_cents,
+       CASE WHEN n > 0 THEN CAST(sall // n AS BIGINT) END AS mean_cents
+FROM g
+"""
+
+
+# --- Cohen's kappa over the langid eval ----------------------------------------
+
+
+def langid_kappa_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the n-gram language detector and the
+    corpus's labeled `lang` column — the chance-corrected agreement
+    SCALAR on top of langid_eval_confusion's per-cell matrix (a
+    detector can score 80% raw accuracy on a skewed corpus while doing
+    no better than chance; kappa is the number that catches it).
+
+    Exactness: kappa = (N·Σdiag − Σ row_t·col_t) / (N² − Σ row_t·col_t)
+    over exact integer confusion counts; the products ride
+    decimal(38,0)/HUGEINT (N² needs ~26 digits at 10¹³ docs), and kappa
+    is ONE division of exact-integer-valued doubles (numerator may be
+    negative — worse-than-chance — so no integer floor division; the
+    DiD fixed-shape-double precedent), floor-rounded to 6 dp. The
+    single-class degenerate case (N² = Σrc) emits NULL via mirrored
+    CASE.
+
+    Scale shape: one corpus scan into the ≤|langs|²-row confusion
+    frame; every window/aggregate after that is confusion-frame-sized."""
+    from ..operators import textops
+    from ..session import fan_out as _fan_out
+
+    docs = _fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("lang").isNotNull()
+    )
+    conf = docs.groupBy(
+        F.col("lang").alias("_t"),
+        textops.detect_language("text").alias("_d"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    g = conf.agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.sum(F.when(F.col("_t") == F.col("_d"), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("_diag"),
+    )
+    # marginal-product term: Σ_k row_k · col_k pairs the SAME label k on
+    # both sides (the equi-join below) — computed from the marginals on
+    # the ≤|langs|-row frames
+    rows = conf.groupBy("_t").agg(F.sum("_c").alias("_r"))
+    cols = conf.groupBy("_d").agg(F.sum("_c").alias("_k"))
+    rc = (
+        rows.join(cols, rows._t == cols._d)
+        .agg(
+            F.sum(
+                F.col("_r").cast("decimal(38,0)") * F.col("_k")
+            ).alias("_src")
+        )
+    )
+    out = g.crossJoin(F.broadcast(rc)).select(
+        F.col("_n").alias("n_docs"),
+        F.col("_diag").alias("n_agree"),
+        F.col("_src").cast("decimal(38,0)").alias("_src2"),
+        F.expr(
+            "CASE WHEN _n > 0 AND CAST(_n AS DECIMAL(38,0)) * _n <> _src THEN"
+            " floor((CAST(CAST(_n AS DECIMAL(38,0)) * _diag - _src AS DOUBLE))"
+            " / (CAST(CAST(_n AS DECIMAL(38,0)) * _n - _src AS DOUBLE))"
+            " * 1000000 + 0.5) / 1000000 END"
+        ).alias("kappa"),
+    )
+    return out.select(
+        "n_docs",
+        "n_agree",
+        F.expr("CAST(_src2 AS DOUBLE)").alias("sum_marginal_products"),
+        "kappa",
+    )
+
+
+def _langid_kappa_sql() -> str:
+    from ..operators import textops
+    from .extension_queries import _LANGID_CASE, _ratio_sql
+
+    return rf"""
+WITH r AS (
+  SELECT lang,
+         {_ratio_sql(textops.LANG_PROFILES['en'])} AS r_en,
+         {_ratio_sql(textops.LANG_PROFILES['es'])} AS r_es,
+         {_ratio_sql(textops.LANG_PROFILES['de'])} AS r_de,
+         {_ratio_sql(textops.LANG_PROFILES['fr'])} AS r_fr
+  FROM documents WHERE lang IS NOT NULL
+),
+p AS (SELECT lang AS t, {_LANGID_CASE} AS d FROM r),
+conf AS (SELECT t, d, count(*) AS c FROM p GROUP BY 1, 2),
+g AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN t = d THEN c ELSE 0 END) AS BIGINT) AS diag
+  FROM conf
+),
+rows_ AS (SELECT t, sum(c) AS r FROM conf GROUP BY 1),
+cols_ AS (SELECT d, sum(c) AS k FROM conf GROUP BY 1),
+rc AS (
+  SELECT sum(CAST(r AS HUGEINT) * k) AS src
+  FROM rows_ JOIN cols_ ON rows_.t = cols_.d
+)
+SELECT n AS n_docs, diag AS n_agree,
+       CAST(src AS DOUBLE) AS sum_marginal_products,
+       CASE WHEN n > 0 AND CAST(n AS HUGEINT) * n <> src THEN
+         floor(CAST(CAST(n AS HUGEINT) * diag - src AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * n - src AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 END AS kappa
+FROM g CROSS JOIN rc
+"""
+
+
+LANGID_KAPPA_SQL = _langid_kappa_sql()
+
+
+# --- A/B power / minimum-detectable-effect readout ------------------------------
+
+#: two-sided alpha=0.05 and power=0.80 normal quantiles (plan-build
+#: constants — the OBF-boundary pattern): z_{0.975} + z_{0.80}
+AB_POWER_ZSUM = round(1.959964 + 0.841621, 6)  # 2.801585
+
+
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design-side power readout for the standing A/B test: the minimum
+    detectable effect at alpha=0.05 / power=0.80 given the CURRENT arm
+    sizes and pooled conversion rate — mde = (z_a + z_b)·sqrt(p̄(1−p̄)
+    ·(1/n_a + 1/n_b)) — plus whether the observed |rate_diff| clears
+    it. The experimentation suite's missing design-side member: the
+    z/SPRT/OBF monitors DECIDE on observed data; this one says what
+    effect size the experiment could even see.
+
+    Exactness: integer cell counts; z-quantile sum is a Python
+    plan-build literal; mde composes correctly-rounded IEEE ops on
+    integer-valued doubles with identical shape both sides
+    (ab_test_zscore precedent); ``powered`` compares the two
+    floor-rounded 6-dp values, identical doubles in both engines.
+    Degenerate (empty arm, degenerate pooled rate) emits NULLs via
+    mirrored CASE.
+
+    Scale shape: one user-keyed aggregate, one global roll-up — ONE
+    output row regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("_conv")
+    )
+    from ..operators.sampling import hash_bucket
+
+    arms = users.withColumn("_arm", hash_bucket(F.col("user_id"), "ab") % 2)
+    stats = arms.agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 0, F.col("_conv")).otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("_arm") == 1, F.col("_conv")).otherwise(0)).cast("long").alias("conv_b"),
+    )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    var = pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    mde6 = F.floor(
+        F.lit(AB_POWER_ZSUM) * F.sqrt(var) * 1000000 + F.lit(0.5)
+    ) / 1000000
+    diff6 = F.floor(
+        (F.col("conv_a") / F.col("n_a") - F.col("conv_b") / F.col("n_b"))
+        * 1000000
+        + F.lit(0.5)
+    ) / 1000000
+    mcol = F.when(both & (F.when(both, var) > 0), mde6)
+    dcol = F.when(both, diff6)
+    return stats.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        dcol.alias("rate_diff"),
+        mcol.alias("mde"),
+        F.when(
+            mcol.isNotNull() & dcol.isNotNull(),
+            F.when(F.abs(dcol) >= mcol, 1).otherwise(0),
+        )
+        .cast("long")
+        .alias("powered"),
+    )
+
+
+AB_POWER_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
+         ('0x' || substr(md5(user_id::VARCHAR || 'ab'), 1, 8))::BIGINT % 10000 % 2 AS arm
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS conv_a,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS conv_b
+  FROM users
+),
+g AS (
+  SELECT *,
+         CASE WHEN n_a > 0 AND n_b > 0
+              THEN ((conv_a + conv_b) / (n_a + n_b))
+                   * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+                   * (1.0 / n_a + 1.0 / n_b) END AS var
+  FROM s
+),
+m AS (
+  SELECT *,
+         CASE WHEN var > 0
+              THEN floor({AB_POWER_ZSUM}e0 * sqrt(var) * 1000000 + 0.5) / 1000000
+         END AS mde,
+         CASE WHEN n_a > 0 AND n_b > 0
+              THEN floor((conv_a / n_a - conv_b / n_b) * 1000000 + 0.5) / 1000000
+         END AS rate_diff
+  FROM g
+)
+SELECT n_a, conv_a, n_b, conv_b, rate_diff, mde,
+       CAST(CASE WHEN mde IS NOT NULL AND rate_diff IS NOT NULL
+                 THEN CASE WHEN abs(rate_diff) >= mde THEN 1 ELSE 0 END
+            END AS BIGINT) AS powered
+FROM m
+"""

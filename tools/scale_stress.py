@@ -193,6 +193,13 @@ QUERIES = [
     "group_sequential_obf",
     "sample_weighted_allocation",
     "kll_quantile_gate",
+    # wave-12 members. ipw/power are user-keyed reducers to bounded
+    # frames; trimmed mean windows the distinct-cents domain; kappa
+    # reduces to the |langs|² confusion frame.
+    "ipw_ate_estimate",
+    "trimmed_mean_value",
+    "langid_kappa_eval",
+    "ab_power_mde",
     # r8 re-certs: the logprob pair's integer floor-log2 rewrite changed
     # the aggregate expressions — re-measure the vocab-join shape.
     "text_unigram_logprob",
