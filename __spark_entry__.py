@@ -34,6 +34,7 @@ from etl_dashboard_project_1_spark.plans import (
     round7_queries,
     round8_queries,
     round9_queries,
+    round10_queries,
     streaming_queries,
     timeseries_queries,
     training_queries,
@@ -1106,6 +1107,23 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round9_queries.ab_power_mde,
         round9_queries.AB_POWER_SQL,
     ),
+    # --- round-8 wave-13 registrations (post-seal — r9/r10 queue tail) ---
+    "cusum_revenue_drift": (
+        round10_queries.cusum_revenue_drift,
+        round10_queries.CUSUM_SQL,
+    ),
+    "ab_covariate_balance": (
+        round10_queries.ab_covariate_balance,
+        round10_queries.SMD_SQL,
+    ),
+    "session_transition_surprisal": (
+        round10_queries.session_transition_surprisal,
+        round10_queries.TRANSITION_SQL,
+    ),
+    "eb_shrunken_group_means": (
+        round10_queries.eb_shrunken_group_means,
+        round10_queries.EB_SHRINK_SQL,
+    ),
 }
 
 
@@ -1215,6 +1233,11 @@ _ROUND9_QUEUE: list[str] = [
     "trimmed_mean_value",
     "langid_kappa_eval",
     "ab_power_mde",
+    # wave-13 (same discipline)
+    "cusum_revenue_drift",
+    "ab_covariate_balance",
+    "session_transition_surprisal",
+    "eb_shrunken_group_means",
 ]
 
 _FRONT = _ROUND8_FRONT + _ROUND9_QUEUE

@@ -200,6 +200,13 @@ QUERIES = [
     "trimmed_mean_value",
     "langid_kappa_eval",
     "ab_power_mde",
+    # wave-13 members. cusum folds the calendar-bounded day frame;
+    # balance/eb are keyed reducers; transition is one lag window to a
+    # |types|² frame.
+    "cusum_revenue_drift",
+    "ab_covariate_balance",
+    "session_transition_surprisal",
+    "eb_shrunken_group_means",
     # r8 re-certs: the logprob pair's integer floor-log2 rewrite changed
     # the aggregate expressions — re-measure the vocab-join shape.
     "text_unigram_logprob",
