@@ -1153,6 +1153,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #       44 entries whose latest driver row is round 2. The remaining
 #       three (text_tfidf_topk, dq_rule_violations, text_pii_scrub) head
 #       _ROUND9_QUEUE. sim_ann_ivf stays excluded by design (see above).
+# Window-composition trade, made explicit: the r7 verdict's "done"
+# criterion asked for 45 stale slots (all 44 r2 + oldest r3), but four
+# implementations changed THIS round (q1's live dupes-sweep bug fix, the
+# two logprob transcendental retirements the same verdict ordered, and
+# the snm contract note). The re-certification rule outranks the
+# staleness backfill — "zero entries with a driver row predating their
+# current implementation" is the invariant the r7 verdict called
+# crucial — so those four take window slots and the last three r2-stale
+# entries (unchanged since their rows, covered by the full local sweeps
+# at both SFs) are first in line for r9.
 _ROUND8_FRONT: list[str] = [
     # (a) the r8 queue: never-checked wave-10
     "hhi_market_concentration",

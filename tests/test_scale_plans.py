@@ -207,6 +207,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "sample_weighted_allocation",      # 1-row weight-total broadcast (seat math)
         "kll_quantile_gate",               # 1-row (n, level, mod) meta + 4-row probe broadcasts
         "langid_kappa_eval",               # 1-row marginal-products broadcast
+        "eb_shrunken_group_means",         # 1-row global-totals broadcast
     }
     sf = "/root/testdata/sf0.001"
     registered = set(entrymod.queries())
