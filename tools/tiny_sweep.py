@@ -97,13 +97,21 @@ NULLS = {
 #: an empty string every 7th doc — exercising the tokenizer/regex/fold
 #: mirrors (Spark split/lower/regexp_replace vs DuckDB regexp_* )
 UNICODE = {
+    # doc_id % 8 = 7 is the SUPPLEMENTARY-PLANE case (emoji + CJK-B):
+    # UTF-16 code units (Spark/Java string order) and UTF-8 bytes
+    # (DuckDB order) DISAGREE on these — surrogate pairs 0xD800-0xDFFF
+    # sort below U+E000.. in UTF-16 but above in UTF-8 — so any query
+    # whose semantics depend on string ORDER of such text diverges by
+    # design (the dedup_sorted_neighborhood BMP ordering contract);
+    # the sweep exercises that boundary instead of avoiding it.
     "documents": "doc_id,"
-                 " CASE WHEN doc_id % 7 = 0 THEN ''"
-                 " WHEN doc_id % 7 = 1 THEN 'Ünïcode Tëxt ΣΩΔ façade naïve'"
-                 " WHEN doc_id % 7 = 2 THEN '中文文本 日本語 한국어'"
-                 " WHEN doc_id % 7 = 3 THEN 'tabs\tand\t\tmultiple   spaces'"
-                 " WHEN doc_id % 7 = 4 THEN 'regex .* meta [chars] (here) | $^'"
-                 " WHEN doc_id % 7 = 5 THEN 'MiXeD CaSe ÉÈÊ ÀÂÄ ÇÑ'"
+                 " CASE WHEN doc_id % 8 = 0 THEN ''"
+                 " WHEN doc_id % 8 = 1 THEN 'Ünïcode Tëxt ΣΩΔ façade naïve'"
+                 " WHEN doc_id % 8 = 2 THEN '中文文本 日本語 한국어'"
+                 " WHEN doc_id % 8 = 3 THEN 'tabs\tand\t\tmultiple   spaces'"
+                 " WHEN doc_id % 8 = 4 THEN 'regex .* meta [chars] (here) | $^'"
+                 " WHEN doc_id % 8 = 5 THEN 'MiXeD CaSe ÉÈÊ ÀÂÄ ÇÑ'"
+                 " WHEN doc_id % 8 = 7 THEN '😀 emoji 🚀 text \U00020000 plane2  private'"
                  " ELSE 'plain english words here again' END AS text,"
                  " lang, source, n_chars",
     "events": "event_id, ts, user_id, event_type, value,"
