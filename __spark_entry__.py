@@ -35,6 +35,7 @@ from etl_dashboard_project_1_spark.plans import (
     round8_queries,
     round9_queries,
     round10_queries,
+    round11_queries,
     streaming_queries,
     timeseries_queries,
     training_queries,
@@ -1124,6 +1125,27 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round10_queries.eb_shrunken_group_means,
         round10_queries.EB_SHRINK_SQL,
     ),
+    # --- round-8 wave-14 registrations (post-seal — r9/r10 queue tail) ---
+    "t_closeness_audit": (
+        round11_queries.t_closeness_audit,
+        round11_queries.T_CLOSENESS_SQL,
+    ),
+    "fairness_keep_rate_audit": (
+        round11_queries.fairness_keep_rate_audit,
+        round11_queries.FAIRNESS_SQL,
+    ),
+    "kendall_tau_leaderboards": (
+        round11_queries.kendall_tau_leaderboards,
+        round11_queries.KENDALL_SQL,
+    ),
+    "logrank_survival_test": (
+        round11_queries.logrank_survival_test,
+        round11_queries.LOGRANK_SQL,
+    ),
+    "changepoint_mean_shift": (
+        round11_queries.changepoint_mean_shift,
+        round11_queries.CHANGEPOINT_SQL,
+    ),
 }
 
 
@@ -1248,6 +1270,12 @@ _ROUND9_QUEUE: list[str] = [
     "ab_covariate_balance",
     "session_transition_surprisal",
     "eb_shrunken_group_means",
+    # wave-14 (same discipline)
+    "t_closeness_audit",
+    "fairness_keep_rate_audit",
+    "kendall_tau_leaderboards",
+    "logrank_survival_test",
+    "changepoint_mean_shift",
 ]
 
 _FRONT = _ROUND8_FRONT + _ROUND9_QUEUE

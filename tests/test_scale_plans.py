@@ -208,6 +208,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "kll_quantile_gate",               # 1-row (n, level, mod) meta + 4-row probe broadcasts
         "langid_kappa_eval",               # 1-row marginal-products broadcast
         "eb_shrunken_group_means",         # 1-row global-totals broadcast
+        "kendall_tau_leaderboards",        # |nations|²-bounded pair self-join
+        "logrank_survival_test",           # 1-row max-date anchor broadcast
     }
     sf = "/root/testdata/sf0.001"
     registered = set(entrymod.queries())

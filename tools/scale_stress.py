@@ -211,6 +211,19 @@ QUERIES = [
     # the aggregate expressions — re-measure the vocab-join shape.
     "text_unigram_logprob",
     "text_bigram_logprob",
+    # wave-14 members. t-closeness/fairness are keyed reducers to
+    # QI-class / |langs| frames (nation shifting grows the class frame
+    # linearly, still dimension-sized); logrank is a per-user aggregate
+    # to the calendar-bounded duration frame; changepoint folds the
+    # day frame. kendall's pair frame is |nations|² — quadratic in the
+    # leaderboard DIMENSION by definition (not a replication artifact:
+    # 10x nations really is 100x pairs), bounded in practice because
+    # leaderboard entities are a dimension, not data.
+    "t_closeness_audit",
+    "fairness_keep_rate_audit",
+    "kendall_tau_leaderboards",
+    "logrank_survival_test",
+    "changepoint_mean_shift",
 ]
 
 
