@@ -36,6 +36,8 @@ from etl_dashboard_project_1_spark.plans import (
     round9_queries,
     round10_queries,
     round11_queries,
+    round12_queries,
+    round13_queries,
     streaming_queries,
     timeseries_queries,
     training_queries,
@@ -1146,6 +1148,36 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round11_queries.changepoint_mean_shift,
         round11_queries.CHANGEPOINT_SQL,
     ),
+    # --- round-8 wave-15 registrations (post-seal — r9/r10 queue tail) ---
+    "chao1_vocab_richness": (
+        round12_queries.chao1_vocab_richness,
+        round12_queries.CHAO1_SQL,
+    ),
+    "kruskal_wallis_value_by_type": (
+        round12_queries.kruskal_wallis_value_by_type,
+        round12_queries.KRUSKAL_SQL,
+    ),
+    "mcnemar_langid_test": (
+        round12_queries.mcnemar_langid_test,
+        round12_queries.MCNEMAR_SQL,
+    ),
+    "emb_silhouette_eval": (
+        round12_queries.emb_silhouette_eval,
+        round12_queries.SILHOUETTE_SQL,
+    ),
+    # --- round-8 wave-16 registrations (post-seal — r9/r10 queue tail) ---
+    "mann_kendall_trend": (
+        round13_queries.mann_kendall_trend,
+        round13_queries.MANN_KENDALL_SQL,
+    ),
+    "runs_test_daily_revenue": (
+        round13_queries.runs_test_daily_revenue,
+        round13_queries.RUNS_TEST_SQL,
+    ),
+    "brier_decomposition_eval": (
+        round13_queries.brier_decomposition_eval,
+        round13_queries.BRIER_SQL,
+    ),
 }
 
 
@@ -1276,6 +1308,15 @@ _ROUND9_QUEUE: list[str] = [
     "kendall_tau_leaderboards",
     "logrank_survival_test",
     "changepoint_mean_shift",
+    # wave-15 (same discipline)
+    "chao1_vocab_richness",
+    "kruskal_wallis_value_by_type",
+    "mcnemar_langid_test",
+    "emb_silhouette_eval",
+    # wave-16 (same discipline)
+    "mann_kendall_trend",
+    "runs_test_daily_revenue",
+    "brier_decomposition_eval",
 ]
 
 _FRONT = _ROUND8_FRONT + _ROUND9_QUEUE

@@ -210,6 +210,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "eb_shrunken_group_means",         # 1-row global-totals broadcast
         "kendall_tau_leaderboards",        # |nations|²-bounded pair self-join
         "logrank_survival_test",           # 1-row max-date anchor broadcast
+        "kruskal_wallis_value_by_type",    # 1-row tie-term broadcast
+        "mann_kendall_trend",              # |days|²-bounded pair self-join + 1-row tie broadcast
     }
     sf = "/root/testdata/sf0.001"
     registered = set(entrymod.queries())
@@ -447,6 +449,11 @@ EXPECTED_DIVERGENCES = {
         "dedup_source_matrix",
         "emb_centroid_classifier_eval",
         "emb_knn_eval",
+        # emb_silhouette_eval: same per-vec_id precondition as the
+        # centroid/knn evals — the oracle's vec_id-keyed distance
+        # grouping collapses duplicated vectors while the map-side
+        # operator scores each physical row
+        "emb_silhouette_eval",
         "max_drawdown_user",
         "mm_feature_topk",
         "retrieval_mrr_eval",

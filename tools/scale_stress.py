@@ -224,6 +224,23 @@ QUERIES = [
     "kendall_tau_leaderboards",
     "logrank_survival_test",
     "changepoint_mean_shift",
+    # wave-15 members. chao1 rides the (source, token) vocab shuffle
+    # (constant vocabulary under replication — the tfidf class);
+    # kruskal reduces to the distinct-cents × |types| frame; mcnemar is
+    # one map-side scan to a 1-row aggregate; silhouette's fit/probe is
+    # the centroid-classifier shape (label×dim moments + map-only
+    # scoring scan).
+    "chao1_vocab_richness",
+    "kruskal_wallis_value_by_type",
+    "mcnemar_langid_test",
+    "emb_silhouette_eval",
+    # wave-16 members. mann-kendall/runs fold the calendar-bounded day
+    # frame (pair frame is |days|², calendar-constant under
+    # replication); brier is one user-keyed aggregate to ≤~40 ilog2
+    # bins (the ipw class).
+    "mann_kendall_trend",
+    "runs_test_daily_revenue",
+    "brier_decomposition_eval",
 ]
 
 
