@@ -1178,6 +1178,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round13_queries.brier_decomposition_eval,
         round13_queries.BRIER_SQL,
     ),
+    "kcore_copurchase": (
+        round13_queries.kcore_copurchase,
+        round13_queries.KCORE_SQL,
+    ),
 }
 
 
@@ -1317,6 +1321,7 @@ _ROUND9_QUEUE: list[str] = [
     "mann_kendall_trend",
     "runs_test_daily_revenue",
     "brier_decomposition_eval",
+    "kcore_copurchase",
 ]
 
 _FRONT = _ROUND8_FRONT + _ROUND9_QUEUE

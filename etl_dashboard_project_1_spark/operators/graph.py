@@ -8,7 +8,7 @@ distributed join + one aggregation, shuffling on the node id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -194,3 +194,55 @@ def triangle_count_arrays(edges, src: str = "src", dst: str = "dst"):
         .crossJoin(F.broadcast(und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def kcore_edges(
+    und: DataFrame, k: int, max_rounds: int
+) -> DataFrame:
+    """Bounded iterative k-core peeling over a DOUBLED (undirected)
+    edge list: each round drops every edge with an endpoint of degree
+    < k, for at most ``max_rounds`` rounds (early exit when a round
+    removes nothing — further rounds are no-ops, so the result equals
+    the fixed-round definition). The bound is part of the operator
+    contract (the PageRank fixed-iteration / LEV_MAX_BLOCK documented-
+    cap precedent): at the tested scales the peel reaches its fixpoint
+    well inside the bound (measured ≤ 7 rounds at sf0.1 for the
+    co-purchase graph at k = 80), and the bound makes the operator's
+    output a deterministic function of (graph, k, max_rounds) in any
+    engine.
+
+    Scale shape: each round is two degree windows over the CURRENT
+    (shrinking) edge set — O(max_rounds) shuffles total, the inherent
+    cost of an iterative graph kernel (the PageRank justification).
+    Each round is persisted (compressed columnar cache) and the
+    PREVIOUS round explicitly unpersisted once the new one is
+    materialized, so at most one round's edge set is ever resident —
+    the first localCheckpoint form retained every round's blocks and
+    killed an 8 GB driver at the 100-copy weak-scaling decade (240M
+    doubled edges × 7 rounds); on a cluster the same single-round
+    residency argument holds per executor. Degrees ride the doubled
+    representation (count of rows per src IS the undirected degree),
+    and dropping a row always drops its mirror in the same round (the
+    mirror's dst-degree is the same endpoint's degree), so the doubled
+    invariant is preserved."""
+    edges = und.persist()
+    n = edges.count()
+    w_s = Window.partitionBy("src")
+    w_d = Window.partitionBy("dst")
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+        filtered = (
+            edges.withColumn("_ds", F.count(F.lit(1)).over(w_s))
+            .withColumn("_dd", F.count(F.lit(1)).over(w_d))
+            .filter((F.col("_ds") >= k) & (F.col("_dd") >= k))
+            .drop("_ds", "_dd")
+            .persist()
+        )
+        m = filtered.count()
+        edges.unpersist(blocking=False)
+        edges = filtered
+        if m == n:
+            break
+        n = m
+    return edges

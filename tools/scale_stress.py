@@ -241,6 +241,11 @@ QUERIES = [
     "mann_kendall_trend",
     "runs_test_daily_revenue",
     "brier_decomposition_eval",
+    # kcore: the co-purchase self-join is basket-bounded per order and
+    # the peel is O(KCORE_PEELS) degree windows over the shrinking edge
+    # set — disjoint key-shifted copies peel independently at the same
+    # depth, so rounds stay constant while edges grow linearly.
+    "kcore_copurchase",
 ]
 
 
