@@ -1234,6 +1234,10 @@ _ROUND8_FRONT: list[str] = [
     # flipping a 2-dp rounding between engines (order-dependent float
     # accumulation landing 1 ulp from a .xx5 boundary) — the flagship
     # takes a window slot; text_tfidf_topk moves to _ROUND9_QUEUE.
+    # Late-round review additionally moved q1's two sum round-half-up
+    # divisions into DECIMAL (`div` returns BIGINT and wraps ~12x below
+    # the certified 100 TB charge bound); values identical at every
+    # tested scale, and the r8 driver row certifies this final form.
     "text_unigram_logprob",
     "text_bigram_logprob",
     "dedup_sorted_neighborhood",

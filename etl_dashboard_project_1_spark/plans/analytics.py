@@ -84,8 +84,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         (F.col("_sq").cast("double") / 100).alias("sum_qty"),
         (F.col("_sp").cast("double") / 100).alias("sum_base_price"),
-        (F.expr("(_sdp + 50) div 100").cast("double") / 100).alias("sum_disc_price"),
-        (F.expr("(_sc + 5000) div 10000").cast("double") / 100).alias("sum_charge"),
+        # round-half-up of the e4/e6 sums stays in DECIMAL: `div` returns
+        # BIGINT and silently wraps once the quotient passes ~9.2e18 —
+        # 12x below the docstring's certified 100 TB charge-sum bound
+        # (the kruskal div-overflow class, caught by review). floor of
+        # the scale-6 decimal division is exact here: the true quotient
+        # has <= 2 fractional digits, and decimal(38,6) holds 1e32.
+        (
+            F.expr("CAST(floor((_sdp + 50) / 100) AS DECIMAL(38,0))")
+            .cast("double") / 100
+        ).alias("sum_disc_price"),
+        (
+            F.expr("CAST(floor((_sc + 5000) / 10000) AS DECIMAL(38,0))")
+            .cast("double") / 100
+        ).alias("sum_charge"),
         (
             F.expr("CASE WHEN _nq > 0 THEN (2 * _sq + _nq) div (2 * _nq) END")
             .cast("double") / 100

@@ -99,16 +99,27 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"   floor(1000000.0 * (_s + 1) / sqrt(CAST({var18} AS DOUBLE) / 18.0))"
         " ELSE 0 END END"
     )
-    return both.select(
+    # z computed ONCE; the significance flag derives from the column (a
+    # review catch: the first form re-interpolated the full z expression
+    # into the flag, three copies per engine — one future variance edit
+    # away from the statistic and its flag silently disagreeing)
+    staged = both.select(
         F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_days"),
         F.col("_s").cast("long").alias("s_stat"),
         F.expr(f"CAST({var18} AS BIGINT)").alias("var_s_x18"),
         F.expr(f"CAST({z} AS BIGINT)").alias("z_e6"),
-        F.expr(
-            f"CAST(CASE WHEN ({z}) IS NOT NULL THEN"
-            f" CASE WHEN abs({z}) >= {MK_CRIT_E6} THEN 1 ELSE 0 END END"
-            " AS BIGINT)"
-        ).alias("trend_significant"),
+    )
+    return staged.select(
+        "n_days",
+        "s_stat",
+        "var_s_x18",
+        "z_e6",
+        F.when(
+            F.col("z_e6").isNotNull(),
+            F.when(F.abs(F.col("z_e6")) >= MK_CRIT_E6, 1).otherwise(0),
+        )
+        .cast("long")
+        .alias("trend_significant"),
     )
 
 
@@ -130,35 +141,30 @@ tagg AS (
          sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tc
   FROM ties
 ),
-mk AS (SELECT * FROM s_agg CROSS JOIN tagg)
+mk AS (
+  SELECT n, s, CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tc AS var18
+  FROM s_agg CROSS JOIN tagg
+),
+-- z computed ONCE (mirrors the Spark staged select); the significance
+-- flag derives from this column
+zc AS (
+  SELECT n, s, var18,
+         CASE WHEN n >= 2 AND var18 > 0 THEN
+           CASE WHEN s > 0 THEN
+             floor(1000000.0 * (s - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0))
+           WHEN s < 0 THEN
+             floor(1000000.0 * (s + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0))
+           ELSE 0 END END AS z
+  FROM mk
+)
 SELECT CAST(coalesce(n, 0) AS BIGINT) AS n_days,
        CAST(s AS BIGINT) AS s_stat,
-       CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tc AS BIGINT)
-         AS var_s_x18,
-       CAST(CASE WHEN n >= 2
-                      AND (CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tc) > 0
-            THEN CASE WHEN s > 0 THEN
-                   floor(1000000.0 * (s - 1)
-                         / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
-                                     - tc AS DOUBLE) / 18.0))
-                 WHEN s < 0 THEN
-                   floor(1000000.0 * (s + 1)
-                         / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
-                                     - tc AS DOUBLE) / 18.0))
-                 ELSE 0 END END AS BIGINT) AS z_e6,
-       CAST(CASE WHEN n >= 2
-                      AND (CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tc) > 0
-            THEN CASE WHEN abs(CASE WHEN s > 0 THEN
-                   floor(1000000.0 * (s - 1)
-                         / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
-                                     - tc AS DOUBLE) / 18.0))
-                 WHEN s < 0 THEN
-                   floor(1000000.0 * (s + 1)
-                         / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
-                                     - tc AS DOUBLE) / 18.0))
-                 ELSE 0 END) >= {MK_CRIT_E6} THEN 1 ELSE 0 END END AS BIGINT)
-         AS trend_significant
-FROM mk
+       CAST(var18 AS BIGINT) AS var_s_x18,
+       CAST(z AS BIGINT) AS z_e6,
+       CAST(CASE WHEN z IS NOT NULL THEN
+              CASE WHEN abs(z) >= {MK_CRIT_E6} THEN 1 ELSE 0 END
+            END AS BIGINT) AS trend_significant
+FROM zc
 """
 
 
@@ -283,8 +289,11 @@ FROM agg
 
 # --- Brier-score Murphy decomposition of a binned conversion predictor -----------
 
-#: conversion definition shared with ab_test_zscore / group_sequential_obf
-BRIER_CONV_MIN = 150
+# conversion definition shared with ab_test_zscore / group_sequential_obf /
+# ab_power_mde — ONE constant, strict `>` (a review catch: a first copy
+# here used `>=`, silently scoring the boundary purchase differently
+# from the rest of the experiment suite)
+from .round9_queries import GSQ_CONV_MIN as BRIER_CONV_MIN
 
 
 def brier_decomposition_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,7 +330,7 @@ def brier_decomposition_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 (F.col("event_type") == "purchase")
                 & F.col("value").isNotNull()
-                & (F.col("value") >= BRIER_CONV_MIN),
+                & (F.col("value") > BRIER_CONV_MIN),
                 1,
             ).otherwise(0)
         ).alias("_y"),
@@ -404,7 +413,7 @@ BRIER_SQL = f"""
 WITH users AS (
   SELECT CAST(length(bin(count(*))) - 1 AS BIGINT) AS bin,
          max(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
-                       AND value >= {BRIER_CONV_MIN} THEN 1 ELSE 0 END) AS y,
+                       AND value > {BRIER_CONV_MIN} THEN 1 ELSE 0 END) AS y,
          ('0x' || substr(md5(user_id::VARCHAR || 'brier'), 1, 8))::BIGINT
            % 10000 % 2 AS h
   FROM events WHERE user_id IS NOT NULL GROUP BY user_id

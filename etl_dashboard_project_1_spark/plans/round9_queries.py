@@ -763,10 +763,13 @@ def langid_kappa_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one corpus scan into the ≤|langs|²-row confusion
     frame; every window/aggregate after that is confusion-frame-sized."""
     from ..operators import textops
-    from ..session import fan_out as _fan_out
 
-    docs = _fan_out(load_table(spark, sf_dir, "documents")).filter(
-        F.col("lang").isNotNull()
+    # NULL text cannot be scored: Spark detect_language maps it to
+    # 'und' while the SQL mirror's CASE would fall through NULL ratios
+    # to its ELSE branch — excluded in BOTH engines (review catch; the
+    # mcnemar_langid_test filter)
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
     )
     conf = docs.groupBy(
         F.col("lang").alias("_t"),
@@ -821,7 +824,7 @@ WITH r AS (
          {_ratio_sql(textops.LANG_PROFILES['es'])} AS r_es,
          {_ratio_sql(textops.LANG_PROFILES['de'])} AS r_de,
          {_ratio_sql(textops.LANG_PROFILES['fr'])} AS r_fr
-  FROM documents WHERE lang IS NOT NULL
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
 ),
 p AS (SELECT lang AS t, {_LANGID_CASE} AS d FROM r),
 conf AS (SELECT t, d, count(*) AS c FROM p GROUP BY 1, 2),
@@ -879,7 +882,8 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = ev.groupBy("user_id").agg(
         F.max(
             F.when(
-                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > GSQ_CONV_MIN), 1
             ).otherwise(0)
         ).alias("_conv")
     )
@@ -924,7 +928,7 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 AB_POWER_SQL = f"""
 WITH users AS (
   SELECT user_id,
-         max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
+         max(CASE WHEN event_type = 'purchase' AND value > {GSQ_CONV_MIN} THEN 1 ELSE 0 END) AS conv,
          ('0x' || substr(md5(user_id::VARCHAR || 'ab'), 1, 8))::BIGINT % 10000 % 2 AS arm
   FROM events GROUP BY user_id
 ),

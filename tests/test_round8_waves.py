@@ -154,3 +154,47 @@ def test_kruskal_hand_oracle(spark, tmp_path):
     row = kruskal_wallis_value_by_type(spark, out).collect()[0]
     assert row["n_total"] == 3 and row["k_groups"] == 3
     assert row["h_e6"] == 2_000_000
+
+
+def test_q1_rounding_division_survives_100tb_headroom(spark):
+    """Review catch: `(_sc + 5000) div 10000` returns BIGINT and silently
+    wraps once the quotient passes ~9.2e18 — 12x below q1's certified
+    100 TB charge-sum bound. The decimal floor form must match python
+    ground truth at and beyond the wrap point."""
+    cases = [
+        92233720368547758080000,          # the wrap-reproducing probe
+        1099999999999999999999995000,     # ~the certified 1.1e24 bound
+        123456789,
+    ]
+    for x in cases:
+        got = spark.sql(
+            f"SELECT CAST(floor((CAST({x} AS DECIMAL(38,0)) + 5000) / 10000)"
+            " AS DECIMAL(38,0)) AS v"
+        ).collect()[0][0]
+        assert int(got) == (x + 5000) // 10000
+
+
+def test_langid_kappa_null_text_is_excluded_both_engines(spark, tmp_path):
+    """Review catch: a NULL-text document with non-NULL lang was scored
+    'und' by Spark but fell through the SQL CASE's ELSE branch — now
+    excluded by mirrored filters. The crafted scenario must hash-match."""
+    import duckdb
+
+    from tests.oracle_harness import compare
+
+    import __spark_entry__ as entrymod
+
+    out = str(tmp_path)
+    duckdb.connect().execute(
+        f"""COPY (SELECT * FROM (VALUES
+          (1::BIGINT, NULL::VARCHAR, 'fr', 'web', 0::BIGINT),
+          (2, 'le la les des est sont avec pour dans ce cette', 'fr', 'web', 10),
+          (3, 'the of and is in to it that was for this with', 'en', 'web', 10)
+        ) t(doc_id, text, lang, source, n_chars))
+        TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    ok, msg = compare(
+        spark, q["langid_kappa_eval"], o["langid_kappa_eval"], out
+    )
+    assert ok, msg
