@@ -1326,6 +1326,11 @@ _ROUND9_QUEUE: list[str] = [
     "runs_test_daily_revenue",
     "brier_decomposition_eval",
     "kcore_copurchase",
+    # re-certification (the changed-implementation rule): the new
+    # --negatives sweep caught benford crashing on negative totals
+    # (substr(floor(x)) leads with '-' under ANSI int cast); rewritten
+    # to first-significant-digit-of-|x| with sub-1 magnitudes excluded
+    "benford_first_digit_audit",
 ]
 
 _FRONT = _ROUND8_FRONT + _ROUND9_QUEUE

@@ -395,13 +395,20 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one digit-extraction map + one 9-group aggregate."""
     orders = load_table(spark, sf_dir, "orders")
-    digit = F.substring(F.floor("o_totalprice").cast("string"), 1, 1).cast("int")
+    # Benford applies to MAGNITUDES: the first significant digit of
+    # |x|. The first form took substr(floor(x)) directly — on a
+    # negative price (a credited order) the leading char is '-' and the
+    # ANSI int cast CRASHES (caught by the --negatives sweep); and a
+    # |x| < 1 magnitude yields digit 0, which has no Benford
+    # expectation (and would crash element_at's 1-based index) —
+    # excluded in BOTH engines alongside NULLs.
+    digit = F.substring(
+        F.floor(F.abs(F.col("o_totalprice"))).cast("string"), 1, 1
+    ).cast("int")
     exp = F.element_at(F.array(*[F.lit(v) for v in BENFORD_BP]), F.col("digit"))
     counted = (
         orders.select(digit.alias("digit"))
-        # a NULL price has no first digit (nulls-sweep class): excluded
-        # in BOTH engines (the oracle's exp join would drop it silently)
-        .filter(F.col("digit").isNotNull())
+        .filter(F.col("digit").isNotNull() & (F.col("digit") >= 1))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -425,10 +432,13 @@ WITH exp(digit, expected_bp) AS (
   VALUES {", ".join(f"({d + 1}, {v})" for d, v in enumerate(BENFORD_BP))}
 ),
 counted AS (
-  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
-           AS digit,
-         count(*) AS n
-  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+  SELECT digit, count(*) AS n
+  FROM (
+    SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT) AS VARCHAR),
+                       1, 1) AS INT) AS digit
+    FROM orders WHERE o_totalprice IS NOT NULL
+  ) WHERE digit >= 1
+  GROUP BY 1
 ),
 tot AS (SELECT sum(n) AS t FROM counted)
 SELECT c.digit,

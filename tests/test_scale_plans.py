@@ -411,6 +411,12 @@ SWEEP_GATES = [
     ("nulls", 50, "nulls"),
     ("unicode", 50, "unicode"),
     ("dupes", 25, "dupes"),
+    # r8 late-round addition: the negative-operand axis (refund values,
+    # credited orders, overdrawn balances) — Spark `div` truncates
+    # toward zero vs DuckDB `//` flooring, and ANSI casts crash on '-'
+    # leading chars. First run caught benford_first_digit_audit's
+    # substr(floor(x)) crash live.
+    ("negatives", 50, "negatives"),
 ]
 
 #: r8 upgrade (r7 verdict item 4): the adjudicated cross-engine
@@ -438,6 +444,7 @@ EXPECTED_DIVERGENCES = {
     "ties": {"set_ops_retained_customers"},
     "nulls": {"set_ops_retained_customers"},
     "unicode": {"set_ops_retained_customers", "mm_audio_peaks"},
+    "negatives": {"set_ops_retained_customers"},
     "dupes": {
         "asof_signup_attribution",
         "curriculum_interleave",

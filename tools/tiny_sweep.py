@@ -119,12 +119,41 @@ UNICODE = {
 }
 
 
+#: per-table projections for the --negatives mode: every third row's
+#: money-like payload flips sign — refund purchases (events.value),
+#: credited orders (o_totalprice), overdrawn balances (acctbal). Hunts
+#: the negative-operand divergence class: Spark `div` truncates toward
+#: zero while DuckDB `//` floors (they differ on ANY negative quotient),
+#: and unguarded `x >= 0`-assuming integer math silently mis-rounds —
+#: the r7-ADVICE ltv/hhi class, systematized. Keys and non-monetary
+#: payloads stay untouched.
+NEGATIVES = {
+    "events": "event_id, ts, user_id, event_type,"
+              " CASE WHEN event_id % 3 = 0 THEN -value ELSE value END AS value,"
+              " props",
+    "orders": "o_orderkey, o_custkey, o_orderstatus,"
+              " CASE WHEN o_orderkey % 3 = 0 THEN -o_totalprice"
+              " ELSE o_totalprice END AS o_totalprice,"
+              " o_orderdate, o_orderpriority",
+    "customer": "c_custkey, c_name, c_nationkey,"
+                " CASE WHEN c_custkey % 3 = 0 THEN -abs(c_acctbal)"
+                " ELSE c_acctbal END AS c_acctbal,"
+                " c_mktsegment",
+    "supplier": "s_suppkey, s_name, s_nationkey,"
+                " CASE WHEN s_suppkey % 3 = 0 THEN -abs(s_acctbal)"
+                " ELSE s_acctbal END AS s_acctbal",
+}
+
+
 def build(n_rows: int, out_dir: str, mode: str | None = None) -> None:
     import duckdb
 
     con = duckdb.connect()
     os.makedirs(out_dir, exist_ok=True)
-    proj_map = {"ties": TIES, "nulls": NULLS, "unicode": UNICODE}.get(mode or "", {})
+    proj_map = {
+        "ties": TIES, "nulls": NULLS, "unicode": UNICODE,
+        "negatives": NEGATIVES,
+    }.get(mode or "", {})
     for t, key in KEYS.items():
         proj = proj_map.get(t, "*")
         base = (
@@ -146,7 +175,7 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_rows = int(args[0]) if args else 3
     mode = None
-    for m in ("ties", "nulls", "unicode", "dupes"):
+    for m in ("ties", "nulls", "unicode", "dupes", "negatives"):
         if f"--{m}" in sys.argv:
             mode = m
     suffix = f"_{mode}" if mode else ""
