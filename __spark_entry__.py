@@ -38,6 +38,7 @@ from etl_dashboard_project_1_spark.plans import (
     round11_queries,
     round12_queries,
     round13_queries,
+    round14_queries,
     streaming_queries,
     timeseries_queries,
     training_queries,
@@ -1182,6 +1183,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round13_queries.kcore_copurchase,
         round13_queries.KCORE_SQL,
     ),
+    # --- round-8 wave-17 registrations (post-seal — r9/r10 queue tail) ---
+    "cochran_armitage_trend": (
+        round14_queries.cochran_armitage_trend,
+        round14_queries.COCHRAN_ARMITAGE_SQL,
+    ),
+    "durbin_watson_forecast_errors": (
+        round14_queries.durbin_watson_forecast_errors,
+        round14_queries.DURBIN_WATSON_SQL,
+    ),
 }
 
 
@@ -1331,6 +1341,9 @@ _ROUND9_QUEUE: list[str] = [
     # (substr(floor(x)) leads with '-' under ANSI int cast); rewritten
     # to first-significant-digit-of-|x| with sub-1 magnitudes excluded
     "benford_first_digit_audit",
+    # wave-17 (same discipline)
+    "cochran_armitage_trend",
+    "durbin_watson_forecast_errors",
 ]
 
 _FRONT = _ROUND8_FRONT + _ROUND9_QUEUE

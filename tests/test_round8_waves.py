@@ -198,3 +198,44 @@ def test_langid_kappa_null_text_is_excluded_both_engines(spark, tmp_path):
         spark, q["langid_kappa_eval"], o["langid_kappa_eval"], out
     )
     assert ok, msg
+
+
+def test_cochran_armitage_matches_textbook_conditional_form(spark):
+    """The cross-multiplied CA z must equal the textbook conditional
+    form (T − K·S1/N)/sqrt(K(N−K)/(N(N−1))·(S2 − S1²/N)) recomputed
+    independently — a first draft divided the variance by an extra N,
+    inflating z by sqrt(N) in BOTH engines (the mirrored-algebra class
+    the cross-engine hash gate cannot see)."""
+    import math
+
+    import duckdb
+
+    from etl_dashboard_project_1_spark.plans.round14_queries import (
+        cochran_armitage_trend,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    row = cochran_armitage_trend(spark, sf).collect()[0]
+    bins = duckdb.sql(
+        f"""
+        WITH users AS (
+          SELECT CAST(length(bin(count(*))) - 1 AS BIGINT) AS s,
+                 max(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+                               AND value > 150 THEN 1 ELSE 0 END) AS y
+          FROM read_parquet('{sf}/events.parquet')
+          WHERE user_id IS NOT NULL GROUP BY user_id
+        )
+        SELECT s, count(*), sum(y) FROM users GROUP BY 1
+        """
+    ).fetchall()
+    N = sum(n for _, n, _ in bins)
+    K = sum(k for *_, k in bins)
+    S1 = sum(s * n for s, n, _ in bins)
+    S2 = sum(s * s * n for s, n, _ in bins)
+    T = sum(s * k for s, _, k in bins)
+    if N >= 2 and 0 < K < N and N * S2 - S1 * S1 > 0:
+        var = K * (N - K) / (N * (N - 1)) * (S2 - S1 * S1 / N)
+        z_true = (T - K * S1 / N) / math.sqrt(var)
+        assert row["z_e6"] == math.floor(1e6 * z_true)
+    else:
+        assert row["z_e6"] is None

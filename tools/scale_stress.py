@@ -246,6 +246,14 @@ QUERIES = [
     # set — disjoint key-shifted copies peel independently at the same
     # depth, so rounds stay constant while edges grow linearly.
     "kcore_copurchase",
+    # wave-17 members. cochran-armitage is one user-keyed aggregate to
+    # the ilog2-bin frame (the ipw/brier class); durbin-watson folds
+    # the calendar-bounded day frame.
+    "cochran_armitage_trend",
+    "durbin_watson_forecast_errors",
+    # benford re-cert: the |x| digit rewrite keeps the one 9-group
+    # aggregate; re-measure the digit-extraction map.
+    "benford_first_digit_audit",
 ]
 
 
