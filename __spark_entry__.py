@@ -1346,7 +1346,58 @@ _ROUND9_QUEUE: list[str] = [
     "durbin_watson_forecast_errors",
 ]
 
-_FRONT = _ROUND8_FRONT + _ROUND9_QUEUE
+# --- Round-9 rotation (promoted at round-open, per the r8 verdict item 1) ---
+# The window holds, in order:
+#   (a) the full 30-entry _ROUND9_QUEUE: 3 r2-stale carry-overs the r8
+#       window could not fit (text_tfidf_topk, dq_rule_violations,
+#       text_pii_scrub), the 26 wave-11..17 registrations that have never
+#       had a driver row, and the benford re-certification (its
+#       --negatives sweep fix changed the implementation after its last
+#       row);
+#   (b) oldest-stale backfill to 50: the first 20 (registry order) of the
+#       48 entries whose latest driver row is round 3. The remaining 28
+#       r3-stale entries head the round-10 plan (28 + queue <= 50 keeps
+#       the 6-round staleness SLO provable for r10; registry growth this
+#       round is capped at one small wave, per the r8 verdict item 2).
+# sim_ann_ivf stays excluded by design (rows-only, externally gated via
+# ann_ivf_recall_gate).
+_ROUND9_FRONT: list[str] = _ROUND9_QUEUE + [
+    "approx_distinct_users_daily",
+    "ohlc_hourly_bars",
+    "decontaminate_ngram_overlap",
+    "ts_pattern_topk",
+    "user_value_pareto",
+    "hybrid_retrieval_rerank",
+    "mad_outlier_flags",
+    "rolling_7d_distinct_users",
+    "mm_audio_peaks",
+    "quality_logit_inference",
+    "emb_label_centroid_stats",
+    "dq_orphan_orders",
+    "gap_fill_daily",
+    "stream_windowed_topk",
+    "curation_funnel",
+    "decontaminate_report",
+    "event_funnel_conversion",
+    "retention_cohorts",
+    "event_transition_matrix",
+    "q8_market_share",
+]
+
+# Round-10 window queue: queries added AFTER the r9 window is sealed go
+# here (never displacing a planned check), plus any query whose
+# implementation changes after its last driver row (re-certification
+# rule). Seeded with the two graph_queries entries whose TRANSITIVE
+# fingerprints (the r9 file-level upgrade in tools/impl_fingerprint.py)
+# flipped when operators/graph.py gained the kcore cache-ownership
+# contract — both are r3-stale, so round 10's staleness SLO requires
+# them anyway.
+_ROUND10_QUEUE: list[str] = [
+    "graph_triangle_count",
+    "pagerank_supplier_part",
+]
+
+_FRONT = _ROUND9_FRONT + _ROUND10_QUEUE
 
 def _rotated() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     front = {n: _REGISTRY[n] for n in _FRONT}

@@ -224,7 +224,16 @@ def kcore_edges(
     representation (count of rows per src IS the undirected degree),
     and dropping a row always drops its mirror in the same round (the
     mirror's dst-degree is the same endpoint's degree), so the doubled
-    invariant is preserved."""
+    invariant is preserved.
+
+    Cache ownership: the FINAL round's frame is returned STILL
+    PERSISTED (its blocks are what make the caller's downstream
+    aggregate read cached data instead of replaying the whole peel,
+    whose intermediate rounds are already unpersisted). The caller owns
+    that cache: materialize the downstream result, then unpersist the
+    returned frame (kcore_copurchase does this via an eager
+    localCheckpoint of its bounded degree histogram) — otherwise the
+    doubled-edge blocks stay resident for the rest of the session."""
     edges = und.persist()
     n = edges.count()
     w_s = Window.partitionBy("src")

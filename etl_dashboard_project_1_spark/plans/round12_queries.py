@@ -183,9 +183,13 @@ def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ((rx2 mod n)·rx2) div n — the direct (rx2·rx2) div n form overflows
     # int64 at the 100-copy stress decade because Spark `div` returns
     # BIGINT while rx2²/n reaches ~10²³ (DuckDB's HUGEINT `//` survives,
-    # an engine-crash asymmetry caught by weak-scaling); every
-    # intermediate here stays within decimal(38,0)/int64 headroom and the
-    # identity is exact, so the value is unchanged at every scale.
+    # an engine-crash asymmetry caught by weak-scaling); the identity is
+    # exact, and the largest intermediate, (rx2 % ng)·rx2 ~ ng·rx2 ~
+    # 2·N³, stays inside decimal(38,0)/HUGEINT up to N ≈ 3.7e12 events
+    # (~17 decades past the tested sf100, but BELOW an unfiltered
+    # 100 TB-of-events row count — past that bound Spark non-ANSI would
+    # return silent NULL; a third-level decomposition of rx2 before the
+    # multiply would extend it if that scale is ever certified).
     term = (
         "CAST(_rx2 div _ng AS DECIMAL(38,0)) * _rx2"
         " + (CAST(_rx2 % _ng AS DECIMAL(38,0)) * _rx2) div _ng"

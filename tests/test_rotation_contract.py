@@ -121,6 +121,34 @@ def test_changed_implementations_are_in_the_window():
     )
 
 
+def test_fingerprint_covers_transitive_helpers(monkeypatch):
+    """r8 verdict item 5 (helper-blindness closed): an edit inside
+    operators/textops.py must flip the fingerprint of queries whose plan
+    module imports it transitively (e.g. text_quality), while leaving
+    modules that never reach it (plans/mart_queries.py has no textops in
+    its transitive closure) untouched. Simulated by faking the file hash
+    of textops.py. Note file granularity is deliberately wide: even
+    plans/analytics.py reaches textops (via round6 -> extension_queries),
+    so the flagship q1 is NOT a valid negative control here."""
+    import tools.impl_fingerprint as fp
+
+    base = fp.current_fingerprints()
+    textops_path = fp._repo_modules()[
+        "etl_dashboard_project_1_spark.operators.textops"
+    ]
+    real = fp._file_sha.__wrapped__
+
+    def fake_sha(path):
+        if path == textops_path:
+            return "0" * 64
+        return real(path)
+
+    monkeypatch.setattr(fp, "_file_sha", fake_sha)
+    cur = fp.current_fingerprints()
+    assert cur["text_quality"] != base["text_quality"]
+    assert cur["q8_market_share"] == base["q8_market_share"]
+
+
 def test_no_complex_output_columns_anywhere(spark):
     """Registry-wide driver-shape guard (r4 lesson): the external gate's
     pandas canonicalizer sorts the result frame by every column, and list

@@ -123,11 +123,15 @@ def test_logrank_terms_match_hand_computation(spark):
         assert (row["n_risk_a"], row["n_risk_b"]) == (rr1, rr2)
         assert (row["events_a"], row["events_b"]) == (e1, e2)
         n, et = rr1 + rr2, e1 + e2
-        assert row["oe_e6"] == math.floor(1e6 * (e1 - et * rr1 / n))
+        # ±1 at e6 scale (r8 ADVICE): the engine floors ITS double
+        # evaluation; a quotient 1 ulp from an integer boundary may
+        # floor differently than this python recomputation — exact
+        # equality would flake if fixture data ever lands on one.
+        assert abs(row["oe_e6"] - math.floor(1e6 * (e1 - et * rr1 / n))) <= 1
         if n > 1:
-            assert row["v_e6"] == math.floor(
+            assert abs(row["v_e6"] - math.floor(
                 1e6 * (et * rr1 / n * rr2 / n * (n - et) / (n - 1))
-            )
+            )) <= 1
 
 
 def test_kruskal_hand_oracle(spark, tmp_path):
@@ -236,6 +240,9 @@ def test_cochran_armitage_matches_textbook_conditional_form(spark):
     if N >= 2 and 0 < K < N and N * S2 - S1 * S1 > 0:
         var = K * (N - K) / (N * (N - 1)) * (S2 - S1 * S1 / N)
         z_true = (T - K * S1 / N) / math.sqrt(var)
-        assert row["z_e6"] == math.floor(1e6 * z_true)
+        # ±1 at e6 scale (r8 ADVICE): floor of a double quotient 1 ulp
+        # from an integer boundary may differ between the engine's
+        # evaluation order and this recomputation.
+        assert abs(row["z_e6"] - math.floor(1e6 * z_true)) <= 1
     else:
         assert row["z_e6"] is None

@@ -126,7 +126,15 @@ UNICODE = {
 #: zero while DuckDB `//` floors (they differ on ANY negative quotient),
 #: and unguarded `x >= 0`-assuming integer math silently mis-rounds —
 #: the r7-ADVICE ltv/hhi class, systematized. Keys and non-monetary
-#: payloads stay untouched.
+#: payloads stay untouched. LINEITEM IS DELIBERATELY EXEMPT: the TPC-H
+#: spec constrains l_extendedprice = l_quantity * p_retailprice with
+#: both factors strictly positive and 0 <= l_discount <= 0.10, so
+#: negative lineitem money is outside the domain every lineitem query
+#: (q1's exact centi-unit sums, the round6 cents family) is specified
+#: over — flipping it would manufacture divergences those queries are
+#: contractually allowed to have, not find bugs. Events/orders/balances
+#: have no such domain floor (refunds/credits/overdrafts are real), so
+#: they are where the negative-operand class genuinely lives.
 NEGATIVES = {
     "events": "event_id, ts, user_id, event_type,"
               " CASE WHEN event_id % 3 = 0 THEN -value ELSE value END AS value,"
