@@ -39,6 +39,7 @@ from etl_dashboard_project_1_spark.plans import (
     round12_queries,
     round13_queries,
     round14_queries,
+    round15_queries,
     streaming_queries,
     timeseries_queries,
     training_queries,
@@ -1192,6 +1193,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         round14_queries.durbin_watson_forecast_errors,
         round14_queries.DURBIN_WATSON_SQL,
     ),
+    # --- round-9 registration (post-seal — head of _ROUND10_QUEUE) ---
+    "bh_fdr_keep_set": (
+        round15_queries.bh_fdr_keep_set,
+        round15_queries.BH_FDR_SQL,
+    ),
 }
 
 
@@ -1395,6 +1401,10 @@ _ROUND9_FRONT: list[str] = _ROUND9_QUEUE + [
 _ROUND10_QUEUE: list[str] = [
     "graph_triangle_count",
     "pagerank_supplier_part",
+    # the one r9 capability addition (the r8 verdict capped r9 growth at
+    # one small wave; this single query is it): BH multiple-comparisons
+    # control, verified at both SFs + all six sweeps before queueing
+    "bh_fdr_keep_set",
 ]
 
 _FRONT = _ROUND9_FRONT + _ROUND10_QUEUE

@@ -39,12 +39,28 @@ that validated pair gives CAL_SENSITIVITY_SEC = (7.309 − 6.553) /
     value_calnorm = value − CAL_SENSITIVITY_SEC × (load_factor − 1)
 which maps BOTH r7 measurements to the same idle estimate (6.387 s,
 within 2.5% of the quiet-box raw — the r7 model's estimates disagreed
-by 26%). The payload carries the fit pair (calnorm_model) so the model
-is auditable, and a band [value_calnorm_lower, value] where the lower
-edge is the old full-proportional form — the true idle total provably
-lies inside. Raw "value" stays the primary comparable series. The
-sensitivity is a property of THIS 15-query headline set on this box;
-refit the pair if the set changes.
+by 26%). The payload carries the fit points (calnorm_model) so the
+model is auditable, and a band [value_calnorm_lower, value] where the
+lower edge is the old full-proportional form — the true idle total
+provably lies inside. Raw "value" stays the primary comparable series.
+The sensitivity is a property of THIS 15-query headline set on this
+box; refit if the set changes.
+
+REFIT (r9 — the set changed: q1's exact-integer rewrite): four runs of
+the CURRENT build in one round-9 session at different ambient/self-heat
+states fit the damped line at ~1.61 s/load (least squares; points in
+CAL_FIT_POINTS). Two findings from the same session bound the model's
+validity:
+  * the probe is LOAD-BLIND below ~1.6: a 16-busy-loop companion moved
+    NEITHER the probe nor the total on this 32-core box (stage gaps
+    absorb sub-half oversubscription), and a 10-loop run RAISED the
+    total while the probe read LOWER — single-probe load factors in
+    [1.0, 1.6] are indistinguishable from noise, so small cross-round
+    calnorm deltas are not evidence of anything;
+  * load CHARACTER matters: full 32-loop oversubscription scales the
+    total near-proportionally (slope ~7.6 s/load — excluded from the
+    fit as a different regime; ambient drift, the regime the driver
+    actually sees, is the damped ~1.6).
 """
 
 from __future__ import annotations
@@ -70,15 +86,21 @@ N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 #: run's own load factor.
 CAL_REF_SEC = 0.097
 
-#: seconds of headline-total slowdown per unit load factor, fitted on the
-#: r7 cross-box pair of the SAME build: (raw 7.309, load 1.69) on the
-#: driver box vs (raw 6.553, load 1.124) on a quiet box (BENCH_r07.json /
-#: README r7 status). Both points map to calnorm 6.387 under this model.
-CAL_SENSITIVITY_SEC = 1.336
-CAL_FIT_PAIR = {
-    "driver_box": {"raw_sec": 7.309, "load_factor": 1.69},
-    "quiet_box": {"raw_sec": 6.553, "load_factor": 1.124},
-}
+#: seconds of headline-total slowdown per unit load factor. r9 refit on
+#: the CURRENT headline set (the q1 exact-integer rewrite changed the
+#: set, so the r7 cross-box fit of 1.336 was extrapolation): least
+#: squares over four same-session runs of the same build at different
+#: ambient/self-heat states. A fifth run (raw 8.889 at probe 1.134,
+#: 10 busy loops) is EXCLUDED as a probe false-negative, and a 32-loop
+#: full-oversubscription run (slope ~7.6 s/load) as a different load
+#: regime — see the module docstring.
+CAL_SENSITIVITY_SEC = 1.606
+CAL_FIT_POINTS = [
+    {"raw_sec": 8.547, "load_factor": 1.969},
+    {"raw_sec": 7.383, "load_factor": 1.392},
+    {"raw_sec": 8.259, "load_factor": 1.608},
+    {"raw_sec": 8.249, "load_factor": 1.505},
+]
 
 # headline set: scan-agg, join-heavy, window, fuzzy, dedup sketches, text,
 # vector search, streaming-shaped — one per operator family
@@ -223,7 +245,7 @@ def main() -> None:
                 "calnorm_model": {
                     "form": "value - sensitivity * (load_factor - 1)",
                     "sensitivity_sec_per_load": CAL_SENSITIVITY_SEC,
-                    "fit_pair": CAL_FIT_PAIR,
+                    "fit_points": CAL_FIT_POINTS,
                 },
                 "extra": {n: round(min(v), 3) for n, v in extra_samples.items()},
             }

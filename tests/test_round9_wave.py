@@ -1,0 +1,171 @@
+"""Round-9 wave (single query, per the r8 verdict growth cap):
+Benjamini-Hochberg FDR keep set — hand-oracle and cross-engine gates.
+
+The mirrored-algebra lesson (kruskal / cochran-armitage): the
+cross-engine hash gate cannot see a formula slip mirrored into both
+engines, so the BH procedure is recomputed independently in plain
+python from the raw balances and every output column is checked
+against it.
+"""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_dashboard_project_1_spark.plans.round15_queries import (
+    BH_ALPHA_E6,
+    bh_fdr_keep_set,
+)
+
+
+def _write_fixture(out, rows):
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({k}, 'cust{k}_{i}', {nk}, {bal}, 'SEG')"
+        for i, (k, nk, bal) in enumerate(rows)
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES {vals})
+          t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment))
+        TO '{out}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    nations = sorted({nk for _, nk, _ in rows})
+    nvals = ", ".join(f"({nk}, 'NATION_{nk}', 0)" for nk in nations)
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES {nvals})
+          t(n_nationkey, n_name, n_regionkey))
+        TO '{out}/nation.parquet' (FORMAT PARQUET)"""
+    )
+
+
+def _python_bh(rows):
+    """Independent BH recomputation from the raw (nationkey, balance)
+    pairs — same Chebyshev bound, same integer step-up/adjusted-p rules,
+    implemented from the procedure's definition, not from the SQL."""
+    by_nk = {}
+    for _, nk, bal in rows:
+        by_nk.setdefault(nk, []).append(math.floor(bal * 100 + 0.5))
+    tested = []
+    all_cents = [(nk, c) for nk, cs in by_nk.items() for c in cs]
+    for nk, cs in sorted(by_nk.items()):
+        rest = [c for onk, c in all_cents if onk != nk]
+        n, nr = len(cs), len(rest)
+        if n < 2 or nr < 2:
+            continue
+        mg, mr = sum(cs) / n, sum(rest) / nr
+        vg = sum(c * c for c in cs) / n - mg * mg
+        vr = sum(c * c for c in rest) / nr - mr * mr
+        den = vg / n + vr / nr
+        if not den > 0:
+            continue
+        z2 = (mg - mr) * (mg - mr) / den
+        p_e6 = 1_000_000 if z2 <= 1.0 else math.floor(1_000_000.0 / z2)
+        tested.append((f"NATION_{nk}", n, math.floor(1e6 * z2), p_e6))
+    tested.sort(key=lambda t: (t[3], t[0]))
+    m = len(tested)
+    kstar = max(
+        (i + 1 for i, t in enumerate(tested)
+         if t[3] * m <= (i + 1) * BH_ALPHA_E6),
+        default=0,
+    )
+    out = {}
+    suffix_min = None
+    adj = [0] * m
+    for i in range(m - 1, -1, -1):
+        v = (tested[i][3] * m) // (i + 1)
+        suffix_min = v if suffix_min is None else min(suffix_min, v)
+        adj[i] = min(1_000_000, suffix_min)
+    for i, (name, n, z2_e6, p_e6) in enumerate(tested):
+        out[name] = {
+            "n_customers": n, "z2_e6": z2_e6, "p_e6": p_e6,
+            "bh_rank": i + 1, "m_tests": m, "padj_e6": adj[i],
+            "keep": 1 if i + 1 <= kstar else 0,
+        }
+    return out
+
+
+#: one clearly-shifted nation (40, +10000-ish balances), two null nations
+#: drawn from the same flat pattern, one singleton nation (excluded: n<2)
+FIXTURE = (
+    [(i, 10, 100.0 + (i % 7)) for i in range(20)]
+    + [(100 + i, 20, 101.0 + (i % 5)) for i in range(20)]
+    + [(200 + i, 40, 10000.0 + (i % 3)) for i in range(20)]
+    + [(300, 30, 55.5)]
+)
+
+
+def test_bh_matches_independent_python_recomputation(spark, tmp_path):
+    out = str(tmp_path)
+    _write_fixture(out, FIXTURE)
+    got = {r["nation_name"]: r.asDict() for r in bh_fdr_keep_set(spark, out).collect()}
+    want = _python_bh(FIXTURE)
+    assert set(got) == set(want)          # NATION_30 excluded (n=1)
+    assert "NATION_30" not in got
+    for name, w in want.items():
+        g = got[name]
+        for col in ("n_customers", "bh_rank", "m_tests", "keep"):
+            assert g[col] == w[col], (name, col, g[col], w[col])
+        # float-derived columns: ±1 at e6 scale (knife-edge floor rule)
+        for col in ("z2_e6", "p_e6", "padj_e6"):
+            assert abs(g[col] - w[col]) <= 1, (name, col, g[col], w[col])
+    # the shifted nation must be the strongest discovery. NOTE the
+    # vs-rest family COUPLES tests: NATION_40's 10000-ish balances drag
+    # every other nation's rest-mean far from its own mean, so the flat
+    # nations are legitimately significant too (first draft of this test
+    # wrongly asserted keep=0 for them — the python recomputation said
+    # otherwise); the global-null scenario below is where keep=0 lives.
+    assert got["NATION_40"]["keep"] == 1
+    assert got["NATION_40"]["bh_rank"] == 1
+
+
+def test_bh_global_null_keeps_nothing(spark, tmp_path):
+    """Three nations with EXACTLY the same balance multiset (21 rows of
+    100+(i%7) each): every vs-rest mean difference is 0, so z² = 0,
+    every p hits the 1e6 cap, and the keep set is empty — BH makes no
+    discoveries under the global null."""
+    out = str(tmp_path)
+    rows = [
+        (nk * 1000 + i, nk, 100.0 + (i % 7))
+        for nk in (10, 20, 30)
+        for i in range(21)
+    ]
+    _write_fixture(out, rows)
+    got = bh_fdr_keep_set(spark, out).collect()
+    assert len(got) == 3
+    assert all(r["keep"] == 0 for r in got)
+    assert all(r["p_e6"] == 1_000_000 for r in got)
+    assert all(r["padj_e6"] == 1_000_000 for r in got)
+
+
+def test_bh_crafted_scenario_hash_matches_oracle(spark, tmp_path):
+    from tests.oracle_harness import compare
+
+    import __spark_entry__ as entrymod
+
+    out = str(tmp_path)
+    _write_fixture(out, FIXTURE)
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    ok, msg = compare(spark, q["bh_fdr_keep_set"], o["bh_fdr_keep_set"], out)
+    assert ok, msg
+
+
+def test_bh_degenerate_zero_variance_family_is_empty(spark, tmp_path):
+    """All-identical balances in every nation: every test's variance
+    denominator is 0, so the family is empty — zero rows, no crash
+    (the all-ties mirror of the sweep's --ties axis)."""
+    out = str(tmp_path)
+    _write_fixture(out, [(i, 10 + (i % 2) * 10, 42.0) for i in range(10)])
+    assert bh_fdr_keep_set(spark, out).count() == 0
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_bh_oracle_parity_at_both_sfs(spark, sf):
+    from tests.oracle_harness import compare
+
+    import __spark_entry__ as entrymod
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    ok, msg = compare(spark, q["bh_fdr_keep_set"], o["bh_fdr_keep_set"], sf)
+    assert ok, msg

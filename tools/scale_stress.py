@@ -254,6 +254,11 @@ QUERIES = [
     # benford re-cert: the |x| digit rewrite keeps the one 9-group
     # aggregate; re-measure the digit-extraction map.
     "benford_first_digit_audit",
+    # r9 addition. bh_fdr is one broadcast-joined nationkey aggregate
+    # (disjoint nation shifting grows the test family linearly — 10x
+    # nations is 10x tests, still a dimension-sized frame for the BH
+    # windows).
+    "bh_fdr_keep_set",
 ]
 
 
