@@ -1405,6 +1405,18 @@ _ROUND10_QUEUE: list[str] = [
     # one small wave; this single query is it): BH multiple-comparisons
     # control, verified at both SFs + all six sweeps before queueing
     "bh_fdr_keep_set",
+    # re-certifications (changed-implementation rule): the NEW seventh
+    # sweep axis (--bigmoney, money ×1e6) caught both queries' quadratic
+    # moments riding per-row int64 products that wrap at whale
+    # magnitudes (x², pre·post > 9.2e18) — rewritten onto
+    # decimal(38,0)/HUGEINT per the house rule
+    "rolling_corr_daily",
+    "cuped_adjusted_ab",
+    # third --bigmoney catch (50-row run): slope_e6 left int64 — Spark
+    # floor(double)→long silently saturated where DuckDB's cast errored;
+    # rewritten to exact decimal/HUGEINT floor division (which also
+    # exposed and corrected the wrong "DuckDB // floors" repo lore)
+    "theil_sen_trend",
 ]
 
 _FRONT = _ROUND9_FRONT + _ROUND10_QUEUE

@@ -8,9 +8,10 @@ a nearest-tolerance as-of match (the bidirectional cousin of
 
 House rules (see oracle_harness / driver canon): scalar outputs only
 (never array/map/struct), counts cast to long, ratios as floor-form
-integer scalings, integer division only on non-negative operands (Spark
-``div`` truncates toward zero, DuckDB ``//`` floors — they agree only
-there), every window with a running/lead/lag over ts carries an
+integer scalings, integer division only on non-negative operands
+(measured r9: BOTH Spark ``div`` and DuckDB ``//`` truncate toward
+zero — an earlier claim that ``//`` floors was wrong; the non-negative
+rule stays as the portability contract), every window with a running/lead/lag over ts carries an
 ``event_id`` tiebreak in BOTH engines, and shared constants are
 interpolated into both from the same Python value.
 """
@@ -1430,9 +1431,10 @@ def halflife_decay_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     v div (1 << e), e = min(age div H, 40) — no pow(), no floats
     anywhere; per-event integer contributions sum exactly in any order.
     Negative and NULL values are excluded in BOTH engines up front:
-    integer division is only cross-engine portable on non-negative
-    operands (Spark div truncates toward zero, DuckDB // floors — a
-    refund row would diverge by one unit and could flip top-N ranks),
+    integer division is kept on non-negative operands by the house
+    portability contract (measured r9: both engines truncate toward
+    zero, so they in fact agree on negatives — but the guard stays:
+    truncation of negative quotients is a semantic trap regardless),
     so the non-negativity contract is ENFORCED by filter rather than
     assumed from the generator.
 

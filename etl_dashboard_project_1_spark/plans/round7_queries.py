@@ -7,8 +7,9 @@ per-fold cross-validation scores for the shared quality-logit model.
 
 House rules (see oracle_harness / driver canon): scalar outputs only,
 counts cast to long, ratios as floor-form integer scalings, integer
-division only on non-negative operands (Spark ``div`` truncates toward
-zero, DuckDB ``//`` floors — they agree only there), no runtime
+division only on non-negative operands (measured r9: both Spark
+``div`` and DuckDB ``//`` truncate toward zero — an earlier floors
+claim was wrong; the rule stays as the portability contract), no runtime
 transcendentals (every probability threshold is an exact Python
 rational interpolated into BOTH engines), and shared constants come
 from one Python value.
@@ -906,13 +907,16 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: per-user period totals are exact integer cents
     (coalesced 0 — a user with no pre activity has covariate 0, the
-    standard treatment); all five pooled moments are exact int64 sums
-    cast to double ONCE; theta and the adjusted means are a fixed-shape
-    double expression written identically in both engines (the
+    standard treatment); the linear moments are exact int64 sums and
+    the QUADRATIC moments (pre·post, pre²) ride decimal(38,0)/HUGEINT —
+    the r9 --bigmoney sweep caught the original int64 per-user product
+    wrapping once a user's period total passed ~3e9 cents (pre² >
+    9.2e18), well below a 100 TB whale account. All moments cast to
+    double ONCE; theta and the adjusted means are a fixed-shape double
+    expression written identically in both engines (the
     trend_revenue_by_nation pattern), guarded for zero covariate
     variance (degenerate inputs -> NULL, mirrored) and emitted through
-    the floor form at e2. Moment sums leave int64 only past ~1e17
-    cents² (≈ decimal(38) escape, documented).
+    the floor form at e2.
 
     Scale shape: ONE shuffle to the per-user frame; the pooled moments
     are a 1-row broadcast; cohorts are a 2-row aggregate. Nothing else
@@ -939,8 +943,8 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n"),
         F.sum("_pre").alias("_sx"),
         F.sum("_post").alias("_sy"),
-        F.sum(F.col("_pre") * F.col("_post")).alias("_sxy"),
-        F.sum(F.col("_pre") * F.col("_pre")).alias("_sxx"),
+        F.sum(F.col("_pre").cast("decimal(38,0)") * F.col("_post")).alias("_sxy"),
+        F.sum(F.col("_pre").cast("decimal(38,0)") * F.col("_pre")).alias("_sxx"),
     )
     g = per_user.groupBy("_g").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
@@ -994,8 +998,8 @@ mom AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(pre) AS BIGINT) AS sx,
          CAST(sum(post) AS BIGINT) AS sy,
-         CAST(sum(pre * post) AS BIGINT) AS sxy,
-         CAST(sum(pre * pre) AS BIGINT) AS sxx
+         CAST(sum(CAST(pre AS HUGEINT) * post) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(pre AS HUGEINT) * pre) AS HUGEINT) AS sxx
   FROM per_user
 ),
 grp AS (

@@ -1399,9 +1399,24 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     the slope MEDIAN shrugs it off; banding is the standard
     large-series variant and keeps the pair frame calendar-bounded).
 
-    Exactness: per-pair slope_e6 = floor(1e6·Δcents/Δdays) — one IEEE
-    divide + floor over exact integers, engine-identical; the median is
-    the exact lower median by rank over the slope-value domain.
+    Exactness (r9 --bigmoney rewrite): per-pair slope_e6 =
+    floor(1e6·Δcents/Δdays) is now EXACT INTEGER floor division in
+    decimal(38,0)/HUGEINT — the original floor(double)·cast(long) form
+    silently saturated on Spark and crashed DuckDB's BIGINT cast once
+    1e6·Δcents/Δdays passed ~9.2e18 (a $9.2e12/day-slope bound the
+    100 TB design point can exceed; caught by the 50-row --bigmoney
+    sweep). Spark lacks a wide floor-div, so floor(a/b) for b > 0 is
+    the remainder decomposition (a − a % b)/b (exact: the quotient is
+    integral, so the scale-bounded decimal divide cannot round) minus
+    1 when a % b ≠ 0 and a < 0 (% follows the dividend sign in BOTH
+    engines). The same decomposition is mirrored in the SQL: DuckDB
+    `//` TRUNCATES toward zero on integers (measured -7//2 = -3 —
+    correcting an earlier repo claim that it floors; the claim was
+    harmless elsewhere because every other `//` site has non-negative
+    operands by filter or domain). The median is the exact lower median
+    by rank over the slope-value domain; the OUTPUT stays BIGINT with
+    a mirrored NULL once the median itself leaves int64 (the
+    documented representation bound, the degenerate-case pattern).
 
     Scale shape: the corpus collapses to the |days| daily frame in one
     aggregate; the banded self-join and every window after run on
@@ -1426,13 +1441,19 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_db") <= F.col("_d") + THEILSEN_MAX_SPAN_DAYS),
         )
         .select(
-            F.floor(
-                F.lit(1000000.0)
+            (
+                F.lit(1000000).cast("decimal(38,0)")
                 * (F.col("_xb") - F.col("_x"))
-                / (F.col("_db") - F.col("_d"))
-            )
-            .cast("long")
-            .alias("_s")
+            ).alias("_a"),
+            (F.col("_db") - F.col("_d")).alias("_b"),
+        )
+        .selectExpr(
+            # exact floor(_a / _b), _b > 0: remainder decomposition
+            # (integral quotient -> the decimal divide cannot round),
+            # minus 1 on a nonzero negative remainder
+            "CAST((_a - (_a % _b)) / _b AS DECIMAL(38,0))"
+            " - (CASE WHEN _a % _b != 0 AND _a < 0 THEN 1 ELSE 0 END)"
+            " AS _s"
         )
     )
     per_s = slopes.groupBy("_s").agg(F.count(F.lit(1)).alias("_c"))
@@ -1452,7 +1473,11 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.crossJoin(F.broadcast(ndays)).select(
         F.col("_nd").cast("long").alias("n_days"),
         F.col("_np").cast("long").alias("n_pairs"),
-        F.col("_med").cast("long").alias("theilsen_slope_e6"),
+        F.expr(
+            "CASE WHEN _med >= -9223372036854775808"
+            " AND _med <= 9223372036854775807"
+            " THEN CAST(_med AS BIGINT) END"
+        ).alias("theilsen_slope_e6"),
     ).where(F.col("_np").isNotNull())
 
 
@@ -1465,7 +1490,14 @@ WITH daily AS (
 ),
 d AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS dd, x FROM daily),
 slopes AS (
-  SELECT CAST(floor(1000000.0 * (b.x - a.x) / (b.dd - a.dd)) AS BIGINT) AS s
+  -- DuckDB `//` TRUNCATES toward zero on integers (measured: -7//2 =
+  -- -3), so floor is the SAME remainder decomposition as the Spark
+  -- side: trunc quotient minus 1 on a nonzero negative remainder
+  -- (% follows the dividend sign in both engines)
+  SELECT (CAST(1000000 AS HUGEINT) * (b.x - a.x)) // (b.dd - a.dd)
+         - (CASE WHEN (CAST(1000000 AS HUGEINT) * (b.x - a.x)) % (b.dd - a.dd) != 0
+                  AND CAST(1000000 AS HUGEINT) * (b.x - a.x) < 0
+                 THEN 1 ELSE 0 END) AS s
   FROM d a JOIN d b
     ON b.dd > a.dd AND b.dd <= a.dd + {THEILSEN_MAX_SPAN_DAYS}
 ),
@@ -1478,7 +1510,8 @@ med AS (
 )
 SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
        CAST(np AS BIGINT) AS n_pairs,
-       CAST(m AS BIGINT) AS theilsen_slope_e6
+       CASE WHEN m >= -9223372036854775808 AND m <= 9223372036854775807
+            THEN CAST(m AS BIGINT) END AS theilsen_slope_e6
 FROM med
 WHERE np IS NOT NULL
 """
@@ -1800,8 +1833,9 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents; cumulative sums are integer windows; per-member values are
     non-negative integer divisions. Refund rows (value < 0) are
     EXCLUDED in both engines — the module's house rule is integer
-    division only on non-negative operands (Spark ``div`` truncates
-    toward zero, DuckDB ``//`` floors; they differ on negatives), and
+    division only on non-negative operands (measured r9: both engines
+    truncate toward zero; the guard is a semantic contract, not an
+    engine-divergence fix), and
     a refund-heavy age cell could otherwise drive cum_revenue
     negative. Same guard as halflife_decay_user_value.
 

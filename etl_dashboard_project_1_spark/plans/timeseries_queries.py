@@ -1370,12 +1370,17 @@ CORR_WINDOW = 6  # current day + 6 preceding = 7-day window
 def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day Pearson correlation between the daily purchase
     revenue and the daily click count — the co-movement monitor behind
-    "are clicks still converting?". All five moments accumulate as
-    exact BIGINTs over the |days|-sized daily table (one corpus
-    shuffle); the only float math is the final fraction, written
-    identically on both engines (sqrt is correctly rounded IEEE), with
-    a 6-dp portable round. Degenerate windows (zero variance) emit
-    NULL."""
+    "are clicks still converting?". All five moments accumulate exactly
+    over the |days|-sized daily table (one corpus shuffle); the only
+    float math is the final fraction, written identically on both
+    engines (sqrt is correctly rounded IEEE), with a 6-dp portable
+    round. Degenerate windows (zero variance) emit NULL.
+
+    Headroom (r9 --bigmoney sweep catch): the original BIGINT x·x
+    wrapped once daily cents passed ~3e9 (x² > 9.2e18) — far BELOW a
+    100 TB day's revenue. The quadratic moments now ride
+    decimal(38,0)/HUGEINT per the house rule (safe to x ~ 1e16 cents/
+    day with n = 7: n·sxx ≤ ~5e33); the linear sums stay int64."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.groupBy(F.to_date("ts").alias("day"))
@@ -1390,18 +1395,19 @@ def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy("day").rowsBetween(-CORR_WINDOW, 0)  # |days|-sized series
+    dec = "decimal(38,0)"
     m = (
         daily.withColumn("n", F.count(F.lit(1)).over(w))
         .withColumn("sx", F.sum("x").over(w))
         .withColumn("sy", F.sum("y").over(w))
-        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(w))
-        .withColumn("syy", F.sum(F.col("y") * F.col("y")).over(w))
-        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(w))
+        .withColumn("sxx", F.sum(F.col("x").cast(dec) * F.col("x")).over(w))
+        .withColumn("syy", F.sum(F.col("y").cast(dec) * F.col("y")).over(w))
+        .withColumn("sxy", F.sum(F.col("x").cast(dec) * F.col("y")).over(w))
         .filter(F.col("n") == CORR_WINDOW + 1)
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
     corr = F.when(
         (vx > 0) & (vy > 0),
         F.floor(
@@ -1431,17 +1437,19 @@ m AS (
   SELECT day, x, y,
          count(*) OVER w AS n,
          CAST(sum(x) OVER w AS BIGINT) AS sx, CAST(sum(y) OVER w AS BIGINT) AS sy,
-         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
-         CAST(sum(y * y) OVER w AS BIGINT) AS syy,
-         CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+         CAST(sum(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT) AS syy,
+         CAST(sum(CAST(x AS HUGEINT) * y) OVER w AS HUGEINT) AS sxy
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN {CORR_WINDOW} PRECEDING AND CURRENT ROW)
 )
 SELECT strftime(day, '%Y-%m-%d') AS day, x, y,
-       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-            THEN floor((n * sxy - sx * sy)
-                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000 + 0.5)
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx > 0
+             AND n * syy - CAST(sy AS HUGEINT) * sy > 0
+            THEN floor((n * sxy - CAST(sx AS HUGEINT) * sy)
+                       / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                       * 1000000 + 0.5)
                  / 1000000
        END AS corr_7d
 FROM m WHERE n = {CORR_WINDOW + 1}

@@ -161,9 +161,10 @@ def emb_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine rounds once via floor(c*10000 + 0.5) — the same boundary
     class as every portable_round in the repo and the near-dup ≥ 0.4
     threshold, swept at two SFs — then the bin index is pure
-    non-negative integer division (shifted by +10000 first, because
-    Spark's DIV truncates toward zero while DuckDB's // floors, and the
-    two disagree on negatives)."""
+    non-negative integer division (shifted by +10000 first to keep the
+    dividend non-negative; measured r9: both engines truncate toward
+    zero, so the shift is a portability convention, not a divergence
+    fix)."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     pairs = vector.cosine_pairs_blocked(
         emb, "vec_id", "embedding", threshold=-2.0, num_planes=32, band_size=4

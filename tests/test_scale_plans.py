@@ -418,6 +418,12 @@ SWEEP_GATES = [
     # leading chars. First run caught benford_first_digit_audit's
     # substr(floor(x)) crash live.
     ("negatives", 50, "negatives"),
+    # r9 addition: the integer-headroom axis (money ×1e6 — whale
+    # magnitudes). First runs caught THREE live bugs: rolling_corr and
+    # cuped's quadratic moments rode per-row int64 cents products that
+    # ANSI-crash past 9.2e18, and theil_sen's slope_e6 silently
+    # saturated Spark's floor(double)→long where DuckDB errored.
+    ("bigmoney", 50, "bigmoney"),
 ]
 
 #: r8 upgrade (r7 verdict item 4): the adjudicated cross-engine
@@ -446,6 +452,7 @@ EXPECTED_DIVERGENCES = {
     "nulls": {"set_ops_retained_customers"},
     "unicode": {"set_ops_retained_customers", "mm_audio_peaks"},
     "negatives": {"set_ops_retained_customers"},
+    "bigmoney": {"set_ops_retained_customers"},
     "dupes": {
         "asof_signup_attribution",
         "curriculum_interleave",

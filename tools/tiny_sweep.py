@@ -122,9 +122,11 @@ UNICODE = {
 #: per-table projections for the --negatives mode: every third row's
 #: money-like payload flips sign — refund purchases (events.value),
 #: credited orders (o_totalprice), overdrawn balances (acctbal). Hunts
-#: the negative-operand divergence class: Spark `div` truncates toward
-#: zero while DuckDB `//` floors (they differ on ANY negative quotient),
-#: and unguarded `x >= 0`-assuming integer math silently mis-rounds —
+#: the negative-operand divergence class: ANSI casts crash on leading
+#: '-', abs/sign assumptions mis-round, and unguarded `x >= 0`-assuming
+#: integer math silently drifts (measured r9: Spark `div` and DuckDB
+#: `//` BOTH truncate toward zero, so bare integer division itself
+#: agrees on negatives — the axis hunts the guards AROUND it) —
 #: the r7-ADVICE ltv/hhi class, systematized. Keys and non-monetary
 #: payloads stay untouched. LINEITEM IS DELIBERATELY EXEMPT: the TPC-H
 #: spec constrains l_extendedprice = l_quantity * p_retailprice with
@@ -153,6 +155,36 @@ NEGATIVES = {
 }
 
 
+#: per-table projections for the --bigmoney mode: every money-like
+#: payload scales by 1e6 (events.value, order totals, balances, prices
+#: — values land at ~1e9-1e11 dollars, 1e11-1e13 cents), keeping the
+#: 2-decimal structure so cents conversion stays exact. Hunts the
+#: integer-HEADROOM divergence class the house rules claim to preclude:
+#: a cents square summed in int64 wraps at these magnitudes (the
+#: kruskal div-overflow class), Spark decimal(38,0) overflows to NULL
+#: at 1e38 while DuckDB HUGEINT survives to 1.7e38, and any `div`
+#: round-half-up form whose 2a+b intermediate rides BIGINT wraps. Rates
+#: (discount/tax) stay in domain — scaling them would break the
+#: (100−disc) percent identities every cents query is specified over,
+#: manufacturing divergences instead of finding bugs.
+BIGMONEY = {
+    "events": "event_id, ts, user_id, event_type,"
+              " value * 1000000 AS value, props",
+    "orders": "o_orderkey, o_custkey, o_orderstatus,"
+              " o_totalprice * 1000000 AS o_totalprice,"
+              " o_orderdate, o_orderpriority",
+    "customer": "c_custkey, c_name, c_nationkey,"
+                " c_acctbal * 1000000 AS c_acctbal, c_mktsegment",
+    "supplier": "s_suppkey, s_name, s_nationkey,"
+                " s_acctbal * 1000000 AS s_acctbal",
+    "part": "p_partkey, p_name, p_brand, p_type, p_size,"
+            " p_retailprice * 1000000 AS p_retailprice",
+    "lineitem": "l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+                " l_quantity, l_extendedprice * 1000000 AS l_extendedprice,"
+                " l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate",
+}
+
+
 def build(n_rows: int, out_dir: str, mode: str | None = None) -> None:
     import duckdb
 
@@ -160,7 +192,7 @@ def build(n_rows: int, out_dir: str, mode: str | None = None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     proj_map = {
         "ties": TIES, "nulls": NULLS, "unicode": UNICODE,
-        "negatives": NEGATIVES,
+        "negatives": NEGATIVES, "bigmoney": BIGMONEY,
     }.get(mode or "", {})
     for t, key in KEYS.items():
         proj = proj_map.get(t, "*")
@@ -183,7 +215,7 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_rows = int(args[0]) if args else 3
     mode = None
-    for m in ("ties", "nulls", "unicode", "dupes", "negatives"):
+    for m in ("ties", "nulls", "unicode", "dupes", "negatives", "bigmoney"):
         if f"--{m}" in sys.argv:
             mode = m
     suffix = f"_{mode}" if mode else ""
