@@ -160,6 +160,61 @@ def test_bh_degenerate_zero_variance_family_is_empty(spark, tmp_path):
     assert bh_fdr_keep_set(spark, out).count() == 0
 
 
+def test_theilsen_exact_floor_division_and_int64_bound(spark, tmp_path):
+    """Pins the r9 --bigmoney fix: per-pair slope_e6 must be the EXACT
+    floor of 1e6·Δcents/Δdays (including negative non-integral slopes,
+    where trunc and floor differ by one), and a median outside int64
+    must emit the mirrored NULL instead of Spark's silent
+    floor(double)→long saturation."""
+    import duckdb
+
+    from etl_dashboard_project_1_spark.plans.round8_queries import (
+        theil_sen_trend,
+    )
+
+    # three days, strictly falling revenue with non-integral negative
+    # pairwise slopes: days 0,1,3 with cents 100.07, 99.90, 99.50
+    # slopes_e6: (9990-10007)*1e6/1 = -17e6; (9950-10007)*1e6/3 =
+    # -19000000; (9950-9990)*1e6/2 = -20000000 — median = -19000000
+    # (exact); a trunc-based engine would give -18999999 for the /3
+    # pair iff non-integral (here it IS integral, so craft one that
+    # isn't): use cents 100.07, 99.90, 99.49 -> (9949-10007)*1e6/3 =
+    # -19333333.33.. -> floor -19333334 (trunc gives -19333333).
+    out = str(tmp_path)
+    duckdb.connect().execute(
+        f"""COPY (SELECT * FROM (VALUES
+          (1::BIGINT, 1::BIGINT, 'O', 100.07::DOUBLE, DATE '2024-01-01', 'P'),
+          (2, 1, 'O', 99.90, DATE '2024-01-02', 'P'),
+          (3, 1, 'O', 99.49, DATE '2024-01-04', 'P')
+        ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderdate, o_orderpriority))
+        TO '{out}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    row = theil_sen_trend(spark, out).collect()[0]
+    assert row["n_days"] == 3 and row["n_pairs"] == 3
+    # slopes: -17000000 (d1), floor(-58e8/3) = -19333334 (d3 pair),
+    # -20500000 (d2 pair: (9949-9990)*1e6/2) -> sorted
+    # [-20500000, -19333334, -17000000], lower median = -19333334
+    assert row["theilsen_slope_e6"] == -19333334
+
+    # int64-bound: one pair whose slope_e6 is ~9.3e18 > int64 max
+    out2 = str(tmp_path / "big")
+    import os
+
+    os.makedirs(out2, exist_ok=True)
+    duckdb.connect().execute(
+        f"""COPY (SELECT * FROM (VALUES
+          (1::BIGINT, 1::BIGINT, 'O', 0.0::DOUBLE, DATE '2024-01-01', 'P'),
+          (2, 1, 'O', 93000000000000000.0, DATE '2024-01-02', 'P')
+        ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderdate, o_orderpriority))
+        TO '{out2}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    row2 = theil_sen_trend(spark, out2).collect()[0]
+    assert row2["n_pairs"] == 1
+    assert row2["theilsen_slope_e6"] is None  # mirrored representation bound
+
+
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_bh_oracle_parity_at_both_sfs(spark, sf):
     from tests.oracle_harness import compare

@@ -259,6 +259,11 @@ QUERIES = [
     # nations is 10x tests, still a dimension-sized frame for the BH
     # windows).
     "bh_fdr_keep_set",
+    # r9 --bigmoney re-certs: the decimal(38,0) quadratic-moment
+    # rewrites changed the aggregate expressions — re-measure the
+    # day-frame window (rolling corr) after the fix (theil_sen and
+    # cuped are already members above).
+    "rolling_corr_daily",
 ]
 
 
