@@ -424,6 +424,12 @@ SWEEP_GATES = [
     # ANSI-crash past 9.2e18, and theil_sen's slope_e6 silently
     # saturated Spark's floor(double)→long where DuckDB errored.
     ("bigmoney", 50, "bigmoney"),
+    # r9 addition: the calendar-span axis (timestamps/dates fanned over
+    # ~38 years) — week/leap/year-boundary conventions where the two
+    # date libraries could genuinely disagree. First run: clean
+    # (307/308, only the pinned set_ops class) — the calendar mirrors
+    # hold on sparse multi-decade series.
+    ("longspan", 50, "longspan"),
 ]
 
 #: r8 upgrade (r7 verdict item 4): the adjudicated cross-engine
@@ -453,6 +459,7 @@ EXPECTED_DIVERGENCES = {
     "unicode": {"set_ops_retained_customers", "mm_audio_peaks"},
     "negatives": {"set_ops_retained_customers"},
     "bigmoney": {"set_ops_retained_customers"},
+    "longspan": {"set_ops_retained_customers"},
     "dupes": {
         "asof_signup_attribution",
         "curriculum_interleave",

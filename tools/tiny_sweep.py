@@ -185,6 +185,29 @@ BIGMONEY = {
 }
 
 
+#: per-table projections for the --longspan mode: every timestamp/date
+#: fans out across ~38 years (key-derived deterministic offsets up to
+#: 37·379 days), so the calendar frames every "day/window-bounded"
+#: query reduces to become SPARSE multi-decade series crossing many
+#: year/leap/week boundaries. Hunts the calendar-mirror divergence
+#: class: week-of-year and day-of-week conventions, month arithmetic,
+#: epoch-day vs date subtraction, year-boundary bucketing — places
+#: where the Spark and DuckDB date libraries genuinely disagree and a
+#: narrow 3-month fixture can never show it. Values/keys untouched.
+LONGSPAN = {
+    "events": "event_id, ts + INTERVAL ((event_id % 37) * 379) DAY AS ts,"
+              " user_id, event_type, value, props",
+    "orders": "o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+              " o_orderdate + INTERVAL ((o_orderkey % 37) * 379) DAY"
+              " AS o_orderdate, o_orderpriority",
+    "lineitem": "l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+                " l_quantity, l_extendedprice, l_discount, l_tax,"
+                " l_returnflag, l_linestatus,"
+                " l_shipdate + INTERVAL ((l_orderkey % 37) * 379) DAY"
+                " AS l_shipdate",
+}
+
+
 def build(n_rows: int, out_dir: str, mode: str | None = None) -> None:
     import duckdb
 
@@ -193,6 +216,7 @@ def build(n_rows: int, out_dir: str, mode: str | None = None) -> None:
     proj_map = {
         "ties": TIES, "nulls": NULLS, "unicode": UNICODE,
         "negatives": NEGATIVES, "bigmoney": BIGMONEY,
+        "longspan": LONGSPAN,
     }.get(mode or "", {})
     for t, key in KEYS.items():
         proj = proj_map.get(t, "*")
@@ -215,7 +239,8 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_rows = int(args[0]) if args else 3
     mode = None
-    for m in ("ties", "nulls", "unicode", "dupes", "negatives", "bigmoney"):
+    for m in ("ties", "nulls", "unicode", "dupes", "negatives", "bigmoney",
+              "longspan"):
         if f"--{m}" in sys.argv:
             mode = m
     suffix = f"_{mode}" if mode else ""
