@@ -208,6 +208,28 @@ LONGSPAN = {
 }
 
 
+#: per-table projections for the --longtext mode: every document's text
+#: inflates to ~20k chars (400 repetitions of the original plus a
+#: per-repeat ordinal so the text is long but NOT a pure period — pure
+#: repetition would collapse every shingle set to the original's),
+#: with n_chars recomputed to stay consistent. Hunts the long-string
+#: divergence class: regex/tokenizer behavior at lengths the 40-200
+#: char fixtures never reach, chunker boundary arithmetic over
+#: hundreds of chunks per doc, repetition/entropy scores on
+#: near-periodic text, and any hidden O(len²) blowup (a crash/timeout
+#: here is a finding).
+LONGTEXT = {
+    "documents": "doc_id,"
+                 " list_aggr(list_transform(range(1, 401),"
+                 "   i -> text || ' r' || i::VARCHAR), 'string_agg', ' ')"
+                 " AS text,"
+                 " lang, source,"
+                 " length(list_aggr(list_transform(range(1, 401),"
+                 "   i -> text || ' r' || i::VARCHAR), 'string_agg', ' '))"
+                 " ::BIGINT AS n_chars",
+}
+
+
 def build(n_rows: int, out_dir: str, mode: str | None = None) -> None:
     import duckdb
 
@@ -216,7 +238,7 @@ def build(n_rows: int, out_dir: str, mode: str | None = None) -> None:
     proj_map = {
         "ties": TIES, "nulls": NULLS, "unicode": UNICODE,
         "negatives": NEGATIVES, "bigmoney": BIGMONEY,
-        "longspan": LONGSPAN,
+        "longspan": LONGSPAN, "longtext": LONGTEXT,
     }.get(mode or "", {})
     for t, key in KEYS.items():
         proj = proj_map.get(t, "*")
@@ -240,7 +262,7 @@ def main() -> int:
     n_rows = int(args[0]) if args else 3
     mode = None
     for m in ("ties", "nulls", "unicode", "dupes", "negatives", "bigmoney",
-              "longspan"):
+              "longspan", "longtext"):
         if f"--{m}" in sys.argv:
             mode = m
     suffix = f"_{mode}" if mode else ""
