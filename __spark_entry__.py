@@ -1419,7 +1419,66 @@ _ROUND10_QUEUE: list[str] = [
     "theil_sen_trend",
 ]
 
-_FRONT = _ROUND9_FRONT + _ROUND10_QUEUE
+# Round-10 window: promoted at round-10 open (the r9 verdict's top
+# item), emitted verbatim by `python tools/window_planner.py` — the
+# 6-entry _ROUND10_QUEUE at the head (never displaced), then
+# oldest-stale backfill to 50 (all 28 r3-stale entries + the 16 oldest
+# r4 rows). Certifies the six entries whose implementations currently
+# have no driver row (bh_fdr_keep_set + the three --bigmoney rewrites +
+# the two graph fingerprint flips) and clears the entire r3 cohort.
+_ROUND10_FRONT: list[str] = _ROUND10_QUEUE + [
+    "q9_product_profit",
+    "q11_important_value",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion_suppliers",
+    "q22_dormant_rich_customers",
+    "layout_zorder_locality",
+    "bloom_filtered_events_join",
+    "text_boilerplate_strip",
+    "sample_top_p_by_source",
+    "span_dedup_repeated",
+    "dedup_keep_best",
+    "emb_quantize_error",
+    "vocab_zipf_curve",
+    "scd2_user_value",
+    "profile_lineitem_stats",
+    "event_type_lift",
+    "activity_heatmap",
+    "shard_manifest",
+    "stream_enrich_static",
+    "sample_priority_weighted",
+    "kmv_distinct_users_daily",
+    "incremental_daily_counts",
+    "snapshot_diff_orders",
+    "dedup_repeated_spans",
+    "heavy_hitters_cms",
+    "contrastive_hard_negatives",
+    "session_funnel_conversion",
+    "sample_sqrt_mixture",
+    "ann_recall_eval",
+    "langid_eval_confusion",
+    "udtf_sentence_stats",
+    "pandas_udaf_value_iqr",
+    "late_data_audit",
+    "session_path_mining",
+    "join_cardinality_estimate",
+    "k_anonymity_audit",
+    "column_encoding_advisor",
+    "seasonal_naive_backtest",
+    "ri_audit_all_edges",
+    "cusum_rate_shift",
+]
+
+# Round-11 window queue: queries added AFTER the r10 window is sealed go
+# here (never displacing a planned check), plus any query whose
+# implementation changes after its last driver row.
+_ROUND11_QUEUE: list[str] = []
+
+_FRONT = _ROUND10_FRONT + _ROUND11_QUEUE
 
 def _rotated() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     front = {n: _REGISTRY[n] for n in _FRONT}

@@ -34,6 +34,13 @@ from .round6_queries import _CENTS_SQL, _cents
 #: BH target false-discovery rate α = 0.05, e6-scaled plan literal
 BH_ALPHA_E6 = 50_000
 
+#: conservative double bound for 1e6*z2 before the floor->BIGINT cast:
+#: any double strictly below 9.0e18 floors to a value inside int64 in
+#: both engines; past it Spark saturates while DuckDB raises, so both
+#: sides emit NULL (the theil_sen representation-bound pattern,
+#: round8_queries.py:1477).
+Z2_E6_DOUBLE_BOUND = "9.0e18"
+
 
 def bh_fdr_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Hochberg step-up FDR control over a family of m
@@ -113,10 +120,19 @@ def bh_fdr_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_r = f"(CAST(_qr AS DOUBLE) / _nr - {mean_r} * {mean_r})"
     den = f"({var_g} / _n + {var_r} / _nr)"
     z2 = f"(({mean_g} - {mean_r}) * ({mean_g} - {mean_r}) / {den})"
+    # z2_e6 representation bound (r10, mirrors theil_sen's pattern):
+    # with low-variance/large-separation balances 1e6*z2 can exceed
+    # int64 (~8.4e18 reproduced in review), where Spark's
+    # floor(double)->BIGINT silently saturates but DuckDB's cast
+    # errors. Both engines emit NULL past a conservative 9.0e18 double
+    # bound instead (the comparison is one IEEE754 double op, bit-
+    # identical in both engines); p_e6 is unaffected (z2 huge =>
+    # floor(1e6/z2) = 0, always in range).
     tested = j.filter(F.expr(f"_n >= 2 AND _nr >= 2 AND {den} > 0")).selectExpr(
         "nation_name",
         "CAST(_n AS BIGINT) AS n_customers",
-        f"CAST(floor(1000000.0 * {z2}) AS BIGINT) AS z2_e6",
+        f"CASE WHEN 1000000.0 * {z2} < {Z2_E6_DOUBLE_BOUND}"
+        f" THEN CAST(floor(1000000.0 * {z2}) AS BIGINT) END AS z2_e6",
         f"CASE WHEN {z2} <= 1.0 THEN CAST(1000000 AS BIGINT)"
         f" ELSE CAST(floor(1000000.0 / {z2}) AS BIGINT) END AS p_e6",
     )
@@ -181,34 +197,17 @@ j AS (
          CAST(qt - q AS HUGEINT) AS qr
   FROM per, gl
 ),
-tested AS (
-  SELECT nation_name,
-         CAST(n AS BIGINT) AS n_customers,
-         CAST(floor(1000000.0
-           * (((CAST(s AS DOUBLE) / n) - (CAST(sr AS DOUBLE) / nr))
-              * ((CAST(s AS DOUBLE) / n) - (CAST(sr AS DOUBLE) / nr))
-              / ((CAST(q AS DOUBLE) / n
-                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / n
-                 + (CAST(qr AS DOUBLE) / nr
-                    - (CAST(sr AS DOUBLE) / nr) * (CAST(sr AS DOUBLE) / nr))
-                   / nr))) AS BIGINT) AS z2_e6,
-         CASE WHEN (((CAST(s AS DOUBLE) / n) - (CAST(sr AS DOUBLE) / nr))
-                    * ((CAST(s AS DOUBLE) / n) - (CAST(sr AS DOUBLE) / nr))
-                    / ((CAST(q AS DOUBLE) / n
-                        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / n
-                       + (CAST(qr AS DOUBLE) / nr
-                          - (CAST(sr AS DOUBLE) / nr)
-                            * (CAST(sr AS DOUBLE) / nr)) / nr)) <= 1.0
-              THEN CAST(1000000 AS BIGINT)
-              ELSE CAST(floor(1000000.0
-                / (((CAST(s AS DOUBLE) / n) - (CAST(sr AS DOUBLE) / nr))
-                   * ((CAST(s AS DOUBLE) / n) - (CAST(sr AS DOUBLE) / nr))
-                   / ((CAST(q AS DOUBLE) / n
-                       - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / n
-                      + (CAST(qr AS DOUBLE) / nr
-                         - (CAST(sr AS DOUBLE) / nr)
-                           * (CAST(sr AS DOUBLE) / nr)) / nr)))
-                AS BIGINT) END AS p_e6
+zc AS (
+  -- z2 materialised ONCE as a double (bit-exact: the identical
+  -- deterministic expression the Spark side inlines)
+  SELECT nation_name, n,
+         (((CAST(s AS DOUBLE) / n) - (CAST(sr AS DOUBLE) / nr))
+          * ((CAST(s AS DOUBLE) / n) - (CAST(sr AS DOUBLE) / nr))
+          / ((CAST(q AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / n
+             + (CAST(qr AS DOUBLE) / nr
+                - (CAST(sr AS DOUBLE) / nr) * (CAST(sr AS DOUBLE) / nr))
+               / nr)) AS z2
   FROM j
   WHERE n >= 2 AND nr >= 2
         AND ((CAST(q AS DOUBLE) / n
@@ -216,6 +215,19 @@ tested AS (
              + (CAST(qr AS DOUBLE) / nr
                 - (CAST(sr AS DOUBLE) / nr) * (CAST(sr AS DOUBLE) / nr))
                / nr) > 0
+),
+tested AS (
+  SELECT nation_name,
+         CAST(n AS BIGINT) AS n_customers,
+         -- representation bound mirrored from the Spark side: NULL
+         -- once 1e6*z2 could leave int64 (DuckDB cast would raise,
+         -- Spark would saturate)
+         CASE WHEN 1000000.0 * z2 < {Z2_E6_DOUBLE_BOUND}
+              THEN CAST(floor(1000000.0 * z2) AS BIGINT) END AS z2_e6,
+         CASE WHEN z2 <= 1.0
+              THEN CAST(1000000 AS BIGINT)
+              ELSE CAST(floor(1000000.0 / z2) AS BIGINT) END AS p_e6
+  FROM zc
 ),
 ranked AS (
   SELECT *,

@@ -149,6 +149,38 @@ def test_fingerprint_covers_transitive_helpers(monkeypatch):
     assert cur["q8_market_share"] == base["q8_market_share"]
 
 
+def test_fingerprint_resolves_package_init_relative_imports(monkeypatch, tmp_path):
+    """r9 ADVICE (impl_fingerprint.py): `from . import x` inside a
+    package __init__.py must resolve against the package ITSELF, not its
+    parent — otherwise re-exports through __init__ files are silently
+    dropped from the transitive fingerprint (harmless only while every
+    __init__.py stays empty)."""
+    import tools.impl_fingerprint as fp
+
+    pkg = tmp_path / "pkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text(
+        "from . import helper\nfrom .sibling import thing\n"
+    )
+    (pkg / "helper.py").write_text("x = 1\n")
+    (pkg / "sibling.py").write_text("thing = 2\n")
+    fake = {
+        "pkg": str(pkg / "__init__.py"),
+        "pkg.helper": str(pkg / "helper.py"),
+        "pkg.sibling": str(pkg / "sibling.py"),
+    }
+    monkeypatch.setattr(fp, "_repo_modules", lambda: fake)
+    fp._direct_imports.cache_clear()
+    fp._transitive_imports.cache_clear()
+    try:
+        deps = fp._direct_imports("pkg")
+        assert "pkg.helper" in deps, deps
+        assert "pkg.sibling" in deps, deps
+    finally:
+        fp._direct_imports.cache_clear()
+        fp._transitive_imports.cache_clear()
+
+
 def test_window_planner_produces_a_valid_next_round_plan():
     """The round-10+ windows are planned mechanically
     (tools/window_planner.py — the r7/r8 'staged but not promoted'
@@ -166,9 +198,29 @@ def test_window_planner_produces_a_valid_next_round_plan():
     assert not set(front) & EXCLUDED
     assert not p["overflow"], "queue+re-certs exceed the window"
     assert not p["slo_unmet"], f"SLO unsatisfiable next round: {p['slo_unmet']}"
-    # backfill is oldest-first: latest rounds along the backfill section
-    # must be non-decreasing
-    latest = p["staleness_histogram"]  # noqa: F841  (hist is informational)
+    # backfill is oldest-first: latest driver rounds along the backfill
+    # section must be non-decreasing (recomputed here independently of
+    # the planner's own sort key, with the same current-front
+    # adjustment: entries in the sealed front are about to land
+    # current-round rows)
+    import re
+
+    from tools.window_planner import latest_driver_round
+
+    latest = latest_driver_round()
+    cur_front_attr = sorted(
+        (int(m.group(1)), a)
+        for a in dir(entrymod)
+        for m in [re.fullmatch(r"_ROUND(\d+)_FRONT", a)]
+        if m
+    )[-1][1]
+    for n in getattr(entrymod, cur_front_attr):
+        latest[n] = max(latest.get(n, 0), p["current_round"])
+    head_len = len(p["queue"]) + len(p["drifted_unscheduled"])
+    backfill_rounds = [latest.get(n, 0) for n in front[head_len:]]
+    assert backfill_rounds == sorted(backfill_rounds), (
+        f"backfill not oldest-first: {backfill_rounds}"
+    )
 
 
 def test_no_complex_output_columns_anywhere(spark):

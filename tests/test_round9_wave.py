@@ -62,7 +62,10 @@ def _python_bh(rows):
             continue
         z2 = (mg - mr) * (mg - mr) / den
         p_e6 = 1_000_000 if z2 <= 1.0 else math.floor(1_000_000.0 / z2)
-        tested.append((f"NATION_{nk}", n, math.floor(1e6 * z2), p_e6))
+        # r10 representation bound: NULL once 1e6*z2 could leave int64
+        # (mirrors Z2_E6_DOUBLE_BOUND in both engines)
+        z2_e6 = math.floor(1e6 * z2) if 1e6 * z2 < 9.0e18 else None
+        tested.append((f"NATION_{nk}", n, z2_e6, p_e6))
     tested.sort(key=lambda t: (t[3], t[0]))
     m = len(tested)
     kstar = max(
@@ -158,6 +161,45 @@ def test_bh_degenerate_zero_variance_family_is_empty(spark, tmp_path):
     out = str(tmp_path)
     _write_fixture(out, [(i, 10 + (i % 2) * 10, 42.0) for i in range(10)])
     assert bh_fdr_keep_set(spark, out).count() == 0
+
+
+def test_bh_z2_e6_int64_bound_is_null_not_saturated(spark, tmp_path):
+    """Pins the r10 ADVICE fix (round15_queries.py z2_e6): valid
+    low-variance/large-separation balances push 1e6·z² past int64,
+    where Spark's floor(double)→BIGINT used to SILENTLY SATURATE to
+    9223372036854775807 while the DuckDB oracle raised
+    ConversionException — crash-vs-value divergence at the driver
+    gate. Both engines must now emit NULL past the 9.0e18 double
+    bound, and the cross-engine hash must match.
+
+    Scenario: two nations, each with within-nation cents variance of
+    exactly 0.25 (adjacent-cent pairs — the smallest nonzero integer
+    variance) but means 5e9 cents apart: z² = diff²/den ≈ 1e20, so
+    1e6·z² ≈ 1e26 ≫ int64."""
+    from tests.oracle_harness import compare
+
+    import __spark_entry__ as entrymod
+
+    out = str(tmp_path)
+    rows = [
+        (1, 10, 0.00), (2, 10, 0.01),
+        (3, 20, 50_000_000.00), (4, 20, 50_000_000.01),
+    ]
+    _write_fixture(out, rows)
+    got = {r["nation_name"]: r.asDict() for r in bh_fdr_keep_set(spark, out).collect()}
+    assert len(got) == 2
+    for name, g in got.items():
+        assert g["z2_e6"] is None, (name, g["z2_e6"])   # NULL, not int64-max
+        assert g["p_e6"] == 0                           # z2 huge => p floors to 0
+        assert g["keep"] == 1
+    # independent recomputation agrees (including the None bound)
+    want = _python_bh(rows)
+    for name, w in want.items():
+        assert got[name]["z2_e6"] == w["z2_e6"] is None
+    # and the DuckDB oracle no longer crashes: full hash gate
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    ok, msg = compare(spark, q["bh_fdr_keep_set"], o["bh_fdr_keep_set"], out)
+    assert ok, msg
 
 
 def test_theilsen_exact_floor_division_and_int64_bound(spark, tmp_path):

@@ -82,6 +82,14 @@ def _direct_imports(mod: str) -> frozenset:
                 base = mod.split(".")
                 # level=1 from a module inside a package strips the module
                 # name; each extra level strips one more package segment.
+                # For a package __init__.py the module name IS the package
+                # (".__init__" was stripped in _repo_modules), so level=1
+                # must resolve against the package itself, not its parent —
+                # append a sentinel segment so the slice strips that
+                # instead (r9 ADVICE: re-exports in package __init__ files
+                # must stay covered by the tripwire).
+                if os.path.basename(path) == "__init__.py":
+                    base = base + ["__init__"]
                 base = base[: len(base) - node.level]
                 prefix = ".".join(base + ([node.module] if node.module else []))
             else:
