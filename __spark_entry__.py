@@ -1476,7 +1476,28 @@ _ROUND10_FRONT: list[str] = _ROUND10_QUEUE + [
 # Round-11 window queue: queries added AFTER the r10 window is sealed go
 # here (never displacing a planned check), plus any query whose
 # implementation changes after its last driver row.
-_ROUND11_QUEUE: list[str] = []
+#
+# Seeded by the r10 count-headroom audit (the r9 verdict's --bigcount
+# item): two live int64-wrap fixes — winsorize_event_values'
+# cnt·cents moment and skew_key_profile's cnt·n_keys·100 product now
+# ride decimal(38,0)/HUGEINT — plus the other queries in those two
+# plan modules, whose file-level transitive fingerprints flip with the
+# edits (the re-certification rule is file-granular by design).
+_ROUND11_QUEUE: list[str] = [
+    "winsorize_event_values",
+    "skew_key_profile",
+    # fingerprint co-flips (same files; implementations untouched)
+    "user_value_pareto",
+    "value_drift_tv",
+    "rolling_median_values",
+    "mad_outlier_flags",
+    "table_checksum_daily",
+    "fd_violation_profile",
+    "layout_compaction_bins",
+    "trend_revenue_by_nation",
+    "dedup_rapid_fire_events",
+    "rolling_zscore_anomalies",
+]
 
 _FRONT = _ROUND10_FRONT + _ROUND11_QUEUE
 

@@ -268,6 +268,13 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("_hv").alias("cents"), F.col("_hc").alias("cnt")
     )
     clipped = F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
+    # r10 count-headroom audit fix: the cnt·cents cell product and its
+    # sum rode plain int64, which wraps once total winsorized money
+    # passes ~9.2e18 cents — reachable by row count × whale magnitude
+    # (the --bigmoney class crossed with large n, which no physical-row
+    # sweep can reach). The moment now rides decimal(38,0)/HUGEINT and
+    # the BIGINT output carries the theil_sen representation bound
+    # (mirrored NULL) — round8_queries.py:1477 pattern.
     return (
         hist.join(F.broadcast(th), "event_type")
         .groupBy("event_type", "lo_cents", "hi_cents")
@@ -279,7 +286,7 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("cents") > F.col("hi_cents"), F.col("cnt")).otherwise(0)).alias(
                 "n_clipped_hi"
             ),
-            F.sum(F.col("cnt") * clipped).alias("sum_winsorized_cents"),
+            F.sum(F.col("cnt").cast("decimal(38,0)") * clipped).alias("_swc"),
         )
         .select(
             "event_type",
@@ -288,7 +295,11 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi_cents",
             "n_clipped_lo",
             "n_clipped_hi",
-            "sum_winsorized_cents",
+            F.expr(
+                "CASE WHEN _swc >= -9223372036854775808"
+                " AND _swc <= 9223372036854775807"
+                " THEN CAST(_swc AS BIGINT) END"
+            ).alias("sum_winsorized_cents"),
         )
     )
 
@@ -313,8 +324,13 @@ th AS (
 SELECT h.event_type, CAST(sum(cnt) AS BIGINT) AS n_events, lo_cents, hi_cents,
        CAST(sum(CASE WHEN cents < lo_cents THEN cnt ELSE 0 END) AS BIGINT) AS n_clipped_lo,
        CAST(sum(CASE WHEN cents > hi_cents THEN cnt ELSE 0 END) AS BIGINT) AS n_clipped_hi,
-       CAST(sum(cnt * least(greatest(cents, lo_cents), hi_cents)) AS BIGINT)
-         AS sum_winsorized_cents
+       -- exact HUGEINT moment + mirrored int64 representation bound
+       -- (NULL past it), matching the Spark side's decimal(38,0) form
+       CASE WHEN sum(CAST(cnt AS HUGEINT) * least(greatest(cents, lo_cents), hi_cents))
+              BETWEEN -9223372036854775808 AND 9223372036854775807
+            THEN CAST(sum(CAST(cnt AS HUGEINT)
+                          * least(greatest(cents, lo_cents), hi_cents)) AS BIGINT)
+       END AS sum_winsorized_cents
 FROM h JOIN th USING (event_type)
 GROUP BY 1, 3, 4
 """

@@ -502,6 +502,12 @@ GROUP BY decile
 
 SKEW_TOPK = 20
 
+#: mean-load multiple ×100 with the cnt·n_keys·100 product in exact
+#: decimal(38,0) (Spark) — module-level so the expression itself is
+#: unit-testable at count magnitudes no physical-row fixture can reach
+#: (tests/test_scale_plans.py::test_count_headroom_expression_forms).
+X_MEAN_X100_EXPR = "(CAST(cnt AS DECIMAL(38,0)) * n_keys * 100) DIV total"
+
 
 def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profiler: the report that decides whether a key
@@ -528,7 +534,15 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "cnt",
             F.expr("(cnt * 10000) DIV total").alias("share_bp"),
-            F.expr("(cnt * n_keys * 100) DIV total").alias("x_mean_x100"),
+            # r10 count-headroom audit fix: cnt·n_keys·100 rode plain
+            # int64, which wraps once a hot key's count × the key
+            # cardinality passes ~9.2e16 (1e9 keys with a 1e8-row whale
+            # key already exceeds it — both large simultaneously is the
+            # NORMAL skewed-corpus shape this profiler exists for). The
+            # product now rides decimal(38,0)/HUGEINT; the QUOTIENT is
+            # safe in BIGINT by algebra (cnt ≤ total ⇒ x_mean_x100 ≤
+            # 100·n_keys < int64 for any n_keys < 9.2e16 keys).
+            F.expr(X_MEAN_X100_EXPR).alias("x_mean_x100"),
         )
     )
 
@@ -543,7 +557,9 @@ top AS (SELECT * FROM per_key ORDER BY cnt DESC, user_id LIMIT {SKEW_TOPK})
 SELECT row_number() OVER (ORDER BY cnt DESC, user_id) AS hot_rank,
        user_id, cnt,
        CAST((cnt * 10000) // total AS BIGINT) AS share_bp,
-       CAST((cnt * n_keys * 100) // total AS BIGINT) AS x_mean_x100
+       -- HUGEINT product mirror of the Spark decimal(38,0) form; the
+       -- quotient is int64-safe by algebra (cnt <= total)
+       CAST((CAST(cnt AS HUGEINT) * n_keys * 100) // total AS BIGINT) AS x_mean_x100
 FROM top CROSS JOIN t
 """
 
