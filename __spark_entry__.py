@@ -1497,6 +1497,18 @@ _ROUND11_QUEUE: list[str] = [
     "trend_revenue_by_nation",
     "dedup_rapid_fire_events",
     "rolling_zscore_anomalies",
+    # fingerprint co-flips from the r10 --longtext boilerplate rewrite
+    # (plans/curation_queries.py now imports operators/boilerplate.py;
+    # text_boilerplate_strip itself sits in the r10 front and gets its
+    # driver row at the new implementation)
+    "kmv_weekly_merge_gate",
+    "dedup_cluster_size_hist",
+    "emb_pca_variance_gate",
+    "emb_centroid_classifier_eval",
+    "approx_quantiles_value_gate",
+    "dedup_verdict_per_doc",
+    "corpus_datacard",
+    "soft_dedup_weights",
 ]
 
 _FRONT = _ROUND10_FRONT + _ROUND11_QUEUE

@@ -287,12 +287,18 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments appearing in ≥5% of documents are stripped from every doc
     and the remaining text reassembled in order (C4-style line dedup for
     a whitespace corpus). The boilerplate set is corpus-size-independent
-    (≤ segments-per-doc / 0.05 entries) and broadcasts as one row; the
-    rebuild is map-only. See operators.textops.boilerplate_strip."""
-    from ..operators import textops
+    (≤ segments-per-doc / 0.05 entries) and broadcasts as a hash join
+    build side; the rebuild is one linear groupBy(id) reassembly. r10:
+    switched from textops.boilerplate_strip to the scalable
+    operators.boilerplate form after the --longtext axis caught the
+    original's O(boiler × segments) per-doc membership scan stalling
+    minutes on 20k-char docs (see operators/boilerplate.py)."""
+    from ..operators import boilerplate
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    out = textops.boilerplate_strip(docs, "doc_id", "text", seg_words=2, max_df_frac=0.05)
+    out = boilerplate.boilerplate_strip(
+        docs, "doc_id", "text", seg_words=2, max_df_frac=0.05
+    )
     return out.orderBy("doc_id")
 
 
@@ -301,22 +307,35 @@ WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w
   FROM documents WHERE text IS NOT NULL AND text <> ''
 ),
+-- token ROWS first, segments by grouped position — NOT a per-segment
+-- slice of the full token list (unnesting start offsets while carrying
+-- w per row re-materialized the whole document per segment: O(len²),
+-- minutes on the --longtext mirror; this form is linear, mirroring the
+-- Spark side's stride segmentation)
+tok AS (
+  SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS pos FROM toks
+),
 seg AS (
-  SELECT doc_id, i, array_to_string(w[i : i + 1], ' ') AS seg_text
-  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), 2)) AS i FROM toks)
+  SELECT doc_id, min(pos) AS i, string_agg(t, ' ' ORDER BY pos) AS seg_text
+  FROM tok GROUP BY doc_id, (pos - 1) // 2
 ),
 boiler AS (
   SELECT seg_text FROM seg GROUP BY seg_text
   HAVING count(DISTINCT doc_id) >= 0.05 * (SELECT count(*) FROM toks)
 ),
 clean AS (
-  SELECT doc_id,
-         string_agg(seg_text, ' ' ORDER BY i)
-           FILTER (WHERE seg_text NOT IN (SELECT seg_text FROM boiler)) AS text_clean,
+  -- hash LEFT JOIN against the boiler set, not NOT IN inside the
+  -- FILTER clauses: the membership subquery re-evaluated per segment
+  -- went quadratic on the --longtext mirror (13k segments/doc x 10k
+  -- boiler entries: 850+ s), mirroring the Spark-side O(B*S) scan the
+  -- r10 rewrite removed; the join form is seconds
+  SELECT s.doc_id,
+         string_agg(s.seg_text, ' ' ORDER BY s.i)
+           FILTER (WHERE b.seg_text IS NULL) AS text_clean,
          CAST(count(*) AS BIGINT) AS n_segments,
-         CAST(count(*) FILTER (WHERE seg_text IN (SELECT seg_text FROM boiler)) AS BIGINT)
-           AS n_removed
-  FROM seg GROUP BY doc_id
+         CAST(count(b.seg_text) AS BIGINT) AS n_removed
+  FROM seg s LEFT JOIN boiler b USING (seg_text)
+  GROUP BY s.doc_id
 )
 SELECT doc_id, coalesce(text_clean, '') AS text_clean, n_segments, n_removed
 FROM clean

@@ -497,6 +497,39 @@ def test_boilerplate_strip_removes_common_segments_in_order(spark):
     assert out[4]["n_removed"] == 0
 
 
+def test_boilerplate_scalable_matches_original(spark):
+    """The r10 hash-join rewrite (operators/boilerplate.py — the
+    --longtext axis caught the original's O(boiler × segments) per-doc
+    membership scan) must produce EXACTLY the original's rows on the
+    real documents corpus and on the hand-built edge corpus (all-boiler
+    docs reduced to '')."""
+    from etl_dashboard_project_1_spark.operators import boilerplate, textops
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["text_clean"], r["n_segments"], r["n_removed"])
+            for r in df.collect()
+        )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    for seg_words, frac in ((2, 0.05), (3, 0.5)):
+        a = textops.boilerplate_strip(docs, "doc_id", "text", seg_words, frac)
+        b = boilerplate.boilerplate_strip(docs, "doc_id", "text", seg_words, frac)
+        assert rows(a) == rows(b), (seg_words, frac)
+    edge = spark.createDataFrame(
+        [
+            (1, "ad banner alpha beta gamma delta"),
+            (2, "ad banner epsilon zeta"),
+            (3, "ad banner"),
+            (4, "unique words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    assert rows(
+        textops.boilerplate_strip(edge, "doc_id", "text", 2, 0.5)
+    ) == rows(boilerplate.boilerplate_strip(edge, "doc_id", "text", 2, 0.5))
+
+
 def test_bloom_prefilter_is_exact_safe_and_prunes(spark):
     """The Bloom pre-filter must (a) keep EVERY fact row whose key joins
     the dim — no false negatives, so filtered⋈dim ≡ plain⋈dim — and
