@@ -38,15 +38,26 @@ def span_dedup_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     w = dedup.tokens("text")
     n = F.size(w)
-    starts = F.sequence(F.lit(1), n - (SPAN_K - 1), F.lit(SPAN_K))
+
+    # stride extraction + zip_with, NOT transform-over-starts with
+    # slice(tokens(text), i, k): Catalyst inlines the tokenizer into the
+    # lambda, re-splitting the whole document once per span — O(len²)
+    # per doc (the --longtext axis measured 477 s over fifty 218k-char
+    # docs; same defect class as the boilerplate rewrite,
+    # operators/boilerplate.py). filter/zip_with evaluate the token
+    # array once per ROW. Only FULL SPAN_K-token windows count (the
+    # original's starts stopped at n-SPAN_K+1), so the zip chain's
+    # ragged tail is sliced off: floor(n/SPAN_K) full windows.
+    def _stride(j: int):
+        return F.filter(w, lambda x, i: i % SPAN_K == j)
+
+    chain = _stride(0)
+    for j in range(1, SPAN_K):
+        chain = F.zip_with(chain, _stride(j), lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(chain, F.lit(1), F.floor(n / SPAN_K).cast("int"))
     spans = (
         docs.filter(n >= SPAN_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, SPAN_K)))
-            ).alias("span"),
-        )
+        .select("doc_id", F.explode(full).alias("span"))
         .select("doc_id", F.md5("span").alias("span_hash"))
     )
     return (
@@ -63,10 +74,20 @@ SPAN_DEDUP_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents
 ),
+-- token rows + grouped position, not a per-span slice of the carried
+-- token list (that re-materialized the whole doc per span: O(len²) on
+-- the --longtext mirror); nt = {SPAN_K} keeps full windows only,
+-- mirroring the Spark side's sliced zip chain
+tok AS (
+  SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS pos
+  FROM toks WHERE len(w) >= {SPAN_K}
+),
+seg AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS span, count(*) AS nt
+  FROM tok GROUP BY doc_id, (pos - 1) // {SPAN_K}
+),
 spans AS (
-  SELECT doc_id, md5(array_to_string(w[i : i + {SPAN_K - 1}], ' ')) AS span_hash
-  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {SPAN_K - 1}, {SPAN_K})) AS i
-        FROM toks WHERE len(w) >= {SPAN_K})
+  SELECT doc_id, md5(span) AS span_hash FROM seg WHERE nt = {SPAN_K}
 )
 SELECT span_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
 FROM spans
