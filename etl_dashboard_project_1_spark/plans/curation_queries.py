@@ -72,19 +72,25 @@ def span_dedup_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPAN_DEDUP_SQL = rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents
+  -- rid keeps physically-duplicated doc_id ROWS apart (the --dupes
+  -- mirror duplicates every row with identical keys): the Spark side
+  -- explodes spans per physical row, so the oracle's position groups
+  -- must never merge two copies' tokens (caught by the dupes gate)
+  SELECT doc_id, row_number() OVER () AS rid,
+         regexp_split_to_array(lower(text), '\s+') AS w
+  FROM documents
 ),
 -- token rows + grouped position, not a per-span slice of the carried
 -- token list (that re-materialized the whole doc per span: O(len²) on
 -- the --longtext mirror); nt = {SPAN_K} keeps full windows only,
 -- mirroring the Spark side's sliced zip chain
 tok AS (
-  SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS pos
+  SELECT doc_id, rid, unnest(w) AS t, generate_subscripts(w, 1) AS pos
   FROM toks WHERE len(w) >= {SPAN_K}
 ),
 seg AS (
   SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS span, count(*) AS nt
-  FROM tok GROUP BY doc_id, (pos - 1) // {SPAN_K}
+  FROM tok GROUP BY doc_id, rid, (pos - 1) // {SPAN_K}
 ),
 spans AS (
   SELECT doc_id, md5(span) AS span_hash FROM seg WHERE nt = {SPAN_K}

@@ -430,6 +430,14 @@ SWEEP_GATES = [
     # (307/308, only the pinned set_ops class) — the calendar mirrors
     # hold on sparse multi-decade series.
     ("longspan", 50, "longspan"),
+    # NOT YET GATED: --longtext (tools/tiny_sweep.py LONGTEXT, ~218k-char
+    # docs) is an instrumented MANUAL axis in r10 — its first runs caught
+    # and fixed two live O(len²) classes (boilerplate strip, span dedup),
+    # but remaining offenders live in fingerprint-frozen operators
+    # (textops/dedup: a single edit flips 162/249 re-cert fingerprints),
+    # so the full registry does not yet complete in bounded time under
+    # it. Gate lands with the r11+ operator migrations; staging status
+    # documented at tools/tiny_sweep.py LONGTEXT.
 ]
 
 #: r8 upgrade (r7 verdict item 4): the adjudicated cross-engine

@@ -209,7 +209,7 @@ LONGSPAN = {
 
 
 #: per-table projections for the --longtext mode: every document's text
-#: inflates to ~20k chars (400 repetitions of the original plus a
+#: inflates to ~218k chars (400 repetitions of the original plus a
 #: per-repeat ordinal so the text is long but NOT a pure period — pure
 #: repetition would collapse every shingle set to the original's),
 #: with n_chars recomputed to stay consistent. Hunts the long-string
@@ -218,6 +218,19 @@ LONGSPAN = {
 #: hundreds of chunks per doc, repetition/entropy scores on
 #: near-periodic text, and any hidden O(len²) blowup (a crash/timeout
 #: here is a finding).
+#:
+#: STATUS (r10): instrumented manual axis, NOT yet a pytest SWEEP_GATES
+#: member. Its first runs caught and fixed two live O(len²) classes
+#: (text_boilerplate_strip — operators/boilerplate.py rewrite;
+#: span_dedup_repeated — stride segmentation, both engines), but the
+#: remaining offenders live in operators/textops.py and
+#: operators/dedup.py (transform-over-starts gram builders, e.g.
+#: dedup.duplicated_spans; ngram_jaccard verification on 36k-token
+#: docs), whose edits flip 162/249 re-certification fingerprints —
+#: more than one 50-entry driver window absorbs — so they migrate
+#: window-by-window (r11+) and the gate lands when the full registry
+#: completes in bounded time. Run manually:
+#:   python tools/tiny_sweep.py 50 --longtext --rebuild
 LONGTEXT = {
     "documents": "doc_id,"
                  " list_aggr(list_transform(range(1, 401),"
