@@ -27,6 +27,7 @@ from etl_dashboard_project_1_spark.plans import (
     graph_queries,
     header_queries,
     incremental_queries,
+    longtext_queries,
     mart_queries,
     profile_queries,
     round5_queries,
@@ -237,10 +238,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         extension_queries.BM25_RETRIEVAL_SQL,
     ),
     # r3 addition: suffix-array-style substring dedup — maximal cross-doc
-    # repeated spans via positional 5-grams + gaps-and-islands merge
+    # repeated spans via positional 5-grams + gaps-and-islands merge.
+    # r10: bound to the LINEAR rewrite in plans/longtext_queries.py (the
+    # extension_queries body stays byte-frozen until the r11 seal — the
+    # file-granular re-cert rule; see that module's docstring)
     "dedup_repeated_spans": (
-        extension_queries.dedup_repeated_spans,
-        extension_queries.DEDUP_SPANS_SQL,
+        longtext_queries.dedup_repeated_spans,
+        longtext_queries.DEDUP_SPANS_SQL,
     ),
     # r3 addition: count-min sketch heavy hitters — md5-derived rows make
     # the sketch itself bit-reproducible in DuckDB (exact hash match)

@@ -1816,82 +1816,20 @@ SELECT qid, rank, doc_id, rrf FROM ranked WHERE rank <= 5
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-style substring dedup (Lee et al.), Spark shape:
     maximal per-document spans whose every word 5-gram also occurs in
-    another document. Semantics of operators/dedup.duplicated_spans.
-
-    Inlined with LINEAR positional-gram construction: the operator's
-    ``transform(sequence(0, n-k), i -> slice(tokens, i, k))`` form
-    re-tokenizes the whole document once per position (Catalyst collapses
-    the split() projection into the lambda) — O(len²), stalling on the
-    --longtext axis's ~218k-char docs. Here gram i composes by the same
-    zip_with-shift fold word_shingles uses (k-1 elementwise passes,
-    O(k·len)); posexplode index = gram position, so everything downstream
-    (cross-doc gram agg, gram-keyed flag join, gaps-and-islands run
-    merge) is byte-identical to the operator. dedup.py itself is
-    re-certification-frozen this round (an edit flips 249 fingerprints);
-    the operator migrates with the r11+ dedup window."""
-    from pyspark.sql import Window
-
-    k, min_docs = 5, 2
+    another document. See operators/dedup.duplicated_spans."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    w = dedup.tokens("text")
-    n = F.size(w)
-    grams = w
-    for j in range(1, k):
-        shifted = F.slice(w, j + 1, F.greatest(n - j, F.lit(0)))
-        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    full = F.when(
-        n >= k, F.slice(grams, 1, F.greatest(n - (k - 1), F.lit(0)))
-    ).otherwise(F.array().cast("array<string>"))
-    pos_grams = docs.select(
-        F.col("doc_id").alias("_id"), F.posexplode(full).alias("_pos", "_gram")
-    )
-    dup = (
-        pos_grams.groupBy("_gram")
-        .agg(F.countDistinct("_id").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_gram")
-    )
-    flagged = pos_grams.join(dup, "_gram").select("_id", "_pos")
-    run_w = Window.partitionBy("_id").orderBy("_pos")
-    runs = flagged.withColumn("_rid", F.col("_pos") - F.row_number().over(run_w))
-    return (
-        runs.groupBy("_id", "_rid")
-        .agg(
-            F.min("_pos").cast("long").alias("span_start"),
-            (F.max("_pos") + (k - 1)).cast("long").alias("span_end"),
-            (F.max("_pos") - F.min("_pos") + k).cast("long").alias("span_tokens"),
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-        )
-        .select(
-            F.col("_id").alias("doc_id"),
-            "span_start",
-            "span_end",
-            "span_tokens",
-            "n_grams",
-        )
-    )
+    return dedup.duplicated_spans(docs, "doc_id", "text", k=5, min_docs=2)
 
 
-# Positional 5-grams come from token ROWS composed by lead() windows
-# (linear), not per-position list slicing inside a comprehension — the
-# original g0 form re-materialized the ~43k-token list per position on
-# the --longtext axis's ~218k-char docs (O(len²), same DuckDB defect
-# class the boilerplate oracle had). lead(t,4) IS NULL marks the ragged
-# tail (full windows only), mirroring the Spark side's n-k+1 slice.
 DEDUP_SPANS_SQL = r"""
 WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
-tok AS (
-  SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS t FROM w
-),
 g0 AS (
-  SELECT doc_id, pos,
-         t || ' ' || lead(t, 1) OVER win || ' ' || lead(t, 2) OVER win
-           || ' ' || lead(t, 3) OVER win || ' ' || lead(t, 4) OVER win AS gram,
-         lead(t, 4) OVER win AS t4
-  FROM tok
-  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  SELECT doc_id,
+         unnest([{'pos': i, 'gram': array_to_string(w[i+1:i+5], ' ')}
+                 FOR i IN range(0, greatest(len(w) - 4, 0))]) AS u
+  FROM w
 ),
-g AS (SELECT doc_id, pos, gram FROM g0 WHERE t4 IS NOT NULL),
+g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0),
 dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
 f AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
 r AS (
