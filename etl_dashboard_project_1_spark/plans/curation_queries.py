@@ -126,10 +126,49 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# splice the recursive-components oracle: reuse its CTE chain, swap the
-# final per-node select for the per-cluster keep-best argmax
+# Linear-time mirror of extension_queries._SHINGLES_CTE (distinct word
+# 3-grams per PHYSICAL ROW): the shared CTE builds each shingle with
+# ``array_to_string(w[i:i+2], ' ') FOR i IN range(...)`` — per-position
+# list slicing that re-materializes the whole token list per shingle,
+# O(len²) on the --longtext axis's ~218k-char docs (the same defect class
+# the boilerplate and span oracles had). Here shingles come from token
+# ROWS composed by lead() windows (explicit OVER clauses — DuckDB named
+# WINDOW scoping is fragile under spliced CTE chains); lead(t,2) IS NULL
+# drops the ragged tail, mirroring range(1, len(w)-1). The inner DISTINCT
+# keys on a per-row id, NOT doc_id, so duplicated physical rows keep
+# their per-copy shingle multisets (the dupes-sweep row-faithfulness
+# contract; dedup_keep_best is not dupes-exempt). Defined LOCALLY because
+# editing extension_queries.py flips ~145 unscheduled fingerprints
+# (file-granular re-cert rule); the shared CTE migrates at the r11 seal.
+_FAST_SHINGLES_CTE = r"""
+sh AS (
+  SELECT doc_id, s FROM (
+    SELECT DISTINCT rid, doc_id, s FROM (
+      SELECT rid, doc_id,
+             t || ' ' || lead(t, 1) OVER (PARTITION BY rid ORDER BY pos)
+               || ' ' || lead(t, 2) OVER (PARTITION BY rid ORDER BY pos) AS s,
+             lead(t, 2) OVER (PARTITION BY rid ORDER BY pos) AS t2
+      FROM (
+        SELECT rid, doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS t
+        FROM (SELECT row_number() OVER () AS rid, doc_id,
+                     regexp_split_to_array(lower(text), '\s+') AS w
+              FROM documents)
+      )
+    ) WHERE t2 IS NOT NULL
+  )
+)
+"""
+
+from .extension_queries import _SHINGLES_CTE  # noqa: E402
+
+assert _SHINGLES_CTE in DEDUP_CLUSTERS_SQL  # splice-point tripwire
+
+# splice the recursive-components oracle: reuse its CTE chain with the
+# scalable shingle build, swap the final per-node select for the
+# per-cluster keep-best argmax
 KEEP_BEST_SQL = (
-    DEDUP_CLUSTERS_SQL.rsplit("SELECT node AS doc_id", 1)[0]
+    DEDUP_CLUSTERS_SQL.replace(_SHINGLES_CTE, _FAST_SHINGLES_CTE)
+    .rsplit("SELECT node AS doc_id", 1)[0]
     + """,
 clusters AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
 SELECT cluster, doc_id AS keep_doc_id, n_members

@@ -1344,3 +1344,42 @@ def test_rfm_segments_partition_customers(spark):
         code = r["segment"]
         rfm = (code // 100, (code // 10) % 10, code % 10)
         assert all(1 <= d <= r5.RFM_BUCKETS for d in rfm), code
+
+
+def test_fast_shingle_cte_matches_shared_cte_multiset():
+    """The r10 keep-best oracle splice (curation_queries._FAST_SHINGLES_CTE)
+    must reproduce extension_queries._SHINGLES_CTE's (doc_id, shingle)
+    MULTISET exactly — per-physical-row distinct, so duplicated rows keep
+    per-copy shingle sets (dedup_keep_best is not dupes-exempt) — on the
+    real corpus, a fully-duplicated corpus, and a hand-built edge corpus
+    (<3 tokens, repeated in-doc shingles, irregular whitespace)."""
+    import duckdb
+
+    from etl_dashboard_project_1_spark.plans.curation_queries import (
+        _FAST_SHINGLES_CTE,
+    )
+    from etl_dashboard_project_1_spark.plans.extension_queries import _SHINGLES_CTE
+
+    probe_old = "WITH " + _SHINGLES_CTE + " SELECT doc_id, s FROM sh"
+    probe_new = "WITH " + _FAST_SHINGLES_CTE + " SELECT doc_id, s FROM sh"
+
+    def multiset(con, sql):
+        return sorted(con.execute(sql).fetchall())
+
+    real = "SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    corpora = {
+        "real": real,
+        "dupes": f"SELECT * FROM ({real}) UNION ALL SELECT * FROM ({real})",
+        "edge": """SELECT * FROM (VALUES
+            (1, 'a b c d e'),
+            (2, 'a b c a b c a b c'),
+            (3, 'one two'),
+            (4, 'single'),
+            (5, ''),
+            (6, '  leading  and   inner   gaps '),
+            (7, 'a b c d e')) t(doc_id, text)""",
+    }
+    for label, src in corpora.items():
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS {src}")
+        assert multiset(con, probe_old) == multiset(con, probe_new), label
