@@ -88,18 +88,28 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the --longtext axis's ~218k-char docs (O(len²), same DuckDB defect
 # class the boilerplate oracle had). lead(t,4) IS NULL marks the ragged
 # tail (full windows only), mirroring the Spark side's n-k+1 slice.
+# The gram windows partition on a PER-ROW id, not doc_id: the Spark
+# side builds grams per physical row (posexplode of a per-row array),
+# so under duplicate-key corrupt input (the --dupes sweep) two copies
+# of a doc_id must each contribute their own intact gram sequence —
+# doc_id-partitioned windows interleave the copies' positions and
+# garble the grams (caught by the r10 round-close dupes gate,
+# spark=146 vs oracle=255 rows; same class aa19008 fixed in the span
+# oracle). Downstream (dup / f / r) keys on doc_id in BOTH engines.
 DEDUP_SPANS_SQL = r"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+WITH w AS (SELECT row_number() OVER () AS rid, doc_id,
+                  regexp_split_to_array(lower(text), '\s+') AS w
+           FROM documents),
 tok AS (
-  SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS t FROM w
+  SELECT rid, doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS t FROM w
 ),
 g0 AS (
-  SELECT doc_id, pos,
+  SELECT rid, doc_id, pos,
          t || ' ' || lead(t, 1) OVER win || ' ' || lead(t, 2) OVER win
            || ' ' || lead(t, 3) OVER win || ' ' || lead(t, 4) OVER win AS gram,
          lead(t, 4) OVER win AS t4
   FROM tok
-  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  WINDOW win AS (PARTITION BY rid ORDER BY pos)
 ),
 g AS (SELECT doc_id, pos, gram FROM g0 WHERE t4 IS NOT NULL),
 dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
