@@ -19,9 +19,22 @@ semantics (ordinal-tagged repetition) in ways some oracles legitimately
 see differently; adjudication happens when the axis is promoted to a
 pytest gate.
 
+A STUCK query (neither sc.cancelAllJobs nor con.interrupt released the
+worker thread within 30 s) cannot be reclaimed in-process — Python
+threads aren't killable, and the first probe run proved the cost: the
+stuck dedup_incremental_minhash worker kept allocating concurrently
+with later queries until the OOM killer took the whole run at 127 GB
+RSS. So the probe persists per-query outcomes to a state file as it
+goes, and on STUCK it records the outcome and hard-exits with code 3;
+relaunching resumes past everything already recorded. Loop until exit 0:
+
+  until python tools/longtext_probe.py 50 90; do [ $? -ne 3 ] && break; done
+
 Usage: python tools/longtext_probe.py [n_rows] [budget_sec]
-Prints one line per query and a JSON summary; exit 0 always (this is an
-inventory, not a gate).
+State:  /tmp/longtext_probe_state.jsonl (delete to start fresh)
+Prints one line per query and a JSON summary on completion; exit 0 =
+full inventory done, 3 = relaunch to resume (this is an inventory, not
+a gate — divergences are reported, not failed).
 """
 
 from __future__ import annotations
@@ -68,14 +81,26 @@ def main() -> int:
 
     def tracked_connect(sf_dir):
         con = orig_connect(sf_dir)
+        # bound the in-process oracle: the first probe run died when a
+        # runaway side allocated 127 GB before the OOM killer fired
+        con.execute("SET memory_limit='24GB'")
         live["con"] = con
         return con
 
     oh.duckdb_connect = tracked_connect
 
-    q, o = entrymod.queries(), entrymod.oracle_sql()
+    state_path = "/tmp/longtext_probe_state.jsonl"
     results: dict[str, dict] = {}
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                results[rec.pop("name")] = rec
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
     for i, name in enumerate(q):
+        if name in results:
+            continue
         outcome: dict = {}
 
         def work():
@@ -105,13 +130,20 @@ def main() -> int:
             t.join(30)
             if t.is_alive():
                 # irrecoverably stuck thread (neither engine responded to
-                # cancellation) — record and abandon; daemon thread dies
-                # with the process
+                # cancellation): record, then hard-exit so the OS reclaims
+                # the runaway worker — resuming skips this query
                 outcome["status"] = "STUCK"
                 outcome["sec"] = round(budget, 1)
+                with open(state_path, "a") as fh:
+                    fh.write(json.dumps({"name": name, **outcome}) + "\n")
+                print(f"{i + 1}/{len(q)} {name}: STUCK — exiting for resume",
+                      flush=True)
+                os._exit(3)
             else:
                 outcome["status"] = "TIMEOUT"
         results[name] = outcome
+        with open(state_path, "a") as fh:
+            fh.write(json.dumps({"name": name, **outcome}) + "\n")
         print(f"{i + 1}/{len(q)} {name}: {outcome.get('status')} "
               f"({outcome.get('sec', budget)}s) {outcome.get('msg', '')}",
               flush=True)
