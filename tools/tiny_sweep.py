@@ -229,8 +229,14 @@ LONGSPAN = {
 #: docs), whose edits flip 162/249 re-certification fingerprints —
 #: more than one 50-entry driver window absorbs — so they migrate
 #: window-by-window (r11+) and the gate lands when the full registry
-#: completes in bounded time. Run manually:
-#:   python tools/tiny_sweep.py 50 --longtext --rebuild
+#: completes in bounded time. R10 UPDATE: the full-registry probe
+#: (tools/longtext_probe.py — per-query budget + resume; prefer it over
+#: the plain loop here, which one staller blocks) measured 291 MATCH /
+#: 15 stalls, and the stalls are the ORACLE's quadratic _SHINGLES_CTE,
+#: not the engine (Spark sides of stalled members complete in 7-21 s) —
+#: see the PLANS.md r11 inventory. Run manually:
+#:   python tools/longtext_probe.py 50 90        # full inventory
+#:   python tools/tiny_sweep.py 50 --longtext --rebuild  # plain loop
 LONGTEXT = {
     "documents": "doc_id,"
                  " list_aggr(list_transform(range(1, 401),"
