@@ -68,7 +68,23 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     (zip pads the short side with null; the trailing partial grams are
     sliced off). ~4× faster than the transform(sequence)+slice(k)
     formulation: one pass per shift instead of a per-position array copy,
-    and no per-row sequence materialization."""
+    and no per-row sequence materialization.
+
+    When the input is a plain column NAME the whole expression is built
+    as one parsed SQL string (one py4j round trip instead of ~20 — the
+    r10 plan-construction finding; identical Catalyst tree either way)."""
+    if isinstance(text, str):
+        w = f"split(lower({text}), '\\\\s+')"
+        n = f"size({w})"
+        grams = w
+        for j in range(1, k):
+            shifted = f"slice({w}, {j + 1}, greatest({n} - {j}, 0))"
+            grams = f"zip_with({grams}, {shifted}, (a, b) -> concat_ws(' ', a, b))"
+        full = f"slice({grams}, 1, greatest({n} - {k - 1}, 0))"
+        return F.expr(
+            f"array_distinct(CASE WHEN {n} >= {k} THEN {full} "
+            f"ELSE CAST(array() AS array<string>) END)"
+        )
     w = tokens(text)
     n = F.size(w)
     grams = w
@@ -99,6 +115,23 @@ def hashed_word_shingles(text: Column | str, k: int = 3) -> Column:
     Equality of hashes ≡ equality of grams (modulo that collision bound),
     so Jaccard over hash sets is Jaccard over gram sets; DuckDB mirrors
     the composition bit-for-bit."""
+    if isinstance(text, str):
+        # single parsed expression — see word_shingles' py4j note
+        w = f"split(lower({text}), '\\\\s+')"
+        h = f"transform({w}, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"
+        n = f"size({h})"
+        grams = h
+        for j in range(1, k):
+            shifted = f"slice({h}, {j + 1}, greatest({n} - {j}, 0))"
+            grams = (
+                f"zip_with({grams}, {shifted}, "
+                f"(g, nxt) -> (g * {SHINGLE_BASE} + nxt) % {MINHASH_PRIME}L)"
+            )
+        full = f"slice({grams}, 1, greatest({n} - {k - 1}, 0))"
+        return F.expr(
+            f"array_distinct(CASE WHEN {n} >= {k} THEN {full} "
+            f"ELSE CAST(array() AS array<bigint>) END)"
+        )
     w = tokens(text)
     h = F.transform(w, lambda t: md5_int(t))
     n = F.size(h)
@@ -271,10 +304,19 @@ def shingle_sets(
     they simply contribute no rows). ``hashed=True`` carries gram HASHES
     (bigint) instead of gram strings — see ``hashed_word_shingles``."""
     sh = hashed_word_shingles(text_col, k) if hashed else word_shingles(text_col, k)
+    # Drop <k-word docs via the CHEAP equivalent predicate on the token
+    # count, BEFORE the shingle projection. size(_sh) > 0 is exactly
+    # size(tokens) >= k (n>=k tokens yield n-k+1 >= 1 grams; distinct of
+    # a non-empty array is non-empty), but filtering on size(_sh) let
+    # Catalyst inline the WHOLE shingle expression into a filter and push
+    # it below an upstream fan_out exchange — evaluating the zip_with/
+    # concat/array_distinct chain twice, once of those single-threaded in
+    # the scan stage (r10 executed-plan audit; guide §4.4's duplicate-
+    # evaluation trap, built-in-expression edition).
     return (
-        df.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
+        df.filter(F.size(tokens(text_col)) >= F.lit(k))
+        .select(F.col(id_col).alias("_id"), sh.alias("_sh"))
         .withColumn("_n", F.size("_sh"))
-        .filter(F.col("_n") > 0)
     )
 
 
@@ -306,22 +348,31 @@ def minhash_signatures(
         if shingle_sets_df is not None
         else shingle_sets(df, id_col, text_col, k, hashed=hashed)
     )
+    # Expressions are built as single F.expr strings (r10): the Column-DSL
+    # form cost ~15 py4j round-trips per hash function (lambda plumbing +
+    # one trip per operator), ~1 ms each — measured at >1 s of pure
+    # driver-side plan construction per dedup_minhash_lsh build. The SQL
+    # parser produces the identical Catalyst tree in ONE round trip per
+    # expression. Values are unchanged (same ops, same literals).
     if hashed:
         hashed_df = ss.select("_id", F.col("_sh").alias("_hs"))
     else:
+        # mirrors md5_int: first 8 md5 hex chars as bigint, per gram, once
         hashed_df = ss.select(
-            "_id", F.transform(F.col("_sh"), lambda s: md5_int(s)).alias("_hs")
+            "_id",
+            F.expr(
+                "transform(_sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
+            ).alias("_hs"),
         )
 
-    def hash_i(i: int):
+    mins = []
+    for i in range(num_hashes):
         a, b = minhash_coeffs(i)
-        # single-arg lambda: F.transform must NOT see an (element, index) arity
-        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
-
-    mins = [
-        F.array_min(F.transform(F.col("_hs"), hash_i(i))).alias(f"_m{i}")
-        for i in range(num_hashes)
-    ]
+        mins.append(
+            F.expr(
+                f"array_min(transform(_hs, h -> ({a}L * h + {b}L) % {MINHASH_PRIME}L))"
+            ).alias(f"_m{i}")
+        )
     return hashed_df.select("_id", *mins)
 
 
@@ -345,23 +396,19 @@ def minhash_band_table(
         df, id_col, text_col, k, num_hashes, shingle_sets_df=shingle_sets_df, hashed=hashed
     )
     num_bands = num_hashes // band_size
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("_band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"_m{band * band_size + j}").cast("string")
-                            for j in range(band_size)
-                        ],
-                    )
-                ).alias("_bh"),
-            )
-            for band in range(num_bands)
-        ]
+    # one parsed expression for the whole per-band struct array (see the
+    # py4j-chatter note in minhash_signatures) — same tree as the former
+    # F.array(F.struct(F.lit(band), F.md5(F.concat_ws(...)))) chain
+    structs = ", ".join(
+        "struct({band} AS _band, md5(concat_ws(',', {cols})) AS _bh)".format(
+            band=band,
+            cols=", ".join(
+                f"CAST(_m{band * band_size + j} AS STRING)" for j in range(band_size)
+            ),
+        )
+        for band in range(num_bands)
     )
+    band_structs = F.expr(f"array({structs})")
     return sig.select("_id", F.explode(band_structs).alias("_bs")).select(
         "_id", F.col("_bs._band").alias("_band"), F.col("_bs._bh").alias("_bh")
     )

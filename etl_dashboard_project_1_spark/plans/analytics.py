@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import load_table
+from ..session import fan_out, load_table
 
 
 def _e2(col: str) -> F.Column:
@@ -49,19 +49,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Headroom (A/B-measured — decimal(38,0) everywhere costs ~25% more
     local wall-clock): qty_e2 ≤ 5×10³ and disc_e2 ≤ 10 sum in PLAIN
     int64 (≤ ~10¹⁶ even at 10¹³-row groups); price/disc-price/charge
-    per-row values need ≤ 12 digits, so they ride decimal(18,0) — the
-    compact long-backed decimal — and Spark's sum buffer auto-widens to
-    decimal(28,0), covering the ~1.1×10²⁴ charge-sum bound of a 100 TB
-    single-group aggregate with 4 digits to spare. The ~1.8× local cost
-    vs the float form is the exactness tax; at scale the scan dominates
+    per-row values need ≤ 12 digits — comfortably int64 — so (r10) the
+    PER-ROW products ride plain BIGINT (three long multiplies in
+    codegen instead of BigDecimal ops) and only the SUM inputs are cast
+    to decimal: sum buffers auto-widen to decimal(28,0)/decimal(38,0),
+    covering the ~1.1×10²⁴ charge-sum bound of a 100 TB single-group
+    aggregate with headroom to spare. Same integers at every step — the
+    cast point moved, not the arithmetic. The remaining local cost vs
+    the float form is the exactness tax; at scale the scan dominates
     and the conversions are vectorized map-side work."""
     li = load_table(spark, sf_dir, "lineitem")
-    dec = "decimal(18,0)"
     qty = _e2("l_quantity")
-    price = _e2("l_extendedprice").cast(dec)
+    price = _e2("l_extendedprice")
     # (1-disc) and (1+tax) as exact integer percents: disc/tax are
     # 2-decimal rates, so price·(1-disc) is exact in e4 units and
-    # price·(1-disc)·(1+tax) in e6 units
+    # price·(1-disc)·(1+tax) in e6 units; per-row bounds (≤ ~2×10¹¹)
+    # stay far inside int64, the sums are what need decimal
     disc_price_e4 = price * (100 - _e2("l_discount"))
     charge_e6 = disc_price_e4 * (100 + _e2("l_tax"))
     g = (
@@ -69,9 +72,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).alias("_sq"),
-            F.sum(price).alias("_sp"),
-            F.sum(disc_price_e4).alias("_sdp"),
-            F.sum(charge_e6).alias("_sc"),
+            F.sum(price.cast("decimal(18,0)")).alias("_sp"),
+            F.sum(disc_price_e4.cast("decimal(28,0)")).alias("_sdp"),
+            F.sum(charge_e6.cast("decimal(28,0)")).alias("_sc"),
             F.sum(_e2("l_discount")).alias("_sd"),
             F.count(F.col("l_quantity")).alias("_nq"),
             F.count(F.col("l_extendedprice")).alias("_np"),
@@ -155,7 +158,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the join key once, and the groupBy reuses that partitioning."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    # NOT fan_out here (measured, r10): the dimensions broadcast, so the
+    # lineitem scan stage (one task on a single-row-group file) does all
+    # probe + partial-agg work single-threaded — but A/B shows the
+    # round-robin exchange costs MORE than the parallelism buys
+    # (+0.35-0.55 s on q1/q3/q5): the keyless repartition's map side is
+    # that same single task, now paying sort-before-repartition +
+    # serialize + compress of every row before anyone can help.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

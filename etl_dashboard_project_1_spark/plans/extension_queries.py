@@ -495,10 +495,16 @@ list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DO
 
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    qrow = emb.filter(F.col("vec_id") == 0).first()
+    raw = load_table(spark, sf_dir, "embeddings")
+    # Probe the query vector on the RAW scan, not the fan_out'd frame:
+    # the vec_id filter prunes at the parquet scan and .first() is one
+    # tiny task — probing after fan_out paid a full round-robin shuffle
+    # job inside the timed region just to read one row (guide §5: the
+    # driver should do almost no data work).
+    qrow = raw.filter(F.col("vec_id") == 0).select("embedding").first()
     if qrow is None:  # empty corpus -> empty result, declared schema
         return spark.createDataFrame([], "vec_id bigint, cosine double")
+    emb = fan_out(raw)
     top = vector.cosine_topk(emb, "vec_id", "embedding", qrow["embedding"], k=10, exclude_id=0)
     return top.select("vec_id", derive.portable_round(F.col("cosine"), 4).alias("cosine"))
 
@@ -880,8 +886,15 @@ WHERE rn <= 5
 def pack_chunks_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing (4096-char chunks per language):
     the per-chunk manifest a training loader would consume. One shuffle;
-    the chunk groupBy reuses the packing window's partitioning."""
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    the chunk groupBy reuses the packing window's partitioning.
+
+    No ``fan_out`` here (r10): the packing window's hash exchange on
+    ``lang`` is the very next operator, so a round-robin repartition
+    before it was a second full-table shuffle for nothing — the scan
+    stage does no per-row work this query needs parallelized (guide
+    §2.4: remove shuffles outright; the before/after plans show
+    2 Exchange → 1)."""
+    docs = load_table(spark, sf_dir, "documents")
     return sampling.chunk_stats(
         docs, "n_chars", 4096, by=["lang"], order_cols=["doc_id"]
     ).select("lang", "chunk_id", "n_docs", "sum_tokens")

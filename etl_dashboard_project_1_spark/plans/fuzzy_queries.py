@@ -27,7 +27,10 @@ from ..session import load_table
 def _dirty_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     dirty = nation.select(F.concat(F.col("n_name"), F.lit(" SA")).alias("raw_name"))
-    junk = spark.createDataFrame([("ZZZ MOTORS INC",)], ["raw_name"])
+    # range(1)+lit instead of createDataFrame: a pure Catalyst plan (no
+    # ExistingRDD), so the union stays inside whole-stage codegen and no
+    # local collection is pickled/parallelized on every call
+    junk = spark.range(1).select(F.lit("ZZZ MOTORS INC").alias("raw_name"))
     return dirty.unionByName(junk)
 
 

@@ -88,6 +88,13 @@ def table_path(sf_dir: str, name: str) -> str:
 import weakref
 
 _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+# fan_out partition-count memo: df.rdd forces a FULL physical-planning
+# pass on the driver (analysis + optimization + planning) just to read
+# the partition count — ~20-40 ms per call that bench passes and sweeps
+# re-pay for the same immutable plan object (load_table memoizes scans,
+# so the same table yields the same DataFrame). Keyed weakly by the
+# DataFrame itself; a stopped session's plans stay collectable.
+_NPART_MEMO: "weakref.WeakKeyDictionary[DataFrame, int]" = weakref.WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -171,7 +178,18 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    nparts = None
+    try:
+        nparts = _NPART_MEMO.get(df)
+    except TypeError:
+        pass
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        try:
+            _NPART_MEMO[df] = nparts
+        except TypeError:
+            pass
+    if nparts < target:
         return df.repartition(target)
     return df
 
