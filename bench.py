@@ -139,6 +139,7 @@ def _extra_queries(spark, sf_dir):
         pairs = dedup.minhash_lsh_pairs(
             docs, "doc_id", "text", k=3, num_hashes=8, band_size=2,
             threshold=0.2, reuse="checkpoint", hashed=True,
+            broadcast_candidates=True,
         )
         return pairs.select(
             "id_a", "id_b", derive.portable_round(F.col("jaccard"), 4).alias("jaccard")

@@ -425,9 +425,19 @@ def minhash_lsh_pairs(
     reuse: str = "recompute",
     hashed: bool = True,
     shingle_sets_df: DataFrame | None = None,
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signature → bands → bucket join
     → candidate pairs → verify with true Jaccard ≥ threshold.
+
+    ``broadcast_candidates=True`` hints the candidate-pair table as the
+    broadcast side of both verify joins. Default False (the scale-safe
+    mode: candidates grow with near-dup density and a forced broadcast
+    has an 8 GB cap), but when the caller knows the candidate set is
+    small — bench SFs, bounded-dup corpora — it avoids the planner's
+    static-estimate choice of broadcasting the shingle table (the K×
+    LARGER side) twice: measured 0.2 s faster at sf0.1 (guide §3.1:
+    broadcast the side that fits, chosen deliberately).
 
     ``hashed=True`` (default) runs the whole pipeline on integer gram
     hashes (``hashed_word_shingles``): signatures transform the int
@@ -502,6 +512,8 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    if broadcast_candidates:
+        candidates = F.broadcast(candidates)
     # verify ONLY candidate pairs: bring each side's shingle SET in by id
     # equi-join and intersect the arrays — no pair ever touches a shuffled
     # shingle table, so verification cost is |candidates|, not n².

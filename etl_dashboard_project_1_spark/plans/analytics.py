@@ -59,61 +59,58 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the float form is the exactness tax; at scale the scan dominates
     and the conversions are vectorized map-side work."""
     li = load_table(spark, sf_dir, "lineitem")
-    qty = _e2("l_quantity")
-    price = _e2("l_extendedprice")
+    # Whole query via parsed SQL strings (r10): the Column-DSL form cost
+    # ~200 ms of py4j round trips per build — paid inside every timed
+    # bench pass. Identical expression trees (the _cents/_CENTS_SQL pair
+    # is the house primitive; note float literals carry the D suffix so
+    # nothing silently parses as DECIMAL).
+    qty = "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)"
+    price = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    disc = "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)"
+    tax = "CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)"
     # (1-disc) and (1+tax) as exact integer percents: disc/tax are
     # 2-decimal rates, so price·(1-disc) is exact in e4 units and
     # price·(1-disc)·(1+tax) in e6 units; per-row bounds (≤ ~2×10¹¹)
     # stay far inside int64, the sums are what need decimal
-    disc_price_e4 = price * (100 - _e2("l_discount"))
-    charge_e6 = disc_price_e4 * (100 + _e2("l_tax"))
+    disc_price_e4 = f"({price} * (100 - {disc}))"
+    charge_e6 = f"({disc_price_e4} * (100 + {tax}))"
     g = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("_sq"),
-            F.sum(price.cast("decimal(18,0)")).alias("_sp"),
-            F.sum(disc_price_e4.cast("decimal(28,0)")).alias("_sdp"),
-            F.sum(charge_e6.cast("decimal(28,0)")).alias("_sc"),
-            F.sum(_e2("l_discount")).alias("_sd"),
-            F.count(F.col("l_quantity")).alias("_nq"),
-            F.count(F.col("l_extendedprice")).alias("_np"),
-            F.count(F.col("l_discount")).alias("_nd"),
-            F.count(F.lit(1)).alias("_n"),
+            F.expr(f"sum({qty})").alias("_sq"),
+            F.expr(f"sum(CAST({price} AS DECIMAL(18,0)))").alias("_sp"),
+            F.expr(f"sum(CAST({disc_price_e4} AS DECIMAL(28,0)))").alias("_sdp"),
+            F.expr(f"sum(CAST({charge_e6} AS DECIMAL(28,0)))").alias("_sc"),
+            F.expr(f"sum({disc})").alias("_sd"),
+            F.expr("count(l_quantity)").alias("_nq"),
+            F.expr("count(l_extendedprice)").alias("_np"),
+            F.expr("count(l_discount)").alias("_nd"),
+            F.expr("count(1)").alias("_n"),
         )
     )
-    return g.select(
+    # round-half-up of the e4/e6 sums stays in DECIMAL: `div` returns
+    # BIGINT and silently wraps once the quotient passes ~9.2e18 —
+    # 12x below the docstring's certified 100 TB charge-sum bound
+    # (the kruskal div-overflow class, caught by review). floor of
+    # the scale-6 decimal division is exact here: the true quotient
+    # has <= 2 fractional digits, and decimal(38,6) holds 1e32.
+    return g.selectExpr(
         "l_returnflag",
         "l_linestatus",
-        (F.col("_sq").cast("double") / 100).alias("sum_qty"),
-        (F.col("_sp").cast("double") / 100).alias("sum_base_price"),
-        # round-half-up of the e4/e6 sums stays in DECIMAL: `div` returns
-        # BIGINT and silently wraps once the quotient passes ~9.2e18 —
-        # 12x below the docstring's certified 100 TB charge-sum bound
-        # (the kruskal div-overflow class, caught by review). floor of
-        # the scale-6 decimal division is exact here: the true quotient
-        # has <= 2 fractional digits, and decimal(38,6) holds 1e32.
-        (
-            F.expr("CAST(floor((_sdp + 50) / 100) AS DECIMAL(38,0))")
-            .cast("double") / 100
-        ).alias("sum_disc_price"),
-        (
-            F.expr("CAST(floor((_sc + 5000) / 10000) AS DECIMAL(38,0))")
-            .cast("double") / 100
-        ).alias("sum_charge"),
-        (
-            F.expr("CASE WHEN _nq > 0 THEN (2 * _sq + _nq) div (2 * _nq) END")
-            .cast("double") / 100
-        ).alias("avg_qty"),
-        (
-            F.expr("CASE WHEN _np > 0 THEN (2 * _sp + _np) div (2 * _np) END")
-            .cast("double") / 100
-        ).alias("avg_price"),
-        (
-            F.expr("CASE WHEN _nd > 0 THEN (200 * _sd + _nd) div (2 * _nd) END")
-            .cast("double") / 10000
-        ).alias("avg_disc"),
-        F.col("_n").alias("count_order"),
+        "CAST(_sq AS DOUBLE) / 100 AS sum_qty",
+        "CAST(_sp AS DOUBLE) / 100 AS sum_base_price",
+        "CAST(CAST(floor((_sdp + 50) / 100) AS DECIMAL(38,0)) AS DOUBLE) / 100"
+        " AS sum_disc_price",
+        "CAST(CAST(floor((_sc + 5000) / 10000) AS DECIMAL(38,0)) AS DOUBLE) / 100"
+        " AS sum_charge",
+        "CAST(CASE WHEN _nq > 0 THEN (2 * _sq + _nq) div (2 * _nq) END AS DOUBLE)"
+        " / 100 AS avg_qty",
+        "CAST(CASE WHEN _np > 0 THEN (2 * _sp + _np) div (2 * _np) END AS DOUBLE)"
+        " / 100 AS avg_price",
+        "CAST(CASE WHEN _nd > 0 THEN (200 * _sd + _nd) div (2 * _nd) END AS DOUBLE)"
+        " / 10000 AS avg_disc",
+        "_n AS count_order",
     )
 
 

@@ -93,9 +93,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ITS default for the cluster argument (3× smaller checkpointed/
     # shuffled shingle bytes); the registered bench query takes the
     # measured-fastest local form, mirroring the reuse choice above.
+    # broadcast_candidates=True (r10): at bench SFs the verified candidate
+    # set is tiny; without the hint the planner's static estimates pick
+    # the K×-larger shingle table as BOTH verify joins' build side
+    # (measured 0.2 s slower). The operator default stays False — the
+    # scale-safe mode where the planner sizes the build side itself.
     pairs = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", k=3, num_hashes=8, band_size=2, threshold=0.2,
-        reuse="checkpoint", hashed=False,
+        reuse="checkpoint", hashed=False, broadcast_candidates=True,
     )
     return pairs.select("id_a", "id_b", derive.portable_round(F.col("jaccard"), 4).alias("jaccard"))
 
@@ -312,38 +317,39 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # behavior holding across Spark versions. (The r2 bench's 1.49 s for
     # this query was box-load variance: re-measured on 4.1 at 0.47 s with
     # the then-registered formulation — tools/diag_text_quality.py.)
+    # Built via selectExpr (r10): the Column-DSL form (isin over the
+    # stopword tuple, two lambda folds) cost ~230 ms of py4j round trips
+    # per plan build; the parsed trees are identical. Float literals
+    # carry the D suffix so nothing parses as DECIMAL.
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    stop_hits = F.size(F.filter("_t", lambda w: w.isin(*textops.EN_STOPWORDS)))
-    mid = docs.select(
+    stopwords = ", ".join(f"'{w}'" for w in textops.EN_STOPWORDS)
+    mid = docs.selectExpr(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
-        F.split(F.lower("text"), r"\s+").alias("_t"),
-        F.regexp_replace("text", r"\s", "").alias("_nws"),
-    ).select(
+        r"CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens",
+        r"split(lower(text), '\\s+') AS _t",
+        r"regexp_replace(text, '\\s', '') AS _nws",
+    ).selectExpr(
         "doc_id",
         "n_tokens",
-        (
-            (F.length("_nws") - F.length(F.regexp_replace("_nws", r"[^a-zA-Z0-9]", "")))
-            / F.greatest(F.length("_nws"), F.lit(1))
-        ).alias("_punct"),
-        (stop_hits / F.greatest(F.size("_t"), F.lit(1))).alias("_stop"),
-        (
-            F.aggregate("_t", F.lit(0), lambda acc, w: acc + F.length(w))
-            / F.greatest(F.size("_t"), F.lit(1))
-        ).alias("_mwl"),
+        "(length(_nws) - length(regexp_replace(_nws, '[^a-zA-Z0-9]', '')))"
+        " / greatest(length(_nws), 1) AS _punct",
+        f"size(filter(_t, w -> w IN ({stopwords})))"
+        " / greatest(size(_t), 1) AS _stop",
+        "aggregate(_t, 0, (acc, w) -> acc + length(w))"
+        " / greatest(size(_t), 1) AS _mwl",
     )
     quality = (
-        0.4 * F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0))
-        + 0.3 * (F.lit(1.0) - F.col("_punct"))
-        + 0.3 * F.least(F.col("_stop") / F.lit(0.08), F.lit(1.0))
+        "0.4D * least(n_tokens / 200.0D, 1.0D)"
+        " + 0.3D * (1.0D - _punct)"
+        " + 0.3D * least(_stop / 0.08D, 1.0D)"
     )
-    return mid.select(
+    return mid.selectExpr(
         "doc_id",
         "n_tokens",
-        derive.portable_round("_punct", 4).alias("punct_ratio"),
-        derive.portable_round("_stop", 4).alias("stop_ratio"),
-        derive.portable_round("_mwl", 4).alias("mean_word_len"),
-        derive.portable_round(quality, 4).alias("quality"),
+        "FLOOR(_punct * 10000.0D + 0.5D) / 10000.0D AS punct_ratio",
+        "FLOOR(_stop * 10000.0D + 0.5D) / 10000.0D AS stop_ratio",
+        "FLOOR(_mwl * 10000.0D + 0.5D) / 10000.0D AS mean_word_len",
+        f"FLOOR(({quality}) * 10000.0D + 0.5D) / 10000.0D AS quality",
     )
 
 

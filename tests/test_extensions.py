@@ -1383,3 +1383,44 @@ def test_fast_shingle_cte_matches_shared_cte_multiset():
         con = duckdb.connect()
         con.execute(f"CREATE VIEW documents AS {src}")
         assert multiset(con, probe_old) == multiset(con, probe_new), label
+
+
+def test_shingle_expr_and_dsl_forms_identical(spark):
+    """r10 optimization guard: the shingle builders have two construction
+    paths — a single parsed SQL expression for plain column names (one
+    py4j round trip) and the original Column-DSL fold for Column inputs.
+    Both must yield byte-identical arrays and schemas, including the
+    <k-word empty-array contract, on edge-shaped text."""
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c a b c a b c"),
+        (3, "one two"),
+        (4, "single"),
+        (5, ""),
+        (6, "  leading  and   inner   gaps "),
+        (7, "A B c D e"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fn in (dedup.word_shingles, dedup.hashed_word_shingles):
+        for k in (2, 3):
+            a = df.select("doc_id", fn("text", k).alias("x")).orderBy("doc_id")
+            b = df.select("doc_id", fn(F.col("text"), k).alias("x")).orderBy("doc_id")
+            assert a.schema == b.schema, (fn.__name__, k)
+            assert a.collect() == b.collect(), (fn.__name__, k)
+
+
+def test_shingle_sets_tokencount_filter_matches_old_size_filter(spark):
+    """r10 optimization guard: shingle_sets now drops <k-word docs with
+    size(tokens) >= k (cheap, pushdown-safe) instead of size(_sh) > 0
+    (which let Catalyst duplicate the whole shingle expression below a
+    fan_out exchange). The predicates must keep the same kept-set: every
+    emitted row has _n > 0, and every doc with >= k tokens is emitted."""
+    docs = load_table(spark, SF, "documents")
+    for hashed in (False, True):
+        ss = dedup.shingle_sets(docs, "doc_id", "text", 3, hashed=hashed)
+        assert ss.filter(F.col("_n") <= 0).count() == 0
+        n_kept = ss.count()
+        n_eligible = docs.filter(
+            F.size(F.split(F.lower("text"), r"\s+")) >= 3
+        ).count()
+        assert n_kept == n_eligible
