@@ -207,6 +207,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
     method: str = "prefix",
+    reuse: str = "recompute",
 ) -> DataFrame:
     """Exact near-dup pairs by word-k-gram Jaccard ≥ threshold.
 
@@ -237,8 +238,25 @@ def ngram_jaccard_pairs(
     anything else, and Jaccard is computed over the filtered universe
     (intersection and union shrink together — semantics change, use when
     stopword grams should not count as similarity at all).
+
+    ``reuse`` mirrors ``minhash_lsh_pairs``: the per-doc shingle-set
+    frame feeds several consumers (document frequencies, prefix ranking,
+    candidate verify); 'recompute' (default) re-derives it per consumer —
+    the scale-safe mode when the shingle frame (~k× the corpus) exceeds
+    cluster storage — while 'checkpoint' localCheckpoints it so the
+    shingle expression runs once (measured faster at bench SFs).
     """
-    sh = _shingle_table(df, id_col, text_col, k)
+    # Derive everything from the ARRAY-form shingle sets (r10): the old
+    # formulation re-built the exploded table from raw text per consumer
+    # AND paid a collect_set shuffle to re-assemble per-doc sets for the
+    # verify step that shingle_sets already provides (guide §2.4: one
+    # shuffle removed outright; §2.3: aggregate before you shuffle).
+    ss = shingle_sets(df, id_col, text_col, k)
+    if reuse == "checkpoint":
+        ss = ss.localCheckpoint(eager=False)
+    elif reuse != "recompute":
+        raise ValueError(f"unknown reuse mode {reuse!r}")
+    sh = ss.select("_id", F.explode("_sh").alias("_s"))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("_s")
@@ -247,6 +265,11 @@ def ngram_jaccard_pairs(
             .select("_s")
         )
         sh = sh.join(hot, "_s", "left_anti")
+        # the filtered universe invalidates ss's arrays/sizes — rebuild
+        # per-doc sets from the filtered exploded table (pre-r10 shape)
+        ss = sh.groupBy("_id").agg(
+            F.collect_set("_s").alias("_sh"), F.count(F.lit(1)).alias("_n")
+        )
     if method == "allpairs":
         return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
     if method != "prefix":
@@ -255,7 +278,6 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     dfreq = sh.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     ranked = (
         sh.join(dfreq, "_s")
         .withColumn(
@@ -264,7 +286,7 @@ def ngram_jaccard_pairs(
                 Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_s"))
             ),
         )
-        .join(sizes, "_id")
+        .join(ss.select("_id", "_n"), "_id")
     )
     # epsilon before ceil: when t·n is an exact integer the binary product
     # can land a hair ABOVE it (fl(t) > t), ceil then rounds up one too
@@ -282,7 +304,8 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     # exact verify on candidate pairs only: set arrays stay inside rows
-    sets = sh.groupBy("_id").agg(F.collect_set("_s").alias("_sh"), F.count(F.lit(1)).alias("_n"))
+    # (ss IS the per-doc set frame — no collect_set re-aggregation)
+    sets = ss
     inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     return (
         cand.join(sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"), F.col("_n").alias("_na")), "id_a")

@@ -112,7 +112,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds) → one partitioned window argmax. No driver-side data.
     """
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.2, reuse="checkpoint"
+    )
     cc = dedup.connected_components(pairs, "id_a", "id_b")
     members = cc.join(
         docs.select("doc_id", "n_chars"), cc["node"] == F.col("doc_id")
@@ -1172,7 +1174,9 @@ def soft_dedup_weight_records(
 ) -> DataFrame:
     """DataFrame-level core of ``soft_dedup_weights`` (property-tested
     against a union-find reference model on random corpora)."""
-    pairs = dedup.ngram_jaccard_pairs(docs, id_col, text_col, k=k, threshold=threshold)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, id_col, text_col, k=k, threshold=threshold, reuse="checkpoint"
+    )
     cc = dedup.connected_components(pairs, "id_a", "id_b")
     labeled = (
         docs.select(F.col(id_col).alias("doc_id"))

@@ -66,7 +66,9 @@ GROUP BY 1
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.2, reuse="checkpoint"
+    )
     return pairs.select("id_a", "id_b", derive.portable_round(F.col("jaccard"), 4).alias("jaccard"))
 
 
@@ -928,7 +930,9 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pass keeps). Iterative min-label propagation — the driver loop
     is over rounds (O(diameter)), each round one distributed join+agg."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.2, reuse="checkpoint"
+    )
     cc = dedup.connected_components(pairs, "id_a", "id_b")
     return cc.select(F.col("node").alias("doc_id"), "cluster")
 

@@ -107,7 +107,9 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg jaccard is an exact integer mean (sum of per-pair x10000
     roundings DIV count) — no float aggregate crosses the oracle."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.2, reuse="checkpoint"
+    )
     src = docs.select("doc_id", "source")
     attributed = (
         pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")), "id_a")
