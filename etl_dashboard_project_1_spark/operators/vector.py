@@ -167,12 +167,29 @@ def cosine_pairs_blocked(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    left = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    right = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    # Hoist the norms to one-per-vector (r10): cosine() recomputed BOTH
+    # norms per candidate pair — 2 interpreted 64-element folds per pair
+    # against one per vector here. Float-identical: the norm is the same
+    # double whether computed per pair or per vector, and the final
+    # dot/(na*nb) keeps the exact operation sequence (guide §1.2
+    # per-task work; ~2× on the verify stage of the emb pair queries).
+    vn = v.withColumn("_n", _norm(F.col("_v")))
+    left = vn.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    right = vn.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
     return (
         candidates.join(left, "id_a")
         .join(right, "id_b")
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cosine"
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 

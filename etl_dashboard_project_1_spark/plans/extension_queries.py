@@ -49,7 +49,13 @@ jac AS (
 # --- exact dedup ------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # no fan_out (A/B-measured r10: 0.33 vs 0.52 s at sf0.1): the
+    # per-row fingerprint is one md5 over sorted tokens — cheaper to
+    # compute in the scan stage than to round-robin the full text
+    # through an extra exchange first; the fingerprint groupBy is the
+    # query's one real shuffle either way. (text_pii keeps its fan_out:
+    # its regex chain measures 2.3× faster parallelized.)
+    docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_dedup_groups(docs, "doc_id", "text", normalized=True)
 
 
